@@ -1,0 +1,76 @@
+"""Array / nested-type scalar operators over ``embeddings`` (SURVEY.md §2.B
+scalar-functions row: array_* family; stays entirely JVM-side via built-in
+higher-order functions — the same machinery the N5 block layer uses for
+coordinate math).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from n5_dask_spark.catalog import load_tables
+from n5_dask_spark.registry import register
+
+
+@register(
+    "array_funcs",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+           ROUND(CAST(embedding[64] AS DOUBLE), 6) AS last_val,
+           ROUND(list_sum(CAST(embedding AS DOUBLE[])), 6) AS vec_sum,
+           ROUND(list_max(CAST(embedding AS DOUBLE[])), 6) AS vec_max,
+           ROUND(list_min(CAST(embedding AS DOUBLE[])), 6) AS vec_min,
+           CAST(len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0)) AS INT) AS n_positive
+    FROM embeddings ORDER BY vec_id
+    """,
+    doc="Array functions: size, subscript, fold-sum, min/max, filter-count.",
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    dbl = "transform(embedding, x -> CAST(x AS DOUBLE))"
+    return (
+        t["embeddings"]
+        .select(
+            "vec_id",
+            F.size("embedding").cast("int").alias("dim"),
+            F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+            F.round(F.element_at("embedding", 64).cast("double"), 6).alias("last_val"),
+            F.round(F.expr(f"aggregate({dbl}, CAST(0.0 AS DOUBLE), (a, v) -> a + v)"), 6).alias("vec_sum"),
+            F.round(F.array_max(F.expr(dbl)), 6).alias("vec_max"),
+            F.round(F.array_min(F.expr(dbl)), 6).alias("vec_min"),
+            F.size(F.expr(f"filter({dbl}, x -> x > 0)")).cast("int").alias("n_positive"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "array_label_centroids",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           ROUND(CAST(SUM(CAST(embedding[1] AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS centroid_d1,
+           ROUND(CAST(SUM(CAST(embedding[2] AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS centroid_d2
+    FROM embeddings GROUP BY label ORDER BY label
+    """,
+    doc="Per-label centroid components (decimal-exact mean of array elements).",
+)
+def array_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    def comp(i: int, alias: str):
+        return F.round(
+            F.expr(
+                f"CAST(SUM(CAST(element_at(embedding, {i}) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)"
+            ),
+            6,
+        ).alias(alias)
+
+    return (
+        t["embeddings"]
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), comp(1, "centroid_d1"), comp(2, "centroid_d2"))
+        .orderBy("label")
+    )

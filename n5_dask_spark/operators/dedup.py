@@ -1,0 +1,285 @@
+"""Deduplication operators over ``documents`` (driver-mandated LLM-pipeline
+surface; the reference has no dedup of any kind — SURVEY.md §2.B).
+
+All four near-dup families are implemented with deterministic, oracle-
+checkable hashing (md5 of seeded strings) so every query here gets a full
+DuckDB hash-match, not a rows-only check:
+
+- exact:       md5(text) group-dedup                      -> dedup_exact
+- MinHash+LSH: shingle -> 16 md5-seeded min-hashes -> 4 bands of 4 ->
+               band-bucket self-join                      -> dedup_minhash_lsh
+- SimHash:     32-bit signature from per-token md5 nibbles, hamming<=
+               threshold pairs via bit_count(xor)         -> dedup_simhash
+- n-gram Jaccard: 3-token shingle sets, pair similarity via shingle-join
+               (only pairs sharing >=1 shingle are ever materialized)
+                                                          -> dedup_ngram_jaccard
+
+Scale notes (100 TB):
+- Exact dedup is a single hash-shuffle on a 16-byte digest — the canonical
+  approach at any scale (map-side partial dedup via partial aggregation).
+- MinHash LSH: cost is O(docs x perms) for signatures (one explode, one
+  groupBy) and the candidate join touches only band-bucket collisions —
+  never the full pair matrix. Band buckets are short strings -> cheap
+  shuffle keys; hot buckets (boilerplate docs) are the skew case, handled
+  by AQE skew-join splitting.
+- n-gram Jaccard joins on shingle then aggregates per pair; worst case is a
+  hot shingle (stopword trigram) — production would drop top-frequency
+  shingles first (the `HAVING` frequency cap mirrors that).
+- SimHash pair search here is bucket-free (fine at test scale); the scale
+  path is blocking on simhash prefix bytes, same join shape as LSH.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from n5_dask_spark.catalog import load_tables
+from n5_dask_spark.registry import register
+
+# Tokenization shared by every text operator: lowercase, collapse whitespace,
+# split on single spaces. Identical wording on both engines.
+SPARK_TOKENS = "split(regexp_replace(lower(text), '\\\\s+', ' '), ' ')"
+DUCK_TOKENS = "string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')"
+
+N_PERM = 16  # minhash permutations
+N_BANDS = 4  # LSH bands (4 rows per band)
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    ORDER BY content_hash
+    """,
+    doc="Exact content dedup: md5 group, keep lowest doc_id.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    return (
+        t["documents"]
+        .groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("content_hash")
+    )
+
+
+@register(
+    "dedup_subset_key",
+    oracle="""
+    SELECT lang, source, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+    doc="Key-subset dedup (dropDuplicates-by-columns semantics, deterministic keeper).",
+)
+def dedup_subset_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    return (
+        t["documents"]
+        .groupBy("lang", "source")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "source")
+    )
+
+
+def _spark_shingles(df: DataFrame) -> DataFrame:
+    """doc_id + exploded distinct 3-token shingles."""
+    return (
+        df.select(
+            "doc_id",
+            F.expr(SPARK_TOKENS).alias("toks"),
+        )
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.expr(
+                    "CASE WHEN size(toks) >= 3 THEN"
+                    " transform(sequence(0, size(toks) - 3),"
+                    " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+                    " ELSE array() END"
+                )
+            ).alias("shingles"),
+        )
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+    )
+
+
+DUCK_SHINGLES = f"""
+    WITH toks AS (
+      SELECT doc_id, {DUCK_TOKENS} AS w FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+    )
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=DUCK_SHINGLES
+    + f"""
+    , hashes AS (
+      SELECT doc_id, p, MIN(md5(CAST(p AS VARCHAR) || '|' || shingle)) AS minh
+      FROM sh, UNNEST(range(0, {N_PERM})) AS perms(p)
+      GROUP BY doc_id, p
+    ), bands AS (
+      SELECT doc_id, CAST(p // {N_PERM // N_BANDS} AS INT) AS band,
+             STRING_AGG(minh, ',' ORDER BY p) AS band_sig
+      FROM hashes GROUP BY doc_id, band
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+    WHERE a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b
+    """,
+    doc=(
+        "MinHash LSH near-dup candidates: 16 md5-seeded min-hashes, 4 bands "
+        "of 4 rows; pairs sharing any full band signature. Deterministic "
+        "(md5) so oracle-checkable."
+    ),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    sh = _spark_shingles(t["documents"])
+    perms = F.explode(F.sequence(F.lit(0), F.lit(N_PERM - 1))).alias("p")
+    hashes = (
+        sh.select("doc_id", "shingle", perms)
+        .select(
+            "doc_id",
+            "p",
+            F.md5(F.concat(F.col("p").cast("string"), F.lit("|"), F.col("shingle"))).alias("h"),
+        )
+        .groupBy("doc_id", "p")
+        .agg(F.min("h").alias("minh"))
+    )
+    r = N_PERM // N_BANDS
+    bands = (
+        hashes.withColumn("band", (F.col("p") / r).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.array_join(F.array_sort(F.collect_list(F.struct("p", "minh"))).getField("minh"), ",").alias("band_sig"))
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
+    b = bands.select(F.col("doc_id").alias("doc_b"), F.col("band").alias("band_b"), F.col("band_sig").alias("sig_b"))
+    return (
+        a.join(b, (F.col("band") == F.col("band_b")) & (F.col("band_sig") == F.col("sig_b")))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(list_distinct({DUCK_TOKENS})) AS tok FROM documents
+    ), bits AS (
+      SELECT doc_id, b,
+             SUM(CASE WHEN (strpos('0123456789abcdef', substr(md5(tok), b + 1, 1)) - 1) % 2 = 1
+                      THEN 1 ELSE -1 END) AS score
+      FROM toks, UNNEST(range(0, 32)) AS t(b)
+      GROUP BY doc_id, b
+    ), sigs AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN score > 0 THEN CAST(ROUND(POW(2, b)) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+    ORDER BY doc_a, doc_b
+    """,
+    doc=(
+        "SimHash near-dup: 32-bit signature from md5-nibble parity votes over "
+        "distinct tokens; pairs with hamming distance <= 10."
+    ),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = (
+        t["documents"]
+        .select("doc_id", F.explode(F.array_distinct(F.expr(SPARK_TOKENS))).alias("tok"))
+    )
+    bits = (
+        toks.select("doc_id", "tok", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"))
+        .select(
+            "doc_id",
+            "b",
+            F.expr(
+                "CASE WHEN (instr('0123456789abcdef', substring(md5(tok), b + 1, 1)) - 1) % 2 = 1"
+                " THEN 1 ELSE -1 END"
+            ).alias("v"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.sum("v").alias("score"))
+    )
+    sigs = bits.groupBy("doc_id").agg(
+        F.sum(
+            F.expr("CASE WHEN score > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END")
+        )
+        .cast("bigint")
+        .alias("simhash")
+    )
+    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= 10)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=DUCK_SHINGLES
+    + """
+    , sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.12
+    ORDER BY doc_a, doc_b
+    """,
+    doc=(
+        "n-gram (3-token shingle) Jaccard similarity >= 0.12; intersection "
+        "via shingle self-join so only colliding pairs materialize."
+    ),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    sh = _spark_shingles(t["documents"])
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("shingle_b"))
+    inter = (
+        a.join(b, (F.col("shingle") == F.col("shingle_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("da"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("db"))
+        .filter(jac >= 0.12)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1,0 +1,199 @@
+"""Similarity search over ``embeddings`` (driver-mandated; no reference
+counterpart — SURVEY.md §2.B).
+
+- knn_bruteforce_cosine: exact top-k neighbors for a query set, cosine via
+  built-in higher-order array functions (zip_with + aggregate — stays
+  JVM-side, no Python in the hot path).
+- knn_signbucket_lsh:    sign-LSH over the first 8 dimensions (axis-aligned
+  hyperplanes): candidates restricted to the query's bucket. Deterministic,
+  hence fully oracle-checkable. The production variant with md5-seeded
+  pseudo-random hyperplanes is `random_hyperplane_lsh` below (same plan
+  shape, used by tests, not oracle-gated).
+- embedding_near_duplicates: all pairs with cosine >= threshold — the
+  embedding-cosine near-dup detector for the dedup family.
+
+Determinism: cosine values are rounded to 6 decimals BEFORE ranking, and
+ranking carries vec_id tiebreakers, so last-ulp float differences between
+engines cannot reorder results.
+
+Scale notes (100 TB / billions of vectors):
+- Brute-force is O(Q x N) per query batch: fine for small Q (the query set
+  is broadcast), unusable for all-pairs — that is what the LSH bucket join
+  fixes: shuffle keys are bucket ids, candidates only within buckets.
+- At scale the bucket table would be written bucketed-by(bucket) so repeated
+  queries co-locate without reshuffling; IVF (k-means cells) drops in with
+  the same join shape (cell id instead of sign bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from n5_dask_spark.catalog import load_tables
+from n5_dask_spark.registry import register
+
+N_QUERIES = 5  # query vectors = vec_id < 5
+TOP_K = 10
+
+# Cosine similarity between two float arrays using built-in higher-order
+# functions — executes in the JVM, no UDF. (a.b) / (|a| |b|)
+COSINE = """
+    aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+              CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+    / (sqrt(aggregate(transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                      CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))
+       * sqrt(aggregate(transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                        CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)))
+"""
+
+
+def cosine_col(a: str, b: str) -> Column:
+    return F.expr(COSINE.format(a=a, b=b))
+
+
+# DuckDB: list_cosine_similarity computes in double over FLOAT[] the same
+# dot/norm formula; both sides round to 6dp so ulp ordering can't differ.
+DUCK_COSINE = "list_cosine_similarity(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+
+
+@register(
+    "knn_bruteforce_cosine",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
+         scored AS (
+           SELECT q.qid, e.vec_id,
+                  ROUND({DUCK_COSINE.format(a='q.qe', b='e.embedding')}, 6) AS cosine
+           FROM q CROSS JOIN embeddings e
+           WHERE e.vec_id <> q.qid
+         ), ranked AS (
+           SELECT qid, vec_id, cosine,
+                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+           FROM scored
+         )
+    SELECT qid, CAST(rn AS BIGINT) AS rn, vec_id, cosine
+    FROM ranked WHERE rn <= {TOP_K}
+    ORDER BY qid, rn
+    """,
+    doc="Exact brute-force cosine top-k for a broadcast query set.",
+)
+def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", F.round(cosine_col("qe", "embedding"), 6).alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "rn", "vec_id", "cosine")
+        .orderBy("qid", "rn")
+    )
+
+
+# Sign bucket over first 8 dims: bit d set iff embedding[d] > 0.
+SPARK_BUCKET = (
+    "aggregate(sequence(0, 7), 0, (acc, d) ->"
+    " acc + CASE WHEN embedding[d] > 0 THEN CAST(round(pow(2, d)) AS INT) ELSE 0 END)"
+)
+DUCK_BUCKET = (
+    "list_sum(list_transform(range(1, 9), d ->"
+    " CASE WHEN embedding[d] > 0 THEN CAST(round(pow(2, d - 1)) AS INT) ELSE 0 END))"
+)
+
+
+@register(
+    "knn_signbucket_lsh",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, CAST({DUCK_BUCKET} AS INT) AS bucket FROM embeddings
+    ), q AS (SELECT vec_id AS qid, embedding AS qe, bucket AS qb FROM b WHERE vec_id < {N_QUERIES}),
+       scored AS (
+         SELECT q.qid, e.vec_id,
+                ROUND({DUCK_COSINE.format(a='q.qe', b='e.embedding')}, 6) AS cosine
+         FROM q JOIN b e ON e.bucket = q.qb AND e.vec_id <> q.qid
+       ), ranked AS (
+         SELECT qid, vec_id, cosine,
+                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+         FROM scored
+       )
+    SELECT qid, CAST(rn AS BIGINT) AS rn, vec_id, cosine
+    FROM ranked WHERE rn <= {TOP_K}
+    ORDER BY qid, rn
+    """,
+    doc=(
+        "Bucketed ANN: sign-LSH bucket join (candidates share the query's "
+        "bucket), then exact cosine rank within bucket."
+    ),
+)
+def knn_signbucket_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    b = t["embeddings"].select("vec_id", "embedding", F.expr(SPARK_BUCKET).cast("int").alias("bucket"))
+    q = b.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), F.col("bucket").alias("qb")
+    )
+    scored = (
+        b.join(F.broadcast(q), (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("qid")))
+        .select("qid", "vec_id", F.round(cosine_col("qe", "embedding"), 6).alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "rn", "vec_id", "cosine")
+        .orderBy("qid", "rn")
+    )
+
+
+@register(
+    "embedding_near_duplicates",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({DUCK_COSINE.format(a='a.embedding', b='b.embedding')}, 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND({DUCK_COSINE.format(a='a.embedding', b='b.embedding')}, 6) >= 0.45
+    ORDER BY vec_a, vec_b
+    """,
+    doc="Embedding-cosine near-dup pairs (cosine >= 0.45).",
+)
+def embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    a = t["embeddings"].select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = t["embeddings"].select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(cosine_col("ea", "eb"), 6).alias("cosine"))
+        .filter(F.col("cosine") >= 0.45)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def random_hyperplane_lsh(spark: SparkSession, sf_dir: str, n_planes: int = 16) -> DataFrame:
+    """Production-shape LSH: md5-seeded pseudo-random hyperplanes (deterministic
+    but not practically SQL-expressible), signature = sign bits of plane dot
+    products. Same bucket-join plan as knn_signbucket_lsh. Used by tests."""
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    dim = 64
+    # plane[p][d] in [-1, 1): seeded by md5(p|d) -> first 8 hex digits / 16^8.
+    plane = F.expr(
+        f"transform(sequence(0, {n_planes - 1}), p -> transform(sequence(0, {dim - 1}),"
+        " d -> CAST(conv(substring(md5(concat(p, '|', d)), 1, 8), 16, 10) AS DOUBLE)"
+        " / 4294967296.0 * 2.0 - 1.0))"
+    )
+    sig = F.expr(
+        f"aggregate(sequence(0, {n_planes - 1}), CAST(0 AS BIGINT), (acc, p) -> acc + "
+        "CASE WHEN aggregate(zip_with(planes[p], embedding, (w, x) -> w * CAST(x AS DOUBLE)),"
+        " CAST(0.0 AS DOUBLE), (a, v) -> a + v) > 0"
+        " THEN shiftleft(CAST(1 AS BIGINT), p) ELSE CAST(0 AS BIGINT) END)"
+    )
+    return (
+        t["embeddings"]
+        .withColumn("planes", plane)
+        .select("vec_id", "embedding", sig.alias("bucket"))
+    )

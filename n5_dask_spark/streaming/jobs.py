@@ -1,0 +1,89 @@
+"""Structured Streaming jobs over the ``events`` table (SURVEY.md §2.B
+streaming row — no reference counterpart; grep over /root/reference/src shows
+no streaming of any kind).
+
+``streaming_tumbling_agg`` actually executes a Structured Streaming query
+(readStream over the parquet dir -> watermark -> windowed stateful agg ->
+memory sink, Trigger.AvailableNow) and returns the materialized result, so
+the driver's oracle check covers the real streaming path. Complete output mode
+makes the result equal to the batch tumbling aggregation (no windows held
+back by the final watermark), which is what the oracle computes.
+
+Scale: in production this is readStream from a log store with watermark-bound
+state; AvailableNow gives incremental batch execution over the same code.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from n5_dask_spark.catalog import load_table, table_path
+from n5_dask_spark.registry import register
+
+
+def run_streaming_tumbling(spark: SparkSession, sf_dir: str, gap: str = "1 hour") -> DataFrame:
+    """readStream -> withWatermark -> window agg -> memory sink (AvailableNow)."""
+    # Raw file schema: ts is TIMESTAMP(NANOS) -> read as int64 nanos
+    # (spark.sql.legacy.parquet.nanosAsLong, set by load_table) and convert
+    # inside the stream, same as the batch path.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    # FileStreamSource requires a directory; the testdata table is a single
+    # file. Stage a symlink dir (no data copy).
+    stage = pathlib.Path(tempfile.gettempdir()) / f"n5ds_stream_{abs(hash(sf_dir)) % 10**8}"
+    stage.mkdir(exist_ok=True)
+    link = stage / "events.parquet"
+    if not link.exists():
+        link.symlink_to(table_path(sf_dir, "events"))
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(str(stage))
+        .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", gap).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)").alias("sum_value"),
+        )
+    )
+    sink = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
+@register(
+    "streaming_tumbling_agg",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY win_start, event_type
+    """,
+    doc="Real Structured Streaming run (AvailableNow, watermark, stateful window agg).",
+)
+def streaming_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_streaming_tumbling(spark, sf_dir)

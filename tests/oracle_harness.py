@@ -1,0 +1,87 @@
+"""Local replica of the driver's t2 gate: run a registered Spark query and
+its DuckDB oracle over the same parquet tables, canonicalize, and compare
+row-count + column names + values. Strict equality — our determinism
+discipline (registry.py) is supposed to make results EXACTLY equal."""
+
+from __future__ import annotations
+
+import math
+from decimal import Decimal
+
+import duckdb
+
+from n5_dask_spark.catalog import TABLES, table_path
+
+_EPOCH_COLS_CACHE: dict[str, duckdb.DuckDBPyConnection] = {}
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'")
+    return con
+
+
+def _canon_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if hasattr(v, "isoformat"):  # datetime / date
+        try:
+            return v.isoformat(sep=" ")
+        except TypeError:
+            # plain date: keep distinct from a midnight timestamp so DATE vs
+            # TIMESTAMP schema drift surfaces as a mismatch (driver would too)
+            return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon_cell(x) for x in v)
+    return v
+
+
+def canon_rows(cols: list[str], rows: list[tuple]) -> tuple[list[str], list[tuple]]:
+    """Sort columns by name, canonicalize cells, sort rows."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    sorted_cols = [cols[i] for i in order]
+    out = [tuple(_canon_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda r: tuple((x is None, str(type(x)), x if x is not None else 0) for x in r))
+    return sorted_cols, out
+
+
+def compare_query(spark, name: str, sf_dir: str) -> dict:
+    from n5_dask_spark.registry import load_all
+
+    q = load_all()[name]
+    sdf = q.fn(spark, sf_dir)
+    s_cols = list(sdf.columns)
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    result = {"name": name, "rows": len(s_rows), "oracle": q.oracle is not None}
+    if q.oracle is None:
+        result["match"] = len(s_rows) >= 0
+        return result
+
+    con = duck_connection(sf_dir)
+    cur = con.execute(q.oracle)
+    d_cols = [d[0] for d in cur.description]
+    d_rows = [tuple(r) for r in cur.fetchall()]
+    con.close()
+
+    sc, sr = canon_rows(s_cols, s_rows)
+    dc, dr = canon_rows(d_cols, d_rows)
+
+    result["cols_match"] = sc == dc
+    result["count_match"] = len(sr) == len(dr)
+    result["values_match"] = sr == dr
+    result["match"] = result["cols_match"] and result["count_match"] and result["values_match"]
+    if not result["match"]:
+        result["spark_cols"], result["duck_cols"] = sc, dc
+        result["spark_n"], result["duck_n"] = len(sr), len(dr)
+        diffs = [(a, b) for a, b in zip(sr, dr) if a != b][:3]
+        result["first_diffs"] = diffs
+        result["spark_head"], result["duck_head"] = sr[:2], dr[:2]
+    return result
