@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+The headline set spans every operator family (scan-agg, multi-join,
+window, as-of join, streaming-window semantics, dedup/LSH, similarity,
+text) so a regression anywhere shows up here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+from n5_dask_spark.registry import load_all
+from n5_dask_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "join_asof",
+    "window_row_number",
+    "events_tumbling_window",
+    "events_session_window",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "knn_bruteforce_cosine",
+    "knn_signbucket_lsh",
+    "text_tf_top_terms",
+    "multimodal_feature_extract",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    try:
+        sf = float(pathlib.Path(sf_dir).name.replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+    spark = get_spark("n5_dask_spark-bench", cpus=int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = load_all()
+
+    # Warm up the JVM + parquet footers once so per-query numbers measure the
+    # queries, not first-touch JIT.
+    registry["q6_forecast_revenue"].fn(spark, sf_dir).collect()
+
+    per: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        rows = registry[name].fn(spark, sf_dir).collect()
+        per[name] = round(time.perf_counter() - t0, 3)
+        assert rows is not None
+    total = round(sum(per.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": per,
+                "sf": sf,
+                "cpus": int(cpus),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

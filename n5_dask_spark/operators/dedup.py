@@ -89,9 +89,16 @@ def dedup_subset_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _spark_shingles(df: DataFrame) -> DataFrame:
-    """doc_id + exploded distinct 3-token shingles."""
+    """doc_id + exploded distinct 3-token shingles.
+
+    Repartitions FIRST: documents arrive as one parquet file -> one input
+    partition, and tokenization/shingling is CPU-heavy per row. Catalyst
+    pushes derived filters below later repartitions, so the fan-out must
+    happen before any expensive projection.
+    """
     return (
-        df.select(
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(
             "doc_id",
             F.expr(SPARK_TOKENS).alias("toks"),
         )
@@ -106,7 +113,11 @@ def _spark_shingles(df: DataFrame) -> DataFrame:
                 )
             ).alias("shingles"),
         )
-        .select("doc_id", F.explode("shingles").alias("shingle"))
+        # explode_OUTER + null filter: plain explode adds an implicit
+        # size(shingles)>0 filter that Catalyst pushes below the repartition,
+        # re-evaluating the whole tokenize/shingle expression serially.
+        .select("doc_id", F.explode_outer("shingles").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
     )
 
 
@@ -146,23 +157,52 @@ DUCK_SHINGLES = f"""
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
-    sh = _spark_shingles(t["documents"])
-    perms = F.explode(F.sequence(F.lit(0), F.lit(N_PERM - 1))).alias("p")
-    hashes = (
-        sh.select("doc_id", "shingle", perms)
+    r = N_PERM // N_BANDS
+    # Whole signature computed columnar inside ONE projection (higher-order
+    # functions, JVM-side): no per-(shingle, perm) explode, no signature
+    # shuffle. The only shuffled rows are 1 per (doc, band).
+    docs = (
+        # repartition BEFORE the heavy projections: the single-file input
+        # otherwise serializes tokenize/shingle/md5 onto one core (and pushed
+        # filters would run below a later repartition anyway).
+        t["documents"]
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.expr(SPARK_TOKENS).alias("toks"))
         .select(
             "doc_id",
-            "p",
-            F.md5(F.concat(F.col("p").cast("string"), F.lit("|"), F.col("shingle"))).alias("h"),
+            F.array_distinct(
+                F.expr(
+                    "CASE WHEN size(toks) >= 3 THEN"
+                    " transform(sequence(0, size(toks) - 3),"
+                    " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+                    " ELSE array() END"
+                )
+            ).alias("shingles"),
         )
-        .groupBy("doc_id", "p")
-        .agg(F.min("h").alias("minh"))
     )
-    r = N_PERM // N_BANDS
+    sigs = docs.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, {N_PERM - 1}),"
+            " p -> array_min(transform(shingles, s -> md5(concat(CAST(p AS STRING), '|', s)))))"
+        ).alias("sig"),
+    )
+    # posexplode_OUTER on purpose: plain explode adds an implicit
+    # `size(sig) > 0` filter that Catalyst pushes below the repartition
+    # exchange, inlining (= re-evaluating) the whole md5 signature into a
+    # single-task pre-shuffle stage. outer explode generates no such filter,
+    # so the signature is computed exactly once, post-repartition.
+    per_perm = sigs.select("doc_id", F.posexplode_outer("sig").alias("p", "minh")).filter(
+        F.col("minh").isNotNull()  # docs with no shingles drop out, as in the oracle
+    )
     bands = (
-        hashes.withColumn("band", (F.col("p") / r).cast("int"))
+        per_perm.withColumn("band", (F.col("p") / r).cast("int"))
         .groupBy("doc_id", "band")
-        .agg(F.array_join(F.array_sort(F.collect_list(F.struct("p", "minh"))).getField("minh"), ",").alias("band_sig"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_list(F.struct("p", "minh"))).getField("minh"), ",").alias(
+                "band_sig"
+            )
+        )
     )
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
     b = bands.select(F.col("doc_id").alias("doc_b"), F.col("band").alias("band_b"), F.col("band_sig").alias("sig_b"))
@@ -175,65 +215,76 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SIMHASH_BITS = 60  # < 63 so the bit-weighted sum can't overflow BIGINT
+SIMHASH_MAX_HAMMING = 3
+
+# Per-token bit b (b in 0..59): nibble b//2 of md5(tok), bit b%2 of that
+# nibble. Signature bit = sign of the +-1 vote sum over distinct tokens.
+# Operates on a pre-materialized `hexes` array (one md5 per token) so the
+# md5s are computed once, not once per bit.
+_SPARK_SIMHASH = f"""
+    aggregate(sequence(0, {SIMHASH_BITS - 1}), CAST(0 AS BIGINT), (acc, b) ->
+      acc + CASE WHEN
+        aggregate(hexes, 0, (s, h) ->
+          s + CASE WHEN ((instr('0123456789abcdef',
+                               substring(h, CAST(b DIV 2 AS INT) + 1, 1)) - 1)
+                         DIV CASE WHEN b % 2 = 0 THEN 1 ELSE 2 END) % 2 = 1
+              THEN 1 ELSE -1 END) > 0
+        THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)
+"""
+
+_DUCK_SIMHASH = f"""
+    list_sum(list_transform(range(0, {SIMHASH_BITS}), b ->
+      CASE WHEN
+        list_sum(list_transform(hexes, h ->
+          CASE WHEN ((strpos('0123456789abcdef',
+                             substr(h, CAST(b // 2 AS INT) + 1, 1)) - 1)
+                     // (CASE WHEN b % 2 = 0 THEN 1 ELSE 2 END)) % 2 = 1
+          THEN 1 ELSE -1 END)) > 0
+      THEN (1::BIGINT << b) ELSE 0::BIGINT END))
+"""
+
+
 @register(
     "dedup_simhash",
     oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, UNNEST(list_distinct({DUCK_TOKENS})) AS tok FROM documents
-    ), bits AS (
-      SELECT doc_id, b,
-             SUM(CASE WHEN (strpos('0123456789abcdef', substr(md5(tok), b + 1, 1)) - 1) % 2 = 1
-                      THEN 1 ELSE -1 END) AS score
-      FROM toks, UNNEST(range(0, 32)) AS t(b)
-      GROUP BY doc_id, b
-    ), sigs AS (
-      SELECT doc_id,
-             CAST(SUM(CASE WHEN score > 0 THEN CAST(ROUND(POW(2, b)) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
-      FROM bits GROUP BY doc_id
+    WITH sigs AS (
+      SELECT doc_id, CAST({_DUCK_SIMHASH} AS BIGINT) AS simhash
+      FROM (SELECT doc_id,
+                   list_transform(list_distinct({DUCK_TOKENS}), tk -> md5(tk)) AS hexes
+            FROM documents)
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
     FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
     ORDER BY doc_a, doc_b
     """,
     doc=(
-        "SimHash near-dup: 32-bit signature from md5-nibble parity votes over "
-        "distinct tokens; pairs with hamming distance <= 10."
+        "SimHash near-dup: 60-bit signature (md5-nibble bit votes over "
+        "distinct tokens), pairs with hamming <= 3. Signature computed "
+        "columnar in one projection — no per-(token, bit) explode."
     ),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
-    toks = (
+    sigs = (
         t["documents"]
-        .select("doc_id", F.explode(F.array_distinct(F.expr(SPARK_TOKENS))).alias("tok"))
-    )
-    bits = (
-        toks.select("doc_id", "tok", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"))
-        .select(
-            "doc_id",
-            "b",
-            F.expr(
-                "CASE WHEN (instr('0123456789abcdef', substring(md5(tok), b + 1, 1)) - 1) % 2 = 1"
-                " THEN 1 ELSE -1 END"
-            ).alias("v"),
-        )
-        .groupBy("doc_id", "b")
-        .agg(F.sum("v").alias("score"))
-    )
-    sigs = bits.groupBy("doc_id").agg(
-        F.sum(
-            F.expr("CASE WHEN score > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END")
-        )
-        .cast("bigint")
-        .alias("simhash")
+        .repartition(spark.sparkContext.defaultParallelism)  # single-file input
+        .select("doc_id", F.array_distinct(F.expr(SPARK_TOKENS)).alias("toks"))
+        .select("doc_id", F.expr("transform(toks, tk -> md5(tk))").alias("hexes"))
+        # shuffle barrier: materializes `hexes` so CollapseProject can't
+        # inline the md5 computation into the 60-bit vote expression (which
+        # references it once per bit -> 60x re-evaluation otherwise).
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.expr(_SPARK_SIMHASH).cast("bigint").alias("simhash"))
     )
     a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
     b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
     return (
         a.join(b, F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int").alias("hamming"))
-        .filter(F.col("hamming") <= 10)
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .orderBy("doc_a", "doc_b")
     )
 

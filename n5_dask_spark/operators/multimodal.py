@@ -86,7 +86,8 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize a multimodal table: documents' text bytes as the opaque
     payload (binary) + typed metadata — the blocks-DF pattern of §1.5."""
     t = load_tables(spark, sf_dir, ("documents",))
-    return t["documents"].select(
+    # single-file input -> fan out so pandas-UDF batches run on all cores
+    return t["documents"].repartition(spark.sparkContext.defaultParallelism).select(
         "doc_id",
         F.when(F.col("doc_id") % 3 == 0, "image/png")
         .when(F.col("doc_id") % 3 == 1, "audio/wav")

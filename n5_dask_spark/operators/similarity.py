@@ -79,7 +79,8 @@ DUCK_COSINE = "list_cosine_similarity(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[
 )
 def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("embeddings",))
-    emb = t["embeddings"]
+    # single-file input: fan out so the per-row cosine evaluation parallelizes
+    emb = t["embeddings"].repartition(spark.sparkContext.defaultParallelism)
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
@@ -134,7 +135,11 @@ DUCK_BUCKET = (
 )
 def knn_signbucket_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("embeddings",))
-    b = t["embeddings"].select("vec_id", "embedding", F.expr(SPARK_BUCKET).cast("int").alias("bucket"))
+    b = (
+        t["embeddings"]
+        .repartition(spark.sparkContext.defaultParallelism)  # single-file input
+        .select("vec_id", "embedding", F.expr(SPARK_BUCKET).cast("int").alias("bucket"))
+    )
     q = b.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), F.col("bucket").alias("qb")
     )
@@ -164,7 +169,12 @@ def knn_signbucket_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("embeddings",))
-    a = t["embeddings"].select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    # fan the probe side out across cores; the build side is broadcast
+    a = (
+        t["embeddings"]
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    )
     b = t["embeddings"].select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
