@@ -84,6 +84,7 @@ def load_all() -> dict[str, Query]:
         text,
         multimodal,
         arrayops,
+        n5ops,
     )
     from n5_dask_spark.streaming import jobs  # noqa: F401
 

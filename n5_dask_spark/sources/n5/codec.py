@@ -1,0 +1,135 @@
+"""N5 block binary codec — pure numpy + stdlib.
+
+Format (pinned by the reference fixture, decoded byte-for-byte in
+SURVEY.md §1.1; the reference itself delegates to zarr.N5Store, e.g.
+/root/reference/src/tif_to_n5.py:29, so this is OUR implementation of the
+same on-disk format, not a translation):
+
+    uint16 BE  mode        (0 = default, 1 = varlength)
+    uint16 BE  ndim
+    int32  BE  dims[ndim]  actual block dims, FASTEST-FIRST (x, y, z)
+    [uint32 BE num_elements   -- only when mode == 1]
+    bytes      payload     compressed; decompressed = elements in x-fastest
+                           order, BIG-endian for multi-byte dtypes
+
+Edge blocks are TRUNCATED (dims < blockSize), never padded — fixture block
+(128,128,27) for blockSize 128^3, dims [186,226,27].
+
+In-memory convention (matches the zarr/dask view the reference manipulates):
+arrays are C-order with axes (z, y, x) — i.e. dims reversed — so
+``decode_block(...).shape == header_dims[::-1]`` and a C-order tobytes() of
+that array IS the x-fastest payload.
+
+Compression ids: raw, gzip (useZlib:false = gzip member framing,
+useZlib:true = raw zlib stream), bz2, xz. lz4/blosc would need external
+libs (not in this container) and raise ImportError.
+"""
+
+from __future__ import annotations
+
+import bz2 as _bz2
+import gzip as _gzip
+import lzma as _lzma
+import struct
+import zlib as _zlib
+from typing import Any
+
+import numpy as np
+
+HEADER_MODE_DEFAULT = 0
+HEADER_MODE_VARLENGTH = 1
+
+# N5 dataType id -> numpy dtype (big-endian on disk)
+N5_DTYPES: dict[str, str] = {
+    "uint8": "u1",
+    "uint16": "u2",
+    "uint32": "u4",
+    "uint64": "u8",
+    "int8": "i1",
+    "int16": "i2",
+    "int32": "i4",
+    "int64": "i8",
+    "float32": "f4",
+    "float64": "f8",
+}
+
+
+def np_dtype(data_type: str) -> np.dtype:
+    if data_type not in N5_DTYPES:
+        raise ValueError(f"unsupported N5 dataType {data_type!r}")
+    return np.dtype(N5_DTYPES[data_type])
+
+
+def data_type_of(dtype: np.dtype) -> str:
+    kind = np.dtype(dtype).newbyteorder("=")
+    for name, np_id in N5_DTYPES.items():
+        if np.dtype(np_id) == kind:
+            return name
+    raise ValueError(f"dtype {dtype} has no N5 dataType id")
+
+
+def _compress(payload: bytes, compression: dict[str, Any] | None) -> bytes:
+    ctype = (compression or {}).get("type", "raw")
+    if ctype == "raw":
+        return payload
+    if ctype == "gzip":
+        level = int((compression or {}).get("level", -1))
+        if (compression or {}).get("useZlib", False):
+            return _zlib.compress(payload, level if level >= 0 else 6)
+        return _gzip.compress(payload, compresslevel=level if level >= 0 else 6, mtime=0)
+    if ctype == "bzip2" or ctype == "bz2":
+        return _bz2.compress(payload, compresslevel=int((compression or {}).get("blockSize", 9)))
+    if ctype == "xz":
+        return _lzma.compress(payload, preset=int((compression or {}).get("preset", 6)))
+    raise ImportError(f"compression {ctype!r} requires external codecs not installed here")
+
+
+def _decompress(payload: bytes, compression: dict[str, Any] | None) -> bytes:
+    ctype = (compression or {}).get("type", "raw")
+    if ctype == "raw":
+        return payload
+    if ctype == "gzip":
+        if (compression or {}).get("useZlib", False):
+            return _zlib.decompress(payload)
+        return _gzip.decompress(payload)
+    if ctype == "bzip2" or ctype == "bz2":
+        return _bz2.decompress(payload)
+    if ctype == "xz":
+        return _lzma.decompress(payload)
+    raise ImportError(f"compression {ctype!r} requires external codecs not installed here")
+
+
+def decode_header(raw: bytes) -> tuple[int, tuple[int, ...], int]:
+    """-> (mode, dims_fastest_first, payload_offset)."""
+    mode, ndim = struct.unpack_from(">HH", raw, 0)
+    dims = struct.unpack_from(f">{ndim}i", raw, 4)
+    offset = 4 + 4 * ndim
+    if mode == HEADER_MODE_VARLENGTH:
+        offset += 4
+    elif mode != HEADER_MODE_DEFAULT:
+        raise ValueError(f"unsupported N5 block mode {mode}")
+    return mode, dims, offset
+
+
+def decode_block(raw: bytes, data_type: str, compression: dict[str, Any] | None) -> np.ndarray:
+    """Decode one block file -> C-order ndarray with axes REVERSED vs the
+    header (header is x-fastest; returned shape is (z, y, x) for 3-D)."""
+    _, dims, offset = decode_header(raw)
+    payload = _decompress(raw[offset:], compression)
+    be = np_dtype(data_type).newbyteorder(">")
+    arr = np.frombuffer(payload, dtype=be)
+    expected = int(np.prod(dims))
+    if arr.size != expected:
+        raise ValueError(f"payload has {arr.size} elements, header says {expected}")
+    return arr.reshape(tuple(reversed(dims))).astype(np_dtype(data_type))
+
+
+def encode_block(arr_zyx: np.ndarray, data_type: str, compression: dict[str, Any] | None) -> bytes:
+    """Encode a C-order (z, y, x) array into N5 block bytes (mode 0)."""
+    dims = tuple(reversed(arr_zyx.shape))  # x-fastest in the header
+    be = np_dtype(data_type).newbyteorder(">")
+    payload = np.ascontiguousarray(arr_zyx).astype(be).tobytes()
+    header = struct.pack(">HH", HEADER_MODE_DEFAULT, arr_zyx.ndim) + struct.pack(
+        f">{arr_zyx.ndim}i", *dims
+    )
+    return header + _compress(payload, compression)

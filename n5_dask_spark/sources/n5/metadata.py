@@ -1,0 +1,154 @@
+"""N5 container/dataset metadata (attributes.json) handling.
+
+Reimplements the semantics the reference gets from zarr + its own helpers —
+including a QUIRK-FREE version of `_get_pixel_resolution`
+(/root/reference/src/n5_multiscale.py:37-60 reads the unit from
+`pixel_res_attr.get('dimensions')` instead of `'unit'` and leaves
+`pixel_res_values` unbound for non-dict/list attrs; documented in
+SURVEY.md §1.4 — we fix both, we don't replicate them).
+
+All metadata is x,y,z ordered on disk (`dimensions`, `blockSize`), matching
+the fixture /root/reference/data/test.n5/mri/c0/s0/attributes.json.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+N5_VERSION = "2.5.1"
+DEFAULT_PIXEL_RES_UNIT = "pixel"
+
+
+@dataclass
+class DatasetAttributes:
+    data_type: str
+    dimensions: list[int]  # x, y, z (fastest first), as stored on disk
+    block_size: list[int]  # x, y, z
+    compression: dict[str, Any] = field(default_factory=lambda: {"type": "raw"})
+    extra: dict[str, Any] = field(default_factory=dict)  # pixelResolution etc.
+
+    @property
+    def ndim(self) -> int:
+        return len(self.dimensions)
+
+    @property
+    def grid_shape(self) -> list[int]:
+        """Blocks per dimension, x,y,z order."""
+        return [math.ceil(d / b) for d, b in zip(self.dimensions, self.block_size)]
+
+    @property
+    def n_blocks(self) -> int:
+        return int(math.prod(self.grid_shape))
+
+    def block_dims(self, grid_pos: tuple[int, ...]) -> list[int]:
+        """Actual (possibly truncated) dims of the block at grid_pos (x,y,z
+        order both in and out). Edge blocks truncate, never pad."""
+        return [
+            min(b, d - g * b)
+            for g, d, b in zip(grid_pos, self.dimensions, self.block_size)
+        ]
+
+    def to_json(self) -> dict[str, Any]:
+        out = {
+            "dataType": self.data_type,
+            "dimensions": list(self.dimensions),
+            "blockSize": list(self.block_size),
+            "compression": dict(self.compression),
+        }
+        out.update(self.extra)
+        return out
+
+    @classmethod
+    def from_json(cls, obj: dict[str, Any]) -> "DatasetAttributes":
+        extra = {
+            k: v
+            for k, v in obj.items()
+            if k not in ("dataType", "dimensions", "blockSize", "compression")
+        }
+        return cls(
+            data_type=obj["dataType"],
+            dimensions=list(obj["dimensions"]),
+            block_size=list(obj["blockSize"]),
+            compression=obj.get("compression", {"type": "raw"}),
+            extra=extra,
+        )
+
+
+def attributes_path(container: str, dataset: str = "") -> str:
+    return os.path.join(container, dataset, "attributes.json") if dataset else os.path.join(
+        container, "attributes.json"
+    )
+
+
+def read_attributes(container: str, dataset: str) -> DatasetAttributes:
+    with open(attributes_path(container, dataset)) as f:
+        return DatasetAttributes.from_json(json.load(f))
+
+
+def read_raw_attributes(container: str, dataset: str = "") -> dict[str, Any]:
+    path = attributes_path(container, dataset)
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
+
+
+def write_attributes(container: str, dataset: str, attrs: DatasetAttributes) -> None:
+    os.makedirs(os.path.join(container, dataset), exist_ok=True)
+    root = attributes_path(container)
+    if not os.path.exists(root):
+        os.makedirs(container, exist_ok=True)
+        with open(root, "w") as f:
+            json.dump({"n5": N5_VERSION}, f)
+    with open(attributes_path(container, dataset), "w") as f:
+        json.dump(attrs.to_json(), f)
+
+
+def update_raw_attributes(container: str, dataset: str, updates: dict[str, Any]) -> None:
+    path = attributes_path(container, dataset)
+    obj = read_raw_attributes(container, dataset)
+    obj.update(updates)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(obj, f)
+
+
+def get_pixel_resolution(
+    attrs: dict[str, Any],
+    default_values: list[float] | None = None,
+    default_unit: str = DEFAULT_PIXEL_RES_UNIT,
+    ndim: int = 3,
+) -> tuple[list[float], str]:
+    """-> (per-axis resolution values, unit).
+
+    Accepts the dict form {"unit": ..., "dimensions": [...]}, the bare list
+    form, or nothing (falls back to defaults). Unlike the reference
+    (src/n5_multiscale.py:42), the unit comes from 'unit' and every branch
+    binds the values.
+    """
+    pr = attrs.get("pixelResolution")
+    if isinstance(pr, dict):
+        values = [float(v) for v in pr.get("dimensions", default_values or [1.0] * ndim)]
+        unit = str(pr.get("unit", default_unit))
+    elif isinstance(pr, (list, tuple)):
+        values = [float(v) for v in pr]
+        unit = default_unit
+    else:
+        values = [float(v) for v in (default_values or [1.0] * ndim)]
+        unit = default_unit
+    return values, unit
+
+
+def scaled_pixel_resolution(
+    values: list[float], unit: str, downsampling_factors: list[float]
+) -> dict[str, Any]:
+    """pixelResolution attr for a downsampled level (reference scales by the
+    cumulative factors, src/n5_multiscale.py:48-50)."""
+    return {
+        "unit": unit,
+        "dimensions": [v * f for v, f in zip(values, downsampling_factors)],
+    }

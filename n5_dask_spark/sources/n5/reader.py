@@ -1,0 +1,201 @@
+"""N5 dataset scan as a Spark DataFrame of blocks (SURVEY.md §2.A S2/S4/T2).
+
+Design (§1.5): one row per block, grid coordinates as ordinary columns —
+Catalyst filters on (gx, gy, gz) replace dask's task culling. For region
+reads the overlapping block PATHS are enumerated driver-side from the grid
+math (T11), so the scan never lists or reads non-overlapping block files —
+the file-level analog of partition pruning, which holds at any container
+size because it's O(region), not O(dataset).
+
+Reference parity: da.from_zarr(zarr.N5Store(...)) at
+/root/reference/src/n5_to_tif.py:24-25 and /root/reference/src/n5_multiscale.py:90;
+region read semantics of read_n5_block at /root/reference/src/n5_utils.py:6-18
+(xyz-ordered result; ours without the transpose bugs noted in SURVEY §1.4).
+
+Scale: binaryFile is a splittable listing of many small files; decoded
+payloads stay binary columns (no per-element rows). One 128^3 uint8 block
+= 2 MB decoded; Arrow batches of blocks stay well under task limits via
+spark.sql.execution.arrow.maxRecordsPerBatch.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+from collections.abc import Iterator
+from typing import Any
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from n5_dask_spark.session import tune_session
+from n5_dask_spark.sources.n5.codec import decode_block, np_dtype
+from n5_dask_spark.sources.n5.metadata import DatasetAttributes, read_attributes
+
+BLOCK_SCHEMA = StructType(
+    [
+        StructField("gx", IntegerType()),
+        StructField("gy", IntegerType()),
+        StructField("gz", IntegerType()),
+        StructField("shape_zyx", ArrayType(IntegerType())),  # decoded array shape
+        StructField("data", BinaryType()),  # native-endian C-order (z,y,x) bytes
+    ]
+)
+
+STATS_SCHEMA = StructType(
+    [
+        StructField("gx", IntegerType()),
+        StructField("gy", IntegerType()),
+        StructField("gz", IntegerType()),
+        StructField("n_elems", LongType()),
+        StructField("vmin", DoubleType()),
+        StructField("vmax", DoubleType()),
+        StructField("vsum", DoubleType()),
+        StructField("vmean", DoubleType()),
+    ]
+)
+
+
+def scan_block_files(spark: SparkSession, container: str, dataset: str, ndim: int = 3) -> DataFrame:
+    """Raw block-file scan: (gx, gy, gz, length, raw) via binaryFile."""
+    tune_session(spark)
+    glob = "/".join(["*"] * ndim)
+    df = spark.read.format("binaryFile").load(os.path.join(container, dataset, glob))
+    # grid coords are the last `ndim` path segments: .../gx/gy/gz
+    pat = r"/(\d+)" * ndim + r"$"
+    cols = [
+        F.regexp_extract("path", pat, i + 1).cast("int").alias(c)
+        for i, c in enumerate(("gx", "gy", "gz")[:ndim])
+    ]
+    return df.select(*cols, F.col("length"), F.col("content").alias("raw"), F.col("path"))
+
+
+def decoded_blocks(spark: SparkSession, container: str, dataset: str) -> DataFrame:
+    """Blocks DataFrame with decoded payloads (shape_zyx + native bytes)."""
+    attrs = read_attributes(container, dataset)
+    raw_df = scan_block_files(spark, container, dataset, attrs.ndim)
+    data_type, compression = attrs.data_type, dict(attrs.compression)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            arrs = [decode_block(bytes(r), data_type, compression) for r in pdf["raw"]]
+            yield pd.DataFrame(
+                {
+                    "gx": pdf["gx"].astype("int32"),
+                    "gy": pdf["gy"].astype("int32"),
+                    "gz": pdf["gz"].astype("int32"),
+                    "shape_zyx": [list(a.shape) for a in arrs],
+                    "data": [a.tobytes() for a in arrs],
+                }
+            )
+
+    return raw_df.mapInPandas(decode, schema=BLOCK_SCHEMA)
+
+
+def block_stats(spark: SparkSession, container: str, dataset: str) -> DataFrame:
+    """Per-block stats — decode and reduce inside the UDF; only scalars leave."""
+    attrs = read_attributes(container, dataset)
+    raw_df = scan_block_files(spark, container, dataset, attrs.ndim)
+    data_type, compression = attrs.data_type, dict(attrs.compression)
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for gx, gy, gz, raw in zip(pdf["gx"], pdf["gy"], pdf["gz"], pdf["raw"]):
+                a = decode_block(bytes(raw), data_type, compression)
+                rows.append(
+                    (
+                        int(gx),
+                        int(gy),
+                        int(gz),
+                        int(a.size),
+                        float(a.min()),
+                        float(a.max()),
+                        float(a.sum(dtype="f8")),
+                        float(a.mean(dtype="f8")),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in STATS_SCHEMA.fields])
+
+    return raw_df.mapInPandas(stats, schema=STATS_SCHEMA)
+
+
+def overlapping_blocks(
+    attrs: DatasetAttributes, start_xyz: list[int], end_xyz: list[int]
+) -> list[tuple[int, ...]]:
+    """Grid positions (x,y,z order) overlapping the half-open region."""
+    ranges = []
+    for s, e, b, d in zip(start_xyz, end_xyz, attrs.block_size, attrs.dimensions):
+        s, e = max(0, s), min(e, d)
+        if s >= e:
+            return []
+        ranges.append(range(s // b, (e - 1) // b + 1))
+    return list(itertools.product(*ranges))
+
+
+def read_region(
+    spark: SparkSession,
+    container: str,
+    dataset: str,
+    start_xyz: list[int],
+    end_xyz: list[int],
+) -> np.ndarray:
+    """Random-access region read -> xyz-ordered ndarray (reference
+    read_n5_block semantics, src/n5_utils.py:6-18).
+
+    Pruning is driver-side: only overlapping block files are ever listed or
+    read. The stitch collects just the overlapping fragments (a region read
+    is by contract small enough for the driver; bulk processing stays in
+    DataFrames)."""
+    attrs = read_attributes(container, dataset)
+    hits = overlapping_blocks(attrs, start_xyz, end_xyz)
+    if not hits:
+        return np.zeros([0] * attrs.ndim, dtype=np_dtype(attrs.data_type))
+    paths = [os.path.join(container, dataset, *map(str, g)) for g in hits]
+    tune_session(spark)
+    raw_df = spark.read.format("binaryFile").load(paths)
+    pat = r"/(\d+)" * attrs.ndim + r"$"
+    coord_cols = [
+        F.regexp_extract("path", pat, i + 1).cast("int").alias(c)
+        for i, c in enumerate(("gx", "gy", "gz")[: attrs.ndim])
+    ]
+    rows = raw_df.select(*coord_cols, F.col("content")).collect()
+
+    out_shape_zyx = tuple(e - s for s, e in zip(start_xyz, end_xyz))[::-1]
+    out = np.zeros(out_shape_zyx, dtype=np_dtype(attrs.data_type))
+    bs = attrs.block_size
+    for r in rows:
+        grid = tuple(r[i] for i in range(attrs.ndim))  # x,y,z
+        arr = decode_block(bytes(r["content"]), attrs.data_type, attrs.compression)
+        # block extent in global xyz coords
+        b_start = [g * b for g, b in zip(grid, bs)]
+        b_end = [s + dim for s, dim in zip(b_start, reversed(arr.shape))]
+        # intersection, then slice both block and output (zyx axis order)
+        sel_block, sel_out = [], []
+        for ax in range(attrs.ndim - 1, -1, -1):  # z, y, x
+            lo = max(start_xyz[ax], b_start[ax])
+            hi = min(end_xyz[ax], b_end[ax])
+            sel_block.append(slice(lo - b_start[ax], hi - b_start[ax]))
+            sel_out.append(slice(lo - start_xyz[ax], hi - start_xyz[ax]))
+        out[tuple(sel_out)] = arr[tuple(sel_block)]
+    # xyz-ordered user-facing result (reference transposes at the boundary)
+    return out.transpose(tuple(range(attrs.ndim - 1, -1, -1)))
+
+
+def read_full(spark: SparkSession, container: str, dataset: str) -> np.ndarray:
+    """Entire dataset as an xyz-ordered ndarray (test/golden helper)."""
+    attrs = read_attributes(container, dataset)
+    return read_region(spark, container, dataset, [0] * attrs.ndim, list(attrs.dimensions))

@@ -1,0 +1,256 @@
+"""Chunked-array transforms over the blocks DataFrame (SURVEY.md §2.A
+T1 rechunk, T3 cast, T7 downsample, T8 pyramid cutoff, T9 metadata).
+
+Rechunk is the one genuinely custom shuffle in the engine (§4): each input
+block explodes into fragments keyed by target grid cell, a hash shuffle
+groups fragments per target cell, and applyInPandas reassembles. The
+shuffle machinery (exchange, AQE coalescing) is Spark's; only the fragment
+math is ours. Shuffle volume == data volume (each byte moves once), which
+is the optimum for a general regrid; at 100 TB this is exactly dask's
+rechunk strategy with Spark's exchange under it.
+
+Downsample (reference: multiscale(volume, windowed_mean, (2,2,2)),
+/root/reference/src/n5_multiscale.py:63-136) is block-LOCAL when the
+factors divide the block size — zero shuffle for the reduction itself —
+followed by a rechunk of the (8x smaller) output to the target chunking.
+Edge semantics: a partial final window is the mean of the available
+elements (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+from typing import Any
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from n5_dask_spark.sources.n5.codec import np_dtype
+from n5_dask_spark.sources.n5.metadata import (
+    DatasetAttributes,
+    get_pixel_resolution,
+    read_attributes,
+    scaled_pixel_resolution,
+    update_raw_attributes,
+)
+from n5_dask_spark.sources.n5.reader import decoded_blocks
+from n5_dask_spark.sources.n5.writer import write_blocks
+
+FRAGMENT_SCHEMA = (
+    "tgx int, tgy int, tgz int, off_zyx array<int>, shape_zyx array<int>, data binary"
+)
+BLOCK_SCHEMA_DDL = "gx int, gy int, gz int, shape_zyx array<int>, data binary"
+
+
+def rechunk(
+    blocks: DataFrame, attrs: DatasetAttributes, new_block_size: list[int]
+) -> tuple[DataFrame, DatasetAttributes]:
+    """Re-tile a decoded blocks DF to a new block grid (T1).
+
+    Returns (new blocks DF, new attrs). Fragment explode -> shuffle on target
+    cell -> reassemble."""
+    dims_xyz = list(attrs.dimensions)
+    old_bs, new_bs = list(attrs.block_size), list(new_block_size)
+    dt = np_dtype(attrs.data_type)
+    ndim = attrs.ndim
+
+    def fragment(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for gx, gy, gz, shape, data in zip(
+                pdf["gx"], pdf["gy"], pdf["gz"], pdf["shape_zyx"], pdf["data"]
+            ):
+                grid = (int(gx), int(gy), int(gz))[:ndim]
+                arr = np.frombuffer(bytes(data), dtype=dt).reshape(list(shape))
+                # global start of this block, xyz
+                b0 = [g * b for g, b in zip(grid, old_bs)]
+                b1 = [s + d for s, d in zip(b0, reversed(arr.shape))]
+                # overlapped target cells per axis (xyz)
+                cells = [
+                    range(s // nb, (e - 1) // nb + 1) for s, e, nb in zip(b0, b1, new_bs)
+                ]
+                import itertools
+
+                for tcell in itertools.product(*cells):
+                    t0 = [c * nb for c, nb in zip(tcell, new_bs)]
+                    t1 = [min((c + 1) * nb, d) for c, nb, d in zip(tcell, new_bs, dims_xyz)]
+                    lo = [max(a, b) for a, b in zip(b0, t0)]
+                    hi = [min(a, b) for a, b in zip(b1, t1)]
+                    sel = tuple(
+                        slice(lo[ax] - b0[ax], hi[ax] - b0[ax])
+                        for ax in range(ndim - 1, -1, -1)
+                    )
+                    frag = np.ascontiguousarray(arr[sel])
+                    off_zyx = [lo[ax] - t0[ax] for ax in range(ndim - 1, -1, -1)]
+                    rows.append(
+                        (*(list(tcell) + [0] * (3 - ndim)), off_zyx, list(frag.shape), frag.tobytes())
+                    )
+            yield pd.DataFrame(
+                rows, columns=["tgx", "tgy", "tgz", "off_zyx", "shape_zyx", "data"]
+            )
+
+    new_attrs = DatasetAttributes(
+        data_type=attrs.data_type,
+        dimensions=dims_xyz,
+        block_size=new_bs,
+        compression=dict(attrs.compression),
+        extra=dict(attrs.extra),
+    )
+
+    def assemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        grid = tuple(int(k) for k in key)[:ndim]
+        tdims_xyz = new_attrs.block_dims(grid)
+        out = np.zeros(tuple(reversed(tdims_xyz)), dtype=dt)
+        for off, shape, data in zip(pdf["off_zyx"], pdf["shape_zyx"], pdf["data"]):
+            frag = np.frombuffer(bytes(data), dtype=dt).reshape(list(shape))
+            sel = tuple(slice(o, o + s) for o, s in zip(off, shape))
+            out[sel] = frag
+        return pd.DataFrame(
+            [(*(list(grid) + [0] * (3 - ndim)), list(out.shape), out.tobytes())],
+            columns=["gx", "gy", "gz", "shape_zyx", "data"],
+        )
+
+    frags = blocks.mapInPandas(fragment, schema=FRAGMENT_SCHEMA)
+    out = frags.groupBy("tgx", "tgy", "tgz").applyInPandas(assemble, schema=BLOCK_SCHEMA_DDL)
+    return out, new_attrs
+
+
+def windowed_mean_zyx(arr: np.ndarray, factors_zyx: list[int]) -> np.ndarray:
+    """Windowed mean with partial edge windows = mean of available elements.
+    Float64 accumulation; caller casts."""
+    out = arr.astype("f8")
+    for ax, f in enumerate(factors_zyx):
+        if f == 1:
+            continue
+        n = out.shape[ax]
+        idx = np.arange(0, n, f)
+        sums = np.add.reduceat(out, idx, axis=ax)
+        counts = np.diff(np.append(idx, n)).astype("f8")
+        shape = [1] * out.ndim
+        shape[ax] = len(idx)
+        out = sums / counts.reshape(shape)
+    return out
+
+
+def downsample(
+    blocks: DataFrame, attrs: DatasetAttributes, factors_xyz: list[int]
+) -> tuple[DataFrame, DatasetAttributes]:
+    """One downsample level (T7): block-local windowed mean (no shuffle),
+    then rechunk the reduced blocks back to the original block size.
+
+    Requires factors to divide the block size (the default 2 divides 128 —
+    the general case rechunks first; build_multiscale handles that)."""
+    for b, f in zip(attrs.block_size, factors_xyz):
+        if b % f != 0:
+            raise ValueError(f"factor {f} must divide block size {b}; rechunk first")
+    dt = np_dtype(attrs.data_type)
+    ndim = attrs.ndim
+    f_zyx = list(reversed(factors_xyz))
+    out_dims = [math.ceil(d / f) for d, f in zip(attrs.dimensions, factors_xyz)]
+    reduced_bs = [b // f for b, f in zip(attrs.block_size, factors_xyz)]
+
+    def reduce_block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for gx, gy, gz, shape, data in zip(
+                pdf["gx"], pdf["gy"], pdf["gz"], pdf["shape_zyx"], pdf["data"]
+            ):
+                arr = np.frombuffer(bytes(data), dtype=dt).reshape(list(shape))
+                red = windowed_mean_zyx(arr, f_zyx).astype(dt)
+                rows.append((int(gx), int(gy), int(gz), list(red.shape), red.tobytes()))
+            yield pd.DataFrame(rows, columns=["gx", "gy", "gz", "shape_zyx", "data"])
+
+    reduced = blocks.mapInPandas(reduce_block, schema=BLOCK_SCHEMA_DDL)
+    mid_attrs = DatasetAttributes(
+        data_type=attrs.data_type,
+        dimensions=out_dims,
+        block_size=reduced_bs,
+        compression=dict(attrs.compression),
+        extra=dict(attrs.extra),
+    )
+    # restore the canonical chunking (reference keeps chunks=chunk_size,
+    # src/n5_multiscale.py:96)
+    return rechunk(reduced, mid_attrs, list(attrs.block_size))
+
+
+def cast_blocks(
+    blocks: DataFrame, attrs: DatasetAttributes, target_type: str, safe: bool = True
+) -> tuple[DataFrame, DatasetAttributes]:
+    """dtype cast (T3) with the reference's casting='safe' guard
+    (/root/reference/src/n5_to_tif.py:27-28)."""
+    src, dst = np_dtype(attrs.data_type), np_dtype(target_type)
+    if safe and not np.can_cast(src, dst, casting="safe"):
+        raise TypeError(f"unsafe cast {attrs.data_type} -> {target_type}; pass safe=False")
+
+    def cast(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for gx, gy, gz, shape, data in zip(
+                pdf["gx"], pdf["gy"], pdf["gz"], pdf["shape_zyx"], pdf["data"]
+            ):
+                arr = np.frombuffer(bytes(data), dtype=src).reshape(list(shape)).astype(dst)
+                rows.append((int(gx), int(gy), int(gz), list(arr.shape), arr.tobytes()))
+            yield pd.DataFrame(rows, columns=["gx", "gy", "gz", "shape_zyx", "data"])
+
+    new_attrs = DatasetAttributes(
+        data_type=target_type,
+        dimensions=list(attrs.dimensions),
+        block_size=list(attrs.block_size),
+        compression=dict(attrs.compression),
+        extra=dict(attrs.extra),
+    )
+    return blocks.mapInPandas(cast, schema=BLOCK_SCHEMA_DDL), new_attrs
+
+
+def build_multiscale(
+    spark: SparkSession,
+    container: str,
+    group: str,
+    factors_xyz: tuple[int, ...] = (2, 2, 2),
+    thumbnail_size_xyz: list[int] | None = None,
+    base_level: str = "s0",
+) -> list[str]:
+    """Downsample pyramid s1, s2, ... under `group` (reference
+    /root/reference/src/n5_multiscale.py:63-136).
+
+    Driver loop of Spark jobs: level i reads level i-1 from storage (each
+    level is ~8x smaller, so the whole pyramid costs ~1.14x the base read).
+    Stops when every dim <= thumbnail (default: the block size, reference
+    :92). Stamps scaled pixelResolution + cumulative downsamplingFactors per
+    level (T9) and scales/axes on the group."""
+    base = f"{group}/{base_level}"
+    attrs0 = read_attributes(container, base)
+    thumb = thumbnail_size_xyz or list(attrs0.block_size)
+    res_values, res_unit = get_pixel_resolution(attrs0.extra, ndim=attrs0.ndim)
+
+    written = [base_level]
+    level = 0
+    cur_dataset, cur_attrs = base, attrs0
+    while True:
+        if all(d <= t for d, t in zip(cur_attrs.dimensions, thumb)):
+            break
+        level += 1
+        cum = [float(f**level) for f in factors_xyz]
+        blocks = decoded_blocks(spark, container, cur_dataset)
+        out_blocks, out_attrs = downsample(blocks, cur_attrs, list(factors_xyz))
+        out_attrs.extra = dict(cur_attrs.extra)
+        out_attrs.extra["downsamplingFactors"] = cum
+        out_attrs.extra["pixelResolution"] = scaled_pixel_resolution(res_values, res_unit, cum)
+        out_dataset = f"{group}/s{level}"
+        write_blocks(out_blocks, container, out_dataset, out_attrs)
+        written.append(f"s{level}")
+        cur_dataset, cur_attrs = out_dataset, out_attrs
+    update_raw_attributes(
+        container,
+        group,
+        {
+            "scales": [[float(f**i) for f in factors_xyz] for i in range(level + 1)],
+            "axes": ["x", "y", "z"][: attrs0.ndim],
+            "pixelResolution": {"unit": res_unit, "dimensions": res_values},
+        },
+    )
+    return written

@@ -1,0 +1,234 @@
+"""N5 dataset sinks (SURVEY.md §2.A K1/K2/K5).
+
+Spark-first shape: a grid-enumeration DataFrame (T11) is the spine; each
+task owns exactly one output block (the contention-free `lock=False`
+discipline of /root/reference/src/tif_to_n5.py:58 holds BY CONSTRUCTION —
+repartitioning guarantees single-writer-per-block). Writes are idempotent
+(temp file + os.replace) so task retries can't corrupt blocks — the
+write-atomicity concern flagged in SURVEY.md §7.
+
+The reference's manual Z-slab serialization loop
+(/root/reference/src/tif_to_n5.py:31-58) disappears: Spark executes
+partition-at-a-time, which bounds memory natively.
+
+Unlike the reference's write_n5_block — a no-op because it assigns into a
+transposed copy (/root/reference/src/n5_utils.py:30-33, SURVEY.md §1.4) —
+write_region really writes.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+import uuid
+from collections.abc import Iterator
+from typing import Any
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from n5_dask_spark.session import tune_session
+from n5_dask_spark.sources.n5.codec import data_type_of, encode_block, np_dtype
+from n5_dask_spark.sources.n5.metadata import (
+    DatasetAttributes,
+    read_attributes,
+    read_raw_attributes,
+    write_attributes,
+)
+
+
+def _atomic_write(path: str, payload: bytes) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), prefix=".inprogress-")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, path)  # atomic: retried tasks overwrite, never interleave
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def grid_df(spark: SparkSession, attrs: DatasetAttributes) -> DataFrame:
+    """Grid-enumeration DataFrame (T11): one row per output block. Built with
+    spark.range over the linearized grid so enumeration itself distributes."""
+    gx, gy, gz = attrs.grid_shape + [1] * (3 - attrs.ndim)
+    n = gx * gy * gz
+    return (
+        spark.range(n)
+        .select(
+            (F.col("id") % gx).cast("int").alias("gx"),
+            ((F.col("id") / gx).cast("long") % gy).cast("int").alias("gy"),
+            (F.col("id") / (gx * gy)).cast("int").alias("gz"),
+        )
+    )
+
+
+def write_blocks(
+    blocks: DataFrame,
+    container: str,
+    dataset: str,
+    attrs: DatasetAttributes,
+) -> None:
+    """Sink a blocks DataFrame (gx,gy,gz, shape_zyx, data native bytes).
+
+    One output file per row; rows are repartitioned by grid key so exactly
+    one task owns each block file."""
+    write_attributes(container, dataset, attrs)
+    data_type, compression = attrs.data_type, dict(attrs.compression)
+    dt = np_dtype(data_type)
+
+    def sink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        for pdf in batches:
+            for gx, gy, gz, shape, data in zip(
+                pdf["gx"], pdf["gy"], pdf["gz"], pdf["shape_zyx"], pdf["data"]
+            ):
+                arr = np.frombuffer(bytes(data), dtype=dt).reshape(list(shape))
+                path = os.path.join(container, dataset, str(int(gx)), str(int(gy)), str(int(gz)))
+                _atomic_write(path, encode_block(arr, data_type, compression))
+                n += 1
+        yield pd.DataFrame({"written": [n]})
+
+    counts = (
+        blocks.repartition(max(1, blocks.sparkSession.sparkContext.defaultParallelism), "gx", "gy", "gz")
+        .mapInPandas(sink, schema="written long")
+        .agg(F.sum("written"))
+        .collect()
+    )
+    assert counts[0][0] is not None
+
+
+def write_array(
+    spark: SparkSession,
+    arr_xyz: np.ndarray,
+    container: str,
+    dataset: str,
+    block_size: list[int],
+    compression: dict[str, Any] | None = None,
+    data_type: str | None = None,
+    extra_attrs: dict[str, Any] | None = None,
+) -> DatasetAttributes:
+    """Store a driver-side xyz-ordered array as an N5 dataset.
+
+    The array is broadcast; each task slices its own blocks out. (For data
+    already in a DataFrame — TIFF import, rechunk output — use write_blocks;
+    this path is for test goldens and small driver-side volumes.)"""
+    tune_session(spark)
+    arr_zyx = np.ascontiguousarray(arr_xyz.transpose(tuple(range(arr_xyz.ndim - 1, -1, -1))))
+    data_type = data_type or data_type_of(arr_zyx.dtype)
+    attrs = DatasetAttributes(
+        data_type=data_type,
+        dimensions=[int(d) for d in arr_xyz.shape],
+        block_size=[int(b) for b in block_size],
+        compression=compression or {"type": "raw"},
+        extra=dict(extra_attrs or {}),
+    )
+    write_attributes(container, dataset, attrs)
+    bcast = spark.sparkContext.broadcast(arr_zyx)
+    bs_xyz = list(attrs.block_size)
+    dt = np_dtype(data_type)
+    ndim = attrs.ndim
+
+    def make_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        vol = bcast.value
+        for pdf in batches:
+            out = []
+            for gx, gy, gz in zip(pdf["gx"], pdf["gy"], pdf["gz"]):
+                grid = (int(gx), int(gy), int(gz))[:ndim]
+                sel = tuple(
+                    slice(g * b, min((g + 1) * b, d))
+                    for g, b, d in zip(grid[::-1], bs_xyz[::-1], vol.shape)
+                )
+                block = np.ascontiguousarray(vol[sel]).astype(dt)
+                out.append((*grid, list(block.shape), block.tobytes()))
+            yield pd.DataFrame(out, columns=["gx", "gy", "gz", "shape_zyx", "data"])
+
+    blocks = grid_df(spark, attrs).mapInPandas(make_blocks, schema=(
+        "gx int, gy int, gz int, shape_zyx array<int>, data binary"
+    ))
+    write_blocks(blocks, container, dataset, attrs)
+    return attrs
+
+
+def write_region(
+    spark: SparkSession,
+    container: str,
+    dataset: str,
+    region_xyz: np.ndarray,
+    start_xyz: list[int],
+) -> None:
+    """Write an xyz-ordered array into an existing dataset at start_xyz.
+
+    Correct replacement for the reference's no-op write_n5_block
+    (src/n5_utils.py:21-33). Requires block-aligned start for untouched
+    neighbors to stay valid; partially covered blocks are read-modify-write."""
+    from n5_dask_spark.sources.n5.reader import read_region
+
+    attrs = read_attributes(container, dataset)
+    end_xyz = [s + d for s, d in zip(start_xyz, region_xyz.shape)]
+    # read-modify-write the covered span, block-aligned
+    bs = attrs.block_size
+    a_start = [s - s % b for s, b in zip(start_xyz, bs)]
+    a_end = [min(d, ((e + b - 1) // b) * b) for e, b, d in zip(end_xyz, bs, attrs.dimensions)]
+    span = read_region(spark, container, dataset, a_start, a_end)
+    sel = tuple(slice(s - a, e - a) for s, e, a in zip(start_xyz, end_xyz, a_start))
+    span[sel] = region_xyz
+    # re-write only the touched blocks
+    span_zyx = np.ascontiguousarray(span.transpose(tuple(range(span.ndim - 1, -1, -1))))
+    dt = np_dtype(attrs.data_type)
+    rows = []
+    for grid in itertools.product(
+        *[range(s // b, (e - 1) // b + 1) for s, e, b in zip(a_start, a_end, bs)]
+    ):
+        gsel = tuple(
+            slice(g * b - a, min((g + 1) * b, d) - a)
+            for g, b, a, d in zip(grid[::-1], bs[::-1], a_start[::-1], attrs.dimensions[::-1])
+        )
+        block = np.ascontiguousarray(span_zyx[gsel]).astype(dt)
+        rows.append((*grid, list(block.shape), block.tobytes()))
+    pdf = pd.DataFrame(rows, columns=["gx", "gy", "gz", "shape_zyx", "data"])
+    blocks = spark.createDataFrame(pdf, schema="gx int, gy int, gz int, shape_zyx array<int>, data binary")
+    write_blocks(blocks, container, dataset, attrs)
+
+
+def create_from_template(
+    template_container: str,
+    template_dataset: str,
+    out_container: str,
+    out_dataset: str,
+    compression: str | dict[str, Any] = "same",
+    data_type: str = "same",
+) -> DatasetAttributes:
+    """CREATE TABLE LIKE for N5 (reference create_dataset,
+    /root/reference/src/create_n5.py:7-37 — minus the hardcoded '/s0' quirk,
+    SURVEY.md §1.4)."""
+    t = read_attributes(template_container, template_dataset)
+    if compression == "same":
+        comp = dict(t.compression)
+    elif isinstance(compression, str):
+        comp = {"type": compression} if compression != "raw" else {"type": "raw"}
+    else:
+        comp = dict(compression)
+    attrs = DatasetAttributes(
+        data_type=t.data_type if data_type == "same" else data_type,
+        dimensions=list(t.dimensions),
+        block_size=list(t.block_size),
+        compression=comp,
+        extra=dict(read_raw_attributes(template_container, template_dataset)),
+    )
+    attrs.extra = {
+        k: v
+        for k, v in attrs.extra.items()
+        if k not in ("dataType", "dimensions", "blockSize", "compression")
+    }
+    write_attributes(out_container, out_dataset, attrs)
+    return attrs
+
+
+def temp_container(prefix: str = "n5ds") -> str:
+    return os.path.join(tempfile.gettempdir(), f"{prefix}-{uuid.uuid4().hex[:8]}.n5")

@@ -1,0 +1,282 @@
+"""Minimal baseline TIFF codec (pure numpy + struct) and the TIFF <-> N5
+pipelines (SURVEY.md §2.A S1 tif-series scan, K1 volume sink, K3 single-block
+tif sink, K4 2-D tif-series sink).
+
+No imaging libraries exist in this container, so this implements the subset
+of baseline TIFF the pipelines need: single-page, grayscale (1 sample/pixel),
+uncompressed, little- or big-endian, strip-based, integer or float samples.
+That subset is lossless and self-roundtripping, which is what the reference
+workflow (n5 -> tif series -> n5, README.md:17-21) requires. Multi-page/
+compressed/RGB TIFFs raise with a clear message.
+
+Pipelines are Spark-first:
+- tif_series_to_n5: binaryFile scan of the *.tif glob (one row per slice,
+  slice index parsed from the filename — the dask_image.imread analog,
+  /root/reference/src/tif_to_n5.py:21) -> decode in mapInPandas ->
+  per-slice fragments feed the SAME rechunk shuffle used everywhere ->
+  blocks written one-task-per-block. The reference's manual Z-slab loop
+  (src/tif_to_n5.py:31-58) is unnecessary: partition-at-a-time execution
+  bounds memory.
+- n5_to_tif_series: blocks DF -> rechunk to one-slice chunks
+  ((1, Y, X) like src/n5_to_tif.py:48-50) -> one TIFF per z written per
+  task, slice index straight from the gz column (no block_info machinery).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+import re
+import struct
+from collections.abc import Iterator
+from typing import Any
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from n5_dask_spark.session import tune_session
+from n5_dask_spark.sources.n5.codec import data_type_of, np_dtype
+from n5_dask_spark.sources.n5.metadata import DatasetAttributes, read_attributes, write_attributes
+from n5_dask_spark.sources.n5.transforms import BLOCK_SCHEMA_DDL, cast_blocks, rechunk
+from n5_dask_spark.sources.n5.reader import decoded_blocks
+from n5_dask_spark.sources.n5.writer import _atomic_write, write_blocks
+
+# TIFF tag ids
+_W, _H, _BITS, _COMP, _PHOTO, _STRIP_OFF, _SPP, _ROWS_PER_STRIP, _STRIP_CNT, _SFMT = (
+    256, 257, 258, 259, 262, 273, 277, 278, 279, 339,
+)
+_SAMPLE_FMT = {"u": 1, "i": 2, "f": 3}
+_FMT_KIND = {1: "u", 2: "i", 3: "f"}
+
+
+def encode_tiff(arr: np.ndarray) -> bytes:
+    """2-D array -> little-endian baseline TIFF bytes (single strip)."""
+    if arr.ndim != 2:
+        raise ValueError("encode_tiff takes a 2-D array")
+    kind = arr.dtype.kind
+    if kind not in _SAMPLE_FMT:
+        raise ValueError(f"unsupported dtype {arr.dtype}")
+    data = np.ascontiguousarray(arr.astype(arr.dtype.newbyteorder("<"))).tobytes()
+    h, w = arr.shape
+    bits = arr.dtype.itemsize * 8
+    # header(8) + payload, IFD after payload
+    ifd_offset = 8 + len(data)
+    out = bytearray()
+    out += struct.pack("<2sHI", b"II", 42, ifd_offset)
+    out += data
+    entries = [
+        (_W, 3, 1, w),
+        (_H, 3, 1, h),
+        (_BITS, 3, 1, bits),
+        (_COMP, 3, 1, 1),  # none
+        (_PHOTO, 3, 1, 1),  # BlackIsZero
+        (_STRIP_OFF, 4, 1, 8),
+        (_SPP, 3, 1, 1),
+        (_ROWS_PER_STRIP, 3, 1, h),
+        (_STRIP_CNT, 4, 1, len(data)),
+        (_SFMT, 3, 1, _SAMPLE_FMT[kind]),
+    ]
+    out += struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        out += struct.pack("<HHII", tag, typ, cnt, val)
+    out += struct.pack("<I", 0)  # no next IFD
+    return bytes(out)
+
+
+def _read_tag_value(buf: bytes, endian: str, typ: int, cnt: int, raw: bytes) -> list[int]:
+    sizes = {1: 1, 3: 2, 4: 4}
+    fmts = {1: "B", 3: "H", 4: "I"}
+    if typ not in sizes:
+        raise ValueError(f"unsupported TIFF tag type {typ}")
+    total = sizes[typ] * cnt
+    if total <= 4:
+        data = raw[:total]
+    else:
+        (off,) = struct.unpack(endian + "I", raw)
+        data = buf[off : off + total]
+    return list(struct.unpack(f"{endian}{cnt}{fmts[typ]}", data))
+
+
+def decode_tiff(buf: bytes) -> np.ndarray:
+    """Baseline grayscale TIFF bytes -> 2-D array (native byte order)."""
+    order = buf[:2]
+    endian = "<" if order == b"II" else ">" if order == b"MM" else None
+    if endian is None:
+        raise ValueError("not a TIFF file")
+    magic, ifd_off = struct.unpack_from(endian + "HI", buf, 2)
+    if magic != 42:
+        raise ValueError("not a classic TIFF (BigTIFF unsupported)")
+    (n_entries,) = struct.unpack_from(endian + "H", buf, ifd_off)
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        tag, typ, cnt = struct.unpack_from(endian + "HHI", buf, ifd_off + 2 + 12 * i)
+        raw = buf[ifd_off + 2 + 12 * i + 8 : ifd_off + 2 + 12 * i + 12]
+        tags[tag] = _read_tag_value(buf, endian, typ, cnt, raw)
+    (next_ifd,) = struct.unpack_from(endian + "I", buf, ifd_off + 2 + 12 * n_entries)
+    if next_ifd != 0:
+        raise ValueError("multi-page TIFF unsupported")
+    if tags.get(_COMP, [1])[0] != 1:
+        raise ValueError("compressed TIFF unsupported")
+    if tags.get(_SPP, [1])[0] != 1:
+        raise ValueError("multi-sample (RGB) TIFF unsupported")
+    w, h = tags[_W][0], tags[_H][0]
+    bits = tags[_BITS][0]
+    kind = _FMT_KIND[tags.get(_SFMT, [1])[0]]
+    dt = np.dtype(f"{endian}{kind}{bits // 8}")
+    offsets, counts = tags[_STRIP_OFF], tags[_STRIP_CNT]
+    payload = b"".join(buf[o : o + c] for o, c in zip(offsets, counts))
+    return np.frombuffer(payload, dtype=dt).reshape(h, w).astype(dt.newbyteorder("="))
+
+
+def write_tiff(path: str, arr: np.ndarray) -> None:
+    _atomic_write(path, encode_tiff(arr))
+
+
+def read_tiff(path: str) -> np.ndarray:
+    with open(path, "rb") as f:
+        return decode_tiff(f.read())
+
+
+# ---------------------------------------------------------------------------
+# Pipelines
+# ---------------------------------------------------------------------------
+
+
+def tif_series_scan(spark: SparkSession, input_dir: str) -> DataFrame:
+    """S1: lazy scan of a z-slice TIFF series -> (z, raw) rows. Slice order =
+    numeric sort of the trailing integer in the filename (imread glob
+    semantics, one file per z)."""
+    tune_session(spark)
+    files = sorted(
+        _glob.glob(os.path.join(input_dir, "*.tif")),
+        key=lambda p: int(re.findall(r"(\d+)", os.path.basename(p))[-1])
+        if re.findall(r"(\d+)", os.path.basename(p))
+        else 0,
+    )
+    if not files:
+        raise FileNotFoundError(f"no *.tif in {input_dir}")
+    order = {os.path.basename(p): z for z, p in enumerate(files)}
+    df = spark.read.format("binaryFile").load(os.path.join(input_dir, "*.tif"))
+    order_df = spark.createDataFrame(
+        [(k, v) for k, v in order.items()], "fname string, z int"
+    )
+    return (
+        df.withColumn("fname", F.element_at(F.split("path", "/"), -1))
+        .join(F.broadcast(order_df), "fname")
+        .select("z", F.col("content").alias("raw"))
+    )
+
+
+def tif_series_to_n5(
+    spark: SparkSession,
+    input_dir: str,
+    container: str,
+    dataset: str,
+    block_size: list[int],
+    compression: dict[str, Any] | None = None,
+    data_type: str | None = None,
+) -> DatasetAttributes:
+    """S1 + T1 + K1: TIFF series -> N5 volume (reference tif_to_n5.py).
+
+    Each slice decodes into a (1, Y, X) block; the standard rechunk shuffle
+    re-tiles to the requested block grid; one task writes each block."""
+    slices = tif_series_scan(spark, input_dir)
+    first = decode_tiff(bytes(slices.limit(1).collect()[0]["raw"]))
+    n_z = slices.count()
+    src_type = data_type_of(first.dtype)
+    dims_xyz = [first.shape[1], first.shape[0], n_z]
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for z, raw in zip(pdf["z"], pdf["raw"]):
+                arr = decode_tiff(bytes(raw))[None, :, :]  # (1, Y, X)
+                rows.append((0, 0, int(z), list(arr.shape), arr.tobytes()))
+            yield pd.DataFrame(rows, columns=["gx", "gy", "gz", "shape_zyx", "data"])
+
+    slice_blocks = slices.mapInPandas(decode, schema=BLOCK_SCHEMA_DDL)
+    slice_attrs = DatasetAttributes(
+        data_type=src_type,
+        dimensions=dims_xyz,
+        block_size=[dims_xyz[0], dims_xyz[1], 1],
+        compression=compression or {"type": "raw"},
+    )
+    if data_type and data_type not in ("same", src_type):
+        slice_blocks, slice_attrs = cast_blocks(slice_blocks, slice_attrs, data_type)
+    out_blocks, out_attrs = rechunk(slice_blocks, slice_attrs, list(block_size))
+    write_blocks(out_blocks, container, dataset, out_attrs)
+    return out_attrs
+
+
+def n5_to_tif_series(
+    spark: SparkSession,
+    container: str,
+    dataset: str,
+    output_dir: str,
+    prefix: str = "slice",
+    dtype_override: str | None = None,
+) -> int:
+    """K4: N5 volume -> one TIFF per z slice (reference n5_to_tif.py:32-51).
+
+    rechunk to (X, Y, 1) chunks, then a side-effecting per-block sink; the
+    slice index is the gz column."""
+    attrs = read_attributes(container, dataset)
+    blocks = decoded_blocks(spark, container, dataset)
+    if dtype_override and dtype_override != "same":
+        # reference applies casting='safe' (src/n5_to_tif.py:27-28,43-44)
+        if not np.can_cast(np_dtype(attrs.data_type), np_dtype(dtype_override), casting="safe"):
+            raise TypeError(f"unsafe cast {attrs.data_type} -> {dtype_override}")
+        blocks, attrs = cast_blocks(blocks, attrs, dtype_override)
+    slice_blocks, slice_attrs = rechunk(
+        blocks, attrs, [attrs.dimensions[0], attrs.dimensions[1], 1]
+    )
+    os.makedirs(output_dir, exist_ok=True)
+    dt = np_dtype(slice_attrs.data_type)
+
+    def sink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        for pdf in batches:
+            for gz, shape, data in zip(pdf["gz"], pdf["shape_zyx"], pdf["data"]):
+                arr = np.frombuffer(bytes(data), dtype=dt).reshape(list(shape))[0]
+                write_tiff(os.path.join(output_dir, f"{prefix}{int(gz):05d}.tif"), arr)
+                n += 1
+        yield pd.DataFrame({"written": [n]})
+
+    total = (
+        slice_blocks.repartition(
+            max(1, spark.sparkContext.defaultParallelism), "gz"
+        )
+        .mapInPandas(sink, schema="written long")
+        .agg(F.sum("written"))
+        .collect()[0][0]
+    )
+    return int(total or 0)
+
+
+def n5_region_to_tif(
+    spark: SparkSession,
+    container: str,
+    dataset: str,
+    output_file: str,
+    start_xyz: list[int],
+    end_xyz: list[int],
+    dtype_override: str | None = None,
+) -> None:
+    """K3: one TIFF from an xyz region, z collapsed (requires z extent 1 or
+    2-D semantics like the reference's single-block export,
+    src/n5_to_tif.py:20-29)."""
+    from n5_dask_spark.sources.n5.reader import read_region
+
+    reg = read_region(spark, container, dataset, start_xyz, end_xyz)
+    if reg.ndim == 3:
+        if reg.shape[2] != 1:
+            raise ValueError("n5_region_to_tif exports a single z slice (end_z = start_z + 1)")
+        reg = reg[:, :, 0]
+    if dtype_override and dtype_override != "same":
+        if not np.can_cast(reg.dtype, np_dtype(dtype_override), casting="safe"):
+            raise TypeError(f"unsafe cast {reg.dtype} -> {dtype_override}")
+        reg = reg.astype(np_dtype(dtype_override))
+    write_tiff(output_file, reg.T)  # (y, x) raster from xyz region

@@ -1,0 +1,250 @@
+"""N5 core tests (SURVEY.md §5): codec golden checks against the reference
+fixture, region reads, write/read roundtrips across codecs, rechunk
+property tests, windowed-mean downsample semantics, multiscale pyramid."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+FIXTURE = "/root/reference/data/test.n5"
+FIXTURE_DS = "mri/c0/s0"
+
+
+# ---------------------------------------------------------------------------
+# Codec (no Spark needed)
+# ---------------------------------------------------------------------------
+
+
+def fixture_volume_xyz() -> np.ndarray:
+    """Assemble the fixture volume directly from block files (golden)."""
+    from n5_dask_spark.sources.n5.codec import decode_block
+    from n5_dask_spark.sources.n5.metadata import read_attributes
+
+    attrs = read_attributes(FIXTURE, FIXTURE_DS)
+    vol = np.zeros(tuple(reversed(attrs.dimensions)), dtype="u1")  # zyx
+    for path in glob.glob(f"{FIXTURE}/{FIXTURE_DS}/*/*/*"):
+        gx, gy, gz = (int(p) for p in path.split(os.sep)[-3:])
+        arr = decode_block(open(path, "rb").read(), attrs.data_type, attrs.compression)
+        z0, y0, x0 = gz * 128, gy * 128, gx * 128
+        vol[z0 : z0 + arr.shape[0], y0 : y0 + arr.shape[1], x0 : x0 + arr.shape[2]] = arr
+    return vol.transpose(2, 1, 0)
+
+
+def test_codec_decodes_fixture_blocks():
+    from n5_dask_spark.sources.n5.codec import decode_block, decode_header
+    from n5_dask_spark.sources.n5.metadata import read_attributes
+
+    attrs = read_attributes(FIXTURE, FIXTURE_DS)
+    assert attrs.dimensions == [186, 226, 27]
+    assert attrs.grid_shape == [2, 2, 1]
+    raw = open(f"{FIXTURE}/{FIXTURE_DS}/1/1/0", "rb").read()
+    mode, dims, _ = decode_header(raw)
+    assert mode == 0
+    assert list(dims) == attrs.block_dims((1, 1, 0)) == [58, 98, 27]  # truncated edge
+    arr = decode_block(raw, attrs.data_type, attrs.compression)
+    assert arr.shape == (27, 98, 58)  # zyx
+
+
+def test_codec_roundtrip_all_compressions():
+    from n5_dask_spark.sources.n5.codec import decode_block, encode_block
+
+    rng = np.random.default_rng(7)
+    for dt in ("uint8", "uint16", "int32", "float32", "float64"):
+        arr = (rng.random((5, 7, 3)) * 100).astype(dt)
+        for comp in (
+            {"type": "raw"},
+            {"type": "gzip", "useZlib": False, "level": -1},
+            {"type": "gzip", "useZlib": True, "level": 5},
+            {"type": "bzip2"},
+            {"type": "xz"},
+        ):
+            out = decode_block(encode_block(arr, dt, comp), dt, comp)
+            np.testing.assert_array_equal(out, arr)
+
+
+def test_codec_big_endian_payload():
+    from n5_dask_spark.sources.n5.codec import encode_block
+
+    arr = np.array([[[0x0102]]], dtype="u2")
+    raw = encode_block(arr, "uint16", {"type": "raw"})
+    assert raw[-2:] == b"\x01\x02"  # big-endian on disk
+
+
+def test_windowed_mean_partial_edges():
+    from n5_dask_spark.sources.n5.transforms import windowed_mean_zyx
+
+    a = np.arange(5, dtype="f8").reshape(1, 1, 5)
+    out = windowed_mean_zyx(a, [1, 1, 2])
+    np.testing.assert_allclose(out[0, 0], [0.5, 2.5, 4.0])  # last window = 1 elem
+    b = np.arange(24, dtype="f8").reshape(2, 3, 4)
+    out = windowed_mean_zyx(b, [2, 2, 2])
+    assert out.shape == (1, 2, 2)
+    np.testing.assert_allclose(out[0, 0, 0], np.mean([0, 1, 4, 5, 12, 13, 16, 17]))
+    np.testing.assert_allclose(out[0, 1, 1], np.mean([10, 11, 22, 23]))  # partial y
+
+
+# ---------------------------------------------------------------------------
+# Spark reader/writer/transforms
+# ---------------------------------------------------------------------------
+
+
+def test_scan_and_stats(spark):
+    from n5_dask_spark.sources.n5.reader import block_stats, scan_block_files
+
+    files = scan_block_files(spark, FIXTURE, FIXTURE_DS).collect()
+    assert len(files) == 4
+    assert {(r.gx, r.gy, r.gz) for r in files} == {(0, 0, 0), (0, 1, 0), (1, 0, 0), (1, 1, 0)}
+    stats = {(r.gx, r.gy, r.gz): r for r in block_stats(spark, FIXTURE, FIXTURE_DS).collect()}
+    golden = fixture_volume_xyz()
+    blk = golden[128:, 128:, :]  # gx=1, gy=1
+    assert stats[(1, 1, 0)].n_elems == blk.size
+    assert stats[(1, 1, 0)].vsum == float(blk.sum(dtype="f8"))
+
+
+def test_read_region_matches_golden(spark):
+    from n5_dask_spark.sources.n5.reader import read_full, read_region
+
+    golden = fixture_volume_xyz()
+    full = read_full(spark, FIXTURE, FIXTURE_DS)
+    np.testing.assert_array_equal(full, golden)
+    # region straddling all four blocks
+    reg = read_region(spark, FIXTURE, FIXTURE_DS, [100, 100, 5], [150, 160, 20])
+    np.testing.assert_array_equal(reg, golden[100:150, 100:160, 5:20])
+    # clamped + empty regions
+    assert read_region(spark, FIXTURE, FIXTURE_DS, [0, 0, 0], [1, 1, 1]).shape == (1, 1, 1)
+    assert read_region(spark, FIXTURE, FIXTURE_DS, [300, 0, 0], [310, 1, 1]).size == 0
+
+
+@pytest.mark.parametrize("comp", [{"type": "raw"}, {"type": "gzip"}, {"type": "bzip2"}])
+def test_write_read_roundtrip(spark, comp):
+    from n5_dask_spark.sources.n5.reader import read_full
+    from n5_dask_spark.sources.n5.writer import temp_container, write_array
+
+    rng = np.random.default_rng(42)
+    arr = (rng.random((50, 37, 19)) * 255).astype("u1")  # non-divisible dims
+    out = temp_container()
+    write_array(spark, arr, out, "vol/s0", [16, 16, 16], compression=comp)
+    back = read_full(spark, out, "vol/s0")
+    np.testing.assert_array_equal(back, arr)
+    meta = json.load(open(f"{out}/vol/s0/attributes.json"))
+    assert meta["dimensions"] == [50, 37, 19]
+    assert json.load(open(f"{out}/attributes.json")) == {"n5": "2.5.1"}
+
+
+def test_rechunk_roundtrip(spark):
+    from n5_dask_spark.sources.n5.reader import decoded_blocks, read_full
+    from n5_dask_spark.sources.n5.transforms import rechunk
+    from n5_dask_spark.sources.n5.writer import temp_container, write_array, write_blocks
+
+    rng = np.random.default_rng(1)
+    arr = (rng.random((40, 25, 13)) * 65535).astype("u2")
+    c1 = temp_container()
+    write_array(spark, arr, c1, "a/s0", [16, 8, 4])
+    blocks = decoded_blocks(spark, c1, "a/s0")
+    from n5_dask_spark.sources.n5.metadata import read_attributes
+
+    out_blocks, out_attrs = rechunk(blocks, read_attributes(c1, "a/s0"), [7, 11, 13])
+    c2 = temp_container()
+    write_blocks(out_blocks, c2, "a/s0", out_attrs)
+    np.testing.assert_array_equal(read_full(spark, c2, "a/s0"), arr)
+
+
+def test_cast_safe_guard(spark):
+    from n5_dask_spark.sources.n5.metadata import read_attributes
+    from n5_dask_spark.sources.n5.reader import decoded_blocks, read_full
+    from n5_dask_spark.sources.n5.transforms import cast_blocks
+    from n5_dask_spark.sources.n5.writer import temp_container, write_array, write_blocks
+
+    arr = np.arange(60, dtype="u1").reshape(5, 4, 3)
+    c = temp_container()
+    write_array(spark, arr, c, "a/s0", [4, 4, 4])
+    blocks = decoded_blocks(spark, c, "a/s0")
+    attrs = read_attributes(c, "a/s0")
+    with pytest.raises(TypeError):
+        cast_blocks(blocks, attrs, "int8")  # unsafe
+    out_blocks, out_attrs = cast_blocks(blocks, attrs, "uint16")
+    c2 = temp_container()
+    write_blocks(out_blocks, c2, "a/s0", out_attrs)
+    back = read_full(spark, c2, "a/s0")
+    assert back.dtype == np.dtype("u2")
+    np.testing.assert_array_equal(back, arr.astype("u2"))
+
+
+def test_write_region(spark):
+    from n5_dask_spark.sources.n5.reader import read_full
+    from n5_dask_spark.sources.n5.writer import temp_container, write_array, write_region
+
+    arr = np.zeros((32, 32, 8), dtype="u1")
+    c = temp_container()
+    write_array(spark, arr, c, "a/s0", [16, 16, 8])
+    patch = np.full((10, 12, 4), 9, dtype="u1")
+    write_region(spark, c, "a/s0", patch, [8, 12, 2])
+    expect = arr.copy()
+    expect[8:18, 12:24, 2:6] = 9
+    np.testing.assert_array_equal(read_full(spark, c, "a/s0"), expect)
+
+
+def test_multiscale_pyramid_fixture(spark):
+    """README-style smoke (reference README.md:17-21): copy the fixture,
+    build the pyramid, check level shapes + values vs numpy reference."""
+    from n5_dask_spark.sources.n5.metadata import read_attributes, read_raw_attributes
+    from n5_dask_spark.sources.n5.reader import read_full
+    from n5_dask_spark.sources.n5.transforms import build_multiscale, windowed_mean_zyx
+    from n5_dask_spark.sources.n5.writer import temp_container, write_array
+
+    golden = fixture_volume_xyz()
+    c = temp_container()
+    write_array(
+        spark,
+        golden,
+        c,
+        "mri/c0/s0",
+        [64, 64, 64],
+        compression={"type": "gzip"},
+        extra_attrs={"pixelResolution": {"unit": "pixel", "dimensions": [1.0, 1.0, 1.0]}},
+    )
+    levels = build_multiscale(spark, c, "mri/c0", thumbnail_size_xyz=[64, 64, 64])
+    assert levels == ["s0", "s1", "s2"]  # 186,226,27 -> 93,113,14 -> 47,57,7
+
+    a1 = read_attributes(c, "mri/c0/s1")
+    assert a1.dimensions == [93, 113, 14]
+    assert a1.extra["downsamplingFactors"] == [2.0, 2.0, 2.0]
+    assert a1.extra["pixelResolution"]["dimensions"] == [2.0, 2.0, 2.0]
+
+    s1 = read_full(spark, c, "mri/c0/s1")
+    ref1 = (
+        windowed_mean_zyx(golden.transpose(2, 1, 0).astype("f8"), [2, 2, 2])
+        .astype("u1")
+        .transpose(2, 1, 0)
+    )
+    np.testing.assert_array_equal(s1, ref1)
+
+    s2 = read_full(spark, c, "mri/c0/s2")
+    ref2 = (
+        windowed_mean_zyx(ref1.transpose(2, 1, 0).astype("f8"), [2, 2, 2])
+        .astype("u1")
+        .transpose(2, 1, 0)
+    )
+    np.testing.assert_array_equal(s2, ref2)
+
+    root = read_raw_attributes(c, "mri/c0")
+    assert root["scales"] == [[1.0, 1.0, 1.0], [2.0, 2.0, 2.0], [4.0, 4.0, 4.0]]
+
+
+def test_create_from_template(spark):
+    from n5_dask_spark.sources.n5.metadata import read_attributes
+    from n5_dask_spark.sources.n5.writer import create_from_template, temp_container
+
+    out = temp_container()
+    attrs = create_from_template(FIXTURE, FIXTURE_DS, out, "copy/s0")
+    assert attrs.dimensions == [186, 226, 27]
+    assert attrs.compression["type"] == "gzip"
+    got = read_attributes(out, "copy/s0")
+    assert got.block_size == [128, 128, 128]
+    attrs2 = create_from_template(FIXTURE, FIXTURE_DS, out, "raw/s0", compression="raw", data_type="uint16")
+    assert attrs2.compression == {"type": "raw"} and attrs2.data_type == "uint16"
