@@ -85,6 +85,8 @@ def load_all() -> dict[str, Query]:
         multimodal,
         arrayops,
         n5ops,
+        tpch_extra,
+        udfs,
     )
     from n5_dask_spark.streaming import jobs  # noqa: F401
 
