@@ -88,6 +88,6 @@ def load_all() -> dict[str, Query]:
         tpch_extra,
         udfs,
     )
-    from n5_dask_spark.streaming import jobs  # noqa: F401
+    from n5_dask_spark.streaming import jobs, stateful  # noqa: F401
 
     return REGISTRY

@@ -100,15 +100,7 @@ def _read_tag_value(buf: bytes, endian: str, typ: int, cnt: int, raw: bytes) -> 
     return list(struct.unpack(f"{endian}{cnt}{fmts[typ]}", data))
 
 
-def decode_tiff(buf: bytes) -> np.ndarray:
-    """Baseline grayscale TIFF bytes -> 2-D array (native byte order)."""
-    order = buf[:2]
-    endian = "<" if order == b"II" else ">" if order == b"MM" else None
-    if endian is None:
-        raise ValueError("not a TIFF file")
-    magic, ifd_off = struct.unpack_from(endian + "HI", buf, 2)
-    if magic != 42:
-        raise ValueError("not a classic TIFF (BigTIFF unsupported)")
+def _parse_ifd(buf: bytes, endian: str, ifd_off: int) -> tuple[dict[int, list[int]], int]:
     (n_entries,) = struct.unpack_from(endian + "H", buf, ifd_off)
     tags: dict[int, list[int]] = {}
     for i in range(n_entries):
@@ -116,8 +108,10 @@ def decode_tiff(buf: bytes) -> np.ndarray:
         raw = buf[ifd_off + 2 + 12 * i + 8 : ifd_off + 2 + 12 * i + 12]
         tags[tag] = _read_tag_value(buf, endian, typ, cnt, raw)
     (next_ifd,) = struct.unpack_from(endian + "I", buf, ifd_off + 2 + 12 * n_entries)
-    if next_ifd != 0:
-        raise ValueError("multi-page TIFF unsupported")
+    return tags, next_ifd
+
+
+def _decode_page(buf: bytes, endian: str, tags: dict[int, list[int]]) -> np.ndarray:
     if tags.get(_COMP, [1])[0] != 1:
         raise ValueError("compressed TIFF unsupported")
     if tags.get(_SPP, [1])[0] != 1:
@@ -129,6 +123,80 @@ def decode_tiff(buf: bytes) -> np.ndarray:
     offsets, counts = tags[_STRIP_OFF], tags[_STRIP_CNT]
     payload = b"".join(buf[o : o + c] for o, c in zip(offsets, counts))
     return np.frombuffer(payload, dtype=dt).reshape(h, w).astype(dt.newbyteorder("="))
+
+
+def tiff_page_offsets(buf: bytes) -> tuple[str, list[int]]:
+    """-> (endian, IFD offset per page). Cheap metadata walk, no pixel I/O —
+    the driver-side parse that lets executors random-access single pages."""
+    order = buf[:2]
+    endian = "<" if order == b"II" else ">" if order == b"MM" else None
+    if endian is None:
+        raise ValueError("not a TIFF file")
+    magic, ifd_off = struct.unpack_from(endian + "HI", buf, 2)
+    if magic != 42:
+        raise ValueError("not a classic TIFF (BigTIFF unsupported)")
+    offsets = []
+    while ifd_off != 0:
+        offsets.append(ifd_off)
+        _, ifd_off = _parse_ifd(buf, endian, ifd_off)
+    return endian, offsets
+
+
+def decode_tiff_page(buf: bytes, page: int = 0) -> np.ndarray:
+    endian, offsets = tiff_page_offsets(buf)
+    if page >= len(offsets):
+        raise IndexError(f"page {page} out of range ({len(offsets)} pages)")
+    tags, _ = _parse_ifd(buf, endian, offsets[page])
+    return _decode_page(buf, endian, tags)
+
+
+def decode_tiff(buf: bytes) -> np.ndarray:
+    """Baseline grayscale TIFF bytes -> 2-D array (single page)."""
+    endian, offsets = tiff_page_offsets(buf)
+    if len(offsets) != 1:
+        raise ValueError("multi-page TIFF: use decode_tiff_page / ome pipeline")
+    tags, _ = _parse_ifd(buf, endian, offsets[0])
+    return _decode_page(buf, endian, tags)
+
+
+def encode_tiff_pages(arrs: list[np.ndarray]) -> bytes:
+    """Multi-page little-endian baseline TIFF (one strip per page)."""
+    out = bytearray()
+    out += struct.pack("<2sH", b"II", 42)
+    ifd_ptr_pos = len(out)
+    out += b"\x00\x00\x00\x00"  # first IFD offset, patched below
+    payload_offsets = []
+    datas = []
+    for arr in arrs:
+        if arr.ndim != 2 or arr.dtype.kind not in _SAMPLE_FMT:
+            raise ValueError("each page must be a 2-D array of a supported dtype")
+        data = np.ascontiguousarray(arr.astype(arr.dtype.newbyteorder("<"))).tobytes()
+        payload_offsets.append(len(out))
+        out += data
+        datas.append(data)
+    prev_ptr_pos = ifd_ptr_pos
+    for arr, data, poff in zip(arrs, datas, payload_offsets):
+        ifd_off = len(out)
+        struct.pack_into("<I", out, prev_ptr_pos, ifd_off)
+        h, w = arr.shape
+        entries = [
+            (_W, 3, 1, w),
+            (_H, 3, 1, h),
+            (_BITS, 3, 1, arr.dtype.itemsize * 8),
+            (_COMP, 3, 1, 1),
+            (_PHOTO, 3, 1, 1),
+            (_STRIP_OFF, 4, 1, poff),
+            (_SPP, 3, 1, 1),
+            (_ROWS_PER_STRIP, 3, 1, h),
+            (_STRIP_CNT, 4, 1, len(data)),
+            (_SFMT, 3, 1, _SAMPLE_FMT[arr.dtype.kind]),
+        ]
+        out += struct.pack("<H", len(entries))
+        for tag, typ, cnt, val in entries:
+            out += struct.pack("<HHII", tag, typ, cnt, val)
+        prev_ptr_pos = len(out)
+        out += struct.pack("<I", 0)
+    return bytes(out)
 
 
 def write_tiff(path: str, arr: np.ndarray) -> None:

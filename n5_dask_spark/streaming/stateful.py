@@ -1,0 +1,162 @@
+"""Custom stateful streaming operators (SURVEY.md §2.B streaming row:
+applyInPandasWithState; plus watermark append-mode and foreachBatch sinks).
+
+run_user_running_totals: a per-user running aggregate maintained in
+GroupState across micro-batches — the canonical custom-stateful shape.
+Executed with Trigger.AvailableNow over the events table; with state kept
+per user_id, state size is bounded by |users|, and at 100 TB the same code
+runs against a log stream with watermark-based state eviction
+(GroupStateTimeout.EventTimeTimeout).
+
+run_watermark_append: tumbling agg in APPEND mode — only windows the final
+watermark has passed are emitted. Demonstrates late-data semantics; the
+batch oracle for it filters on max(ts) - delay the same way.
+
+run_foreach_batch_sink: streaming -> foreachBatch -> parquet, the arbitrary-
+sink escape hatch.
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+import tempfile
+import uuid
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from n5_dask_spark.catalog import table_path
+from n5_dask_spark.registry import register
+
+
+def _staged_events_dir(sf_dir: str) -> str:
+    stage = pathlib.Path(tempfile.gettempdir()) / f"n5ds_stream_{abs(hash(sf_dir)) % 10**8}"
+    stage.mkdir(exist_ok=True)
+    link = stage / "events.parquet"
+    if not link.exists():
+        link.symlink_to(table_path(sf_dir, "events"))
+    return str(stage)
+
+
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from n5_dask_spark.session import tune_session
+
+    tune_session(spark)  # shuffle partitions / tz for driver-owned sessions
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    return (
+        spark.readStream.schema(raw_schema)
+        .parquet(_staged_events_dir(sf_dir))
+        .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    )
+
+
+def run_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event count + decimal-exact value sum held in GroupState."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, total_micro = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # integer micro-units: exact accumulation, no float drift
+            total_micro += int((pdf["value"] * 1_000_000).round().astype("int64").sum())
+        state.update((n, total_micro))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value_micro": [total_micro]}
+        )
+
+    out = (
+        _event_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, sum_value_micro long",
+            stateStructType="n long, total_micro long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    sink = f"stateful_totals_{uuid.uuid4().hex[:8]}"
+    q = out.writeStream.format("memory").queryName(sink).outputMode("update").trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination()
+    # update-mode emits one row per key per batch; keep the final state row
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        spark.table(sink)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "sum_value_micro")
+        .orderBy("user_id")
+    )
+
+
+def run_watermark_append(
+    spark: SparkSession, sf_dir: str, window: str = "1 hour", delay: str = "6 hours"
+) -> DataFrame:
+    """Tumbling agg in APPEND mode: only watermark-closed windows emit."""
+    agg = (
+        _event_stream(spark, sf_dir)
+        .withWatermark("ts", delay)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    sink = f"wm_append_{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.format("memory").queryName(sink).outputMode("append").trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .select(F.col("w.start").cast("timestamp_ntz").alias("win_start"), "n_events")
+        .orderBy("win_start")
+    )
+
+
+def run_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """Streaming -> foreachBatch -> parquet files; returns (path, batches)."""
+    out_dir = os.path.join(tempfile.gettempdir(), f"n5ds_fb_{uuid.uuid4().hex[:8]}")
+    batches: list[int] = []
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        batches.append(batch_id)
+        df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+        ).write.mode("overwrite").parquet(os.path.join(out_dir, f"batch={batch_id}"))
+
+    q = (
+        _event_stream(spark, sf_dir)
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return out_dir, len(batches)
+
+
+@register(
+    "streaming_stateful_running_totals",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_micro
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    doc=(
+        "applyInPandasWithState: per-user running totals in GroupState "
+        "(integer micro-units -> exact), AvailableNow execution; final state "
+        "equals the batch aggregate the oracle computes."
+    ),
+)
+def streaming_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_user_running_totals(spark, sf_dir)
