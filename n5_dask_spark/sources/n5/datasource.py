@@ -1,0 +1,109 @@
+"""Spark 4 Python DataSource for N5 (SURVEY.md §2.A S2 — the
+`spark.dataSource.register` path the survey recommends as the idiomatic
+Spark-4 alternative to a binaryFile+UDF scan).
+
+Usage:
+    spark.dataSource.register(N5DataSource)
+    df = (spark.read.format("n5")
+          .option("path", "/data/container.n5")
+          .option("dataset", "mri/c0/s0")
+          .option("start", "0,0,0").option("end", "64,64,27")   # optional region
+          .load())
+    # -> gx, gy, gz, shape_zyx (zyx dims), data (native-endian zyx bytes)
+
+Partition planning runs driver-side: one InputPartition per block file, and
+when a region is given only OVERLAPPING blocks become partitions — source-
+level partition pruning, so a 1-block region of a petabyte container plans
+exactly one task.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    IntegerType,
+    StructField,
+    StructType,
+)
+
+
+class N5BlockPartition(InputPartition):
+    def __init__(self, path: str, grid: tuple[int, ...]):
+        self.path = path
+        self.grid = grid
+
+
+class N5DataSource(DataSource):
+    """Reads an N5 dataset as one row per block."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "n5"
+
+    def schema(self) -> StructType:
+        return StructType(
+            [
+                StructField("gx", IntegerType()),
+                StructField("gy", IntegerType()),
+                StructField("gz", IntegerType()),
+                StructField("shape_zyx", ArrayType(IntegerType())),
+                StructField("data", BinaryType()),
+            ]
+        )
+
+    def reader(self, schema: StructType) -> "N5Reader":
+        return N5Reader(self.options)
+
+
+class N5Reader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.container = options.get("path")
+        self.dataset = options.get("dataset")
+        if not self.container or not self.dataset:
+            raise ValueError("n5 source requires .option('path', ...) and .option('dataset', ...)")
+        self.start = options.get("start")
+        self.end = options.get("end")
+
+    def partitions(self) -> Sequence[N5BlockPartition]:
+        from n5_dask_spark.sources.n5.metadata import read_attributes
+        from n5_dask_spark.sources.n5.reader import overlapping_blocks
+
+        attrs = read_attributes(self.container, self.dataset)
+        if self.start and self.end:
+            grids = overlapping_blocks(
+                attrs,
+                [int(x) for x in self.start.split(",")],
+                [int(x) for x in self.end.split(",")],
+            )
+        else:
+            import itertools
+
+            grids = list(itertools.product(*[range(n) for n in attrs.grid_shape]))
+        parts = []
+        for g in grids:
+            path = os.path.join(self.container, self.dataset, *map(str, g))
+            if os.path.exists(path):  # sparse datasets skip absent blocks
+                parts.append(N5BlockPartition(path, tuple(g)))
+        return parts
+
+    def read(self, partition: N5BlockPartition) -> Iterator[tuple]:
+        from n5_dask_spark.sources.n5.codec import decode_block
+        from n5_dask_spark.sources.n5.metadata import read_attributes
+
+        attrs = read_attributes(self.container, self.dataset)
+        with open(partition.path, "rb") as f:
+            arr = decode_block(f.read(), attrs.data_type, attrs.compression)
+        g = list(partition.grid) + [0] * (3 - len(partition.grid))
+        yield (g[0], g[1], g[2], list(arr.shape), arr.tobytes())
+
+
+def register_n5_source(spark) -> None:
+    from n5_dask_spark.session import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+    spark.dataSource.register(N5DataSource)

@@ -1,0 +1,86 @@
+"""Physical-plan quality gates (SURVEY.md §4): these assert the plans we
+designed for actually materialize — dim joins broadcast (no fact shuffle),
+predicates and projections reach the parquet scan, aggregates are partial
+(map-side) before the exchange, top-k plans TakeOrderedAndProject instead of
+a full sort. A regression here is a scale regression even when results stay
+correct."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def get_query(name):
+    from n5_dask_spark.registry import load_all
+
+    return load_all()[name]
+
+
+def test_q3_broadcasts_dims(spark):
+    plan = plan_of(get_query("q3_shipping_priority").fn(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # the fact table must not sort-shuffle for dims
+
+
+def test_q5_all_dim_joins_broadcast(spark):
+    plan = plan_of(get_query("q5_local_supplier_volume").fn(spark, SF_SMALL))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_q6_pushes_filters_to_scan(spark):
+    plan = plan_of(get_query("q6_forecast_revenue").fn(spark, SF_SMALL))
+    assert "PushedFilters: [" in plan
+    # the shipdate/discount/quantity predicates reach parquet
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+    # column pruning: only the needed columns are read
+    sect = plan.split("ReadSchema")[1][:300]
+    assert "l_extendedprice" in sect and "l_returnflag" not in sect
+
+
+def test_q1_partial_aggregation(spark):
+    plan = plan_of(get_query("q1_pricing_summary").fn(spark, SF_SMALL))
+    # partial (map-side) agg before the exchange, final after
+    assert plan.count("HashAggregate") >= 2
+    first_agg = plan.index("HashAggregate")
+    assert "Exchange" in plan[first_agg:]
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = plan_of(get_query("orderby_limit_topk").fn(spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan  # no global sort for LIMIT k
+
+
+def test_whole_stage_codegen_on_fact_scan(spark):
+    df = get_query("q1_pricing_summary").fn(spark, SF_SMALL)
+    df.collect()  # finalize the adaptive plan; codegen stages exist only then
+    plan = plan_of(df)
+    assert "codegen id" in plan and "isFinalPlan=true" in plan
+
+
+def test_events_scan_prunes_columns(spark):
+    plan = plan_of(get_query("events_tumbling_window").fn(spark, SF_SMALL))
+    sect = plan.split("ReadSchema")[1][:300]
+    assert "props" not in sect  # unused JSON column not read
+
+
+def test_n5_region_read_lists_only_overlapping_blocks(spark):
+    """File-level pruning: a 1-block region must scan exactly 1 block file."""
+    from n5_dask_spark.sources.n5.metadata import read_attributes
+    from n5_dask_spark.sources.n5.reader import overlapping_blocks
+
+    attrs = read_attributes("/root/reference/data/test.n5", "mri/c0/s0")
+    assert overlapping_blocks(attrs, [0, 0, 0], [10, 10, 5]) == [(0, 0, 0)]
+    assert len(overlapping_blocks(attrs, [120, 120, 0], [140, 140, 27])) == 4
+    assert overlapping_blocks(attrs, [500, 0, 0], [510, 10, 5]) == []
+
+
+def test_knn_query_broadcasts_queries(spark):
+    plan = plan_of(get_query("knn_bruteforce_cosine").fn(spark, SF_SMALL))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
