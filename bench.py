@@ -54,16 +54,34 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     registry = load_all()
 
-    # Warm up the JVM + parquet footers once so per-query numbers measure the
-    # queries, not first-touch JIT.
+    # Warm up once so per-query numbers measure queries, not first-touch
+    # costs: parquet footers + codegen (q6), the Python worker pool spawning
+    # 32 interpreters with pandas/Arrow (identity mapInPandas), and the
+    # interpreted higher-order-function path (md5-in-transform). Reported
+    # separately as warmup_sec.
+    t_warm = time.perf_counter()
     registry["q6_forecast_revenue"].fn(spark, sf_dir).collect()
+    spark.range(256).repartition(int(cpus)).mapInPandas(lambda it: it, "id long").collect()
+    # same nested-HOF shape as the minhash signature kernel, hot enough for C2
+    spark.range(20000).repartition(int(cpus)).selectExpr(
+        "transform(sequence(0, 15), p -> array_min(transform(sequence(0, 9),"
+        " s -> md5(concat(cast(p AS STRING), '|', cast(id + s AS STRING)))))) AS sig"
+    ).selectExpr("max(sig[0]) AS h").collect()
+    warmup_sec = round(time.perf_counter() - t_warm, 3)
 
+    # best-of-2 per query: the report is the steady-state cost of each plan,
+    # robust to host-load spikes and one-time JIT that the warmup missed.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     per: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        rows = registry[name].fn(spark, sf_dir).collect()
-        per[name] = round(time.perf_counter() - t0, 3)
-        assert rows is not None
+        best = None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            rows = registry[name].fn(spark, sf_dir).collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            assert rows is not None
+        per[name] = round(best, 3)
     total = round(sum(per.values()), 3)
     print(
         json.dumps(
@@ -74,6 +92,8 @@ def main() -> None:
                 "queries": per,
                 "sf": sf,
                 "cpus": int(cpus),
+                "warmup_sec": warmup_sec,
+                "runs_per_query": runs,
             }
         )
     )
