@@ -40,6 +40,8 @@ HEADLINE = [
     "knn_signbucket_lsh",
     "text_tf_top_terms",
     "multimodal_feature_extract",
+    "dedup_connected_clusters",
+    "n5_rechunk_stats",
 ]
 
 

@@ -1,0 +1,250 @@
+"""Second relational batch: pivot, listagg/collect ordering, large-large
+sort-merge join, cohort retention, approximate aggregates, and iterative
+connected-components clustering of near-duplicate pairs.
+
+The clustering query is the one genuinely ITERATIVE algorithm in the engine:
+a driver loop of label-propagation joins until fixpoint (Spark's analog of
+the reference's driver-side pyramid level loop). The oracle is a DuckDB
+recursive CTE computing the same min-label closure — so even the iterative
+path is hash-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from n5_dask_spark.catalog import load_tables
+from n5_dask_spark.operators._exact import dsum
+from n5_dask_spark.registry import register
+
+
+@register(
+    "pivot_segment_by_year",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1996 THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS y1996,
+           CAST(SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1997 THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS y1997,
+           CAST(SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1998 THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS y1998
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    doc="PIVOT: revenue by segment x year (explicit value list -> no extra pass).",
+)
+def pivot_segment_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    j = t["orders"].join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+    return (
+        j.withColumn("yr", F.year("o_orderdate"))
+        .groupBy("c_mktsegment")
+        .pivot("yr", [1996, 1997, 1998])
+        .agg(F.expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)"))
+        .select(
+            "c_mktsegment",
+            F.col("1996").alias("y1996"),
+            F.col("1997").alias("y1997"),
+            F.col("1998").alias("y1998"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "listagg_nations_per_region",
+    oracle="""
+    SELECT r_name, STRING_AGG(n_name, ',' ORDER BY n_name) AS nations,
+           COUNT(*) AS n_nations
+    FROM nation JOIN region ON r_regionkey = n_regionkey
+    GROUP BY r_name ORDER BY r_name
+    """,
+    doc="listagg / ordered string aggregation (array_sort(collect_list) -> join).",
+)
+def listagg_nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("nation", "region"))
+    return (
+        t["nation"]
+        .join(F.broadcast(t["region"]), F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )
+
+
+@register(
+    "join_sort_merge_largelarge",
+    oracle="""
+    SELECT l_orderkey, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty,
+           MAX(o_totalprice) AS o_totalprice
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY l_orderkey
+    ORDER BY total_qty DESC, l_orderkey LIMIT 25
+    """,
+    doc=(
+        "Large-large join forced to sort-merge (merge hint): the shape used "
+        "when neither side fits broadcast; AQE still coalesces and handles "
+        "skew. Correctness identical to the broadcast plan."
+    ),
+)
+def join_sort_merge_largelarge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    orders = t["orders"].filter(F.col("o_orderstatus") == "F").hint("merge")
+    return (
+        t["lineitem"]
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_quantity", "total_qty"),
+            F.max("o_totalprice").alias("o_totalprice"),
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("l_orderkey"))
+        .limit(25)
+    )
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             CAST(CAST(e.ts AS DATE) - f.cohort_day AS INT) // 7 AS week_no
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day, CAST(week_no AS INT) AS week_no,
+           COUNT(*) AS active_users
+    FROM activity
+    GROUP BY cohort_day, week_no
+    ORDER BY cohort_day, week_no
+    """,
+    doc="Cohort retention: first-touch cohort day x active week buckets.",
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("events",))
+    ev = t["events"].select("user_id", F.col("ts").cast("date").alias("day"))
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = (
+        ev.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            (F.datediff("day", "cohort_day") / 7).cast("int").alias("week_no"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy(F.col("cohort_day").cast("timestamp_ntz").alias("cohort_day"), "week_no")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .orderBy("cohort_day", "week_no")
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    oracle=None,  # HLL sketches are engine-specific; driver records rows-only
+    doc=(
+        "approx_count_distinct (HyperLogLog++): sketch values differ across "
+        "engines by design, so this is a rows-only check; the companion "
+        "exact counts in agg_distinct gate correctness."
+    ),
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_supps"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "dedup_connected_clusters",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      -- same MinHash-LSH candidate pairs as dedup_minhash_lsh
+      SELECT doc_a, doc_b FROM (
+        WITH toks AS (
+          SELECT doc_id, string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS w
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+          FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+        ), hashes AS (
+          SELECT doc_id, p, MIN(md5(CAST(p AS VARCHAR) || '|' || shingle)) AS minh
+          FROM sh, UNNEST(range(0, 16)) AS perms(p)
+          GROUP BY doc_id, p
+        ), bands AS (
+          SELECT doc_id, CAST(p // 4 AS INT) AS band, STRING_AGG(minh, ',' ORDER BY p) AS band_sig
+          FROM hashes GROUP BY doc_id, band
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+        WHERE a.doc_id < b.doc_id
+      )
+    ), edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ), reach(u, lbl) AS (
+      SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u
+    )
+    SELECT u AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY u
+    ORDER BY doc_id
+    """,
+    doc=(
+        "Connected components over the near-dup pair graph: iterative "
+        "min-label propagation (driver loop of joins to fixpoint) vs a "
+        "DuckDB recursive CTE oracle. Docs in no pair are excluded."
+    ),
+)
+def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from n5_dask_spark.registry import REGISTRY
+
+    pairs = REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .distinct()
+        .cache()
+    )
+    labels = edges.select("u").distinct().withColumn("lbl", F.col("u"))
+    # min-label propagation: clusters here are tiny (near-dup groups), so a
+    # handful of iterations reaches the fixpoint; each iteration is one
+    # shuffle join + aggregate. localCheckpoint truncates the lineage so the
+    # plan doesn't grow exponentially.
+    while True:
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("u", "v2"), F.col("v") == F.col("v2"))
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "u", "left")
+            .select("u", F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("doc_id"), F.col("lbl").cast("bigint").alias("cluster_id")).orderBy(
+        "doc_id"
+    )

@@ -87,6 +87,7 @@ def load_all() -> dict[str, Query]:
         n5ops,
         tpch_extra,
         udfs,
+        relational2,
     )
     from n5_dask_spark.streaming import jobs, stateful  # noqa: F401
 
