@@ -88,7 +88,8 @@ def load_all() -> dict[str, Query]:
         tpch_extra,
         udfs,
         relational2,
+        text2,
     )
-    from n5_dask_spark.streaming import jobs, stateful  # noqa: F401
+    from n5_dask_spark.streaming import jobs, joins, stateful  # noqa: F401
 
     return REGISTRY

@@ -29,6 +29,11 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
+    # static conf: bucketed-table tests and any saveAsTable land in /tmp,
+    # never in the repo working tree
+    "spark.sql.warehouse.dir": os.path.join(
+        __import__("tempfile").gettempdir(), "n5ds-warehouse"
+    ),
 }
 
 

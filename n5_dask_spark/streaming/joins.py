@@ -1,0 +1,88 @@
+"""Stream-stream join (SURVEY.md §2.B streaming row, advanced case).
+
+Purchases joined to the same user's clicks within the preceding hour — both
+sides are streams with watermarks, and the time-range join condition bounds
+the state Spark must hold (clicks older than the range + watermark get
+evicted). Executed with AvailableNow; an inner time-bounded join over a
+finite input equals the batch join, which is what the oracle computes.
+
+At 100 TB this is the standing attribution-join shape: state is
+O(users x 1h of clicks), not O(history).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from n5_dask_spark.registry import register
+from n5_dask_spark.streaming.stateful import _event_stream
+
+
+def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _event_stream(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    )
+    sink = f"ss_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .select(
+            "purchase_id",
+            F.col("p_user").alias("user_id"),
+            "click_id",
+            F.col("p_ts").cast("timestamp_ntz").alias("p_ts"),
+            F.col("c_ts").cast("timestamp_ntz").alias("c_ts"),
+        )
+        .orderBy("purchase_id", "click_id")
+    )
+
+
+@register(
+    "streaming_stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
+           p.ts AS p_ts, c.ts AS c_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+     AND c.ts <= p.ts
+    ORDER BY purchase_id, click_id
+    """,
+    doc="Stream-stream time-bounded inner join (watermarked both sides, AvailableNow).",
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stream_stream_join(spark, sf_dir)
