@@ -89,6 +89,7 @@ def load_all() -> dict[str, Query]:
         udfs,
         relational2,
         text2,
+        pipeline,
     )
     from n5_dask_spark.streaming import jobs, joins, stateful  # noqa: F401
 

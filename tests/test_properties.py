@@ -1,0 +1,98 @@
+"""Property-based tests (SURVEY.md §5.4) for the custom array kernels —
+the codec, fragment math, and windowed mean are pure functions, so
+hypothesis explores shapes/dtypes/factors far beyond the fixture.
+
+Spark-level rechunk roundtrips are covered by tests/test_n5.py; here the
+fragment/reassembly math itself is exercised via numpy-only paths so
+hypothesis can run hundreds of cases without Spark jobs."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+dims3 = st.tuples(
+    st.integers(1, 40), st.integers(1, 40), st.integers(1, 12)
+)  # x, y, z
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    dims=dims3,
+    dtype=st.sampled_from(["uint8", "uint16", "int32", "float32", "float64"]),
+    comp=st.sampled_from(
+        [{"type": "raw"}, {"type": "gzip"}, {"type": "gzip", "useZlib": True, "level": 1}]
+    ),
+    seed=st.integers(0, 2**31),
+)
+def test_codec_roundtrip_property(dims, dtype, comp, seed):
+    from n5_dask_spark.sources.n5.codec import decode_block, decode_header, encode_block
+
+    rng = np.random.default_rng(seed)
+    arr = (rng.random(tuple(reversed(dims))) * 200).astype(dtype)  # zyx
+    raw = encode_block(arr, dtype, comp)
+    mode, hdr_dims, _ = decode_header(raw)
+    assert mode == 0 and tuple(hdr_dims) == dims  # header is x-fastest
+    out = decode_block(raw, dtype, comp)
+    np.testing.assert_array_equal(out, arr)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    dims=dims3,
+    factors=st.tuples(st.integers(1, 4), st.integers(1, 4), st.integers(1, 3)),
+    seed=st.integers(0, 2**31),
+)
+def test_windowed_mean_property(dims, factors, seed):
+    """windowed_mean == brute-force window loop, incl. partial edge windows."""
+    from n5_dask_spark.sources.n5.transforms import windowed_mean_zyx
+
+    rng = np.random.default_rng(seed)
+    arr = (rng.random(tuple(reversed(dims))) * 100).astype("f8")  # zyx
+    fz, fy, fx = factors[2], factors[1], factors[0]
+    got = windowed_mean_zyx(arr, [fz, fy, fx])
+    import math
+
+    exp_shape = tuple(math.ceil(s / f) for s, f in zip(arr.shape, (fz, fy, fx)))
+    assert got.shape == exp_shape
+    # brute force a few sample windows (corners + center)
+    idxs = [(0, 0, 0), tuple(s - 1 for s in exp_shape)]
+    if all(s > 1 for s in exp_shape):
+        idxs.append(tuple(s // 2 for s in exp_shape))
+    for iz, iy, ix in idxs:
+        win = arr[
+            iz * fz : (iz + 1) * fz,
+            iy * fy : (iy + 1) * fy,
+            ix * fx : (ix + 1) * fx,
+        ]
+        np.testing.assert_allclose(got[iz, iy, ix], win.mean(), rtol=1e-12)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    dims=dims3,
+    old_bs=st.tuples(st.integers(1, 16), st.integers(1, 16), st.integers(1, 8)),
+    new_bs=st.tuples(st.integers(1, 16), st.integers(1, 16), st.integers(1, 8)),
+)
+def test_fragment_cover_property(dims, old_bs, new_bs):
+    """Every voxel is covered by exactly one (source block, target cell)
+    fragment: the invariant behind the rechunk shuffle."""
+    import itertools
+    import math
+
+    cover = np.zeros(tuple(reversed(dims)), dtype="i4")  # zyx
+    grid = [math.ceil(d / b) for d, b in zip(dims, old_bs)]
+    for g in itertools.product(*[range(n) for n in grid]):
+        b0 = [gi * bi for gi, bi in zip(g, old_bs)]
+        b1 = [min((gi + 1) * bi, d) for gi, bi, d in zip(g, old_bs, dims)]
+        cells = [range(s // nb, (e - 1) // nb + 1) for s, e, nb in zip(b0, b1, new_bs)]
+        for tcell in itertools.product(*cells):
+            t0 = [c * nb for c, nb in zip(tcell, new_bs)]
+            t1 = [min((c + 1) * nb, d) for c, nb, d in zip(tcell, new_bs, dims)]
+            lo = [max(a, b) for a, b in zip(b0, t0)]
+            hi = [min(a, b) for a, b in zip(b1, t1)]
+            sel = tuple(slice(lo[ax], hi[ax]) for ax in range(2, -1, -1))
+            cover[sel] += 1
+    assert (cover == 1).all()
