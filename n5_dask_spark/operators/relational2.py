@@ -146,6 +146,29 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unpivot_price_metrics",
+    oracle="""
+    SELECT p_partkey, metric, value FROM (
+      SELECT p_partkey, 'retail' AS metric, p_retailprice AS value FROM part
+      UNION ALL
+      SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
+    ) WHERE p_partkey <= 100
+    ORDER BY p_partkey, metric
+    """,
+    doc="UNPIVOT/melt: wide columns -> (metric, value) rows via df.unpivot.",
+)
+def unpivot_price_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("part",))
+    return (
+        t["part"]
+        .filter(F.col("p_partkey") <= 100)
+        .select("p_partkey", F.col("p_retailprice").alias("retail"), F.col("p_size").cast("double").alias("size"))
+        .unpivot("p_partkey", ["retail", "size"], "metric", "value")
+        .orderBy("p_partkey", "metric")
+    )
+
+
+@register(
     "agg_approx_distinct",
     oracle=None,  # HLL sketches are engine-specific; driver records rows-only
     doc=(
