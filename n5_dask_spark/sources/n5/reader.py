@@ -164,7 +164,17 @@ def read_region(
     hits = overlapping_blocks(attrs, start_xyz, end_xyz)
     if not hits:
         return np.zeros([0] * attrs.ndim, dtype=np_dtype(attrs.data_type))
-    paths = [os.path.join(container, dataset, *map(str, g)) for g in hits]
+    # N5 datasets are legally SPARSE: an absent block file means fill-value
+    # (zero) voxels, so only existing paths are scanned and the zero-
+    # initialized output covers the gaps.
+    paths = [
+        p
+        for g in hits
+        if os.path.exists(p := os.path.join(container, dataset, *map(str, g)))
+    ]
+    if not paths:
+        out_shape = tuple(e - s for s, e in zip(start_xyz, end_xyz))
+        return np.zeros(out_shape, dtype=np_dtype(attrs.data_type))
     tune_session(spark)
     raw_df = spark.read.format("binaryFile").load(paths)
     pat = r"/(\d+)" * attrs.ndim + r"$"

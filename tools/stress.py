@@ -1,0 +1,130 @@
+"""Scale-stress harness: synthesizes data ~30x the sf0.1 bench (deterministic
+spark.range generators, written to /tmp parquet) and runs the engine's core
+plan shapes at that volume, printing one JSON line per shape.
+
+    python tools/stress.py [rows]
+
+Shapes covered:
+- scan_agg:      q1-shaped decimal-exact aggregation over the fact table
+- join_large:    fact x fact-sized join forced to sort-merge
+- join_skewed:   join where 30%% of rows share ONE key -> AQE skew split
+- window_topk:   per-key row_number over the full table
+- minhash_sig:   the columnar md5 signature kernel at corpus scale
+
+This is the evidence that the bench-scale plans hold shape when data
+outgrows broadcast/single-partition comfort: watch for OOM-free completion,
+and for 'skewedJoin' appearing in the AQE-final skewed plan."""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from n5_dask_spark.session import get_spark
+
+
+def main(rows: int = 20_000_000) -> None:
+    spark = get_spark("n5ds-stress", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    spark.sparkContext.setLogLevel("ERROR")
+    base = os.path.join(tempfile.gettempdir(), f"n5ds-stress-{rows}")
+
+    fact_path = os.path.join(base, "fact.parquet")
+    if not os.path.exists(fact_path):
+        (
+            spark.range(rows)
+            .select(
+                F.col("id"),
+                (F.col("id") % 1_500_000).alias("orderkey"),
+                F.pmod(F.xxhash64("id"), F.lit(200000)).alias("partkey"),
+                (F.pmod(F.xxhash64("id", "id"), F.lit(10000)) / 100.0).alias("price"),
+                (F.pmod(F.xxhash64(F.col("id") + 1), F.lit(100)) / 1000.0).alias("discount"),
+                F.concat(F.lit("F"), (F.col("id") % 3).cast("string")).alias("flag"),
+                # skew key: 30% of rows land on key 0
+                F.when(F.col("id") % 10 < 3, 0).otherwise(F.col("id") % 100000).alias("skew_key"),
+            )
+            .write.mode("overwrite")
+            .parquet(fact_path)
+        )
+    fact = spark.read.parquet(fact_path)
+
+    out: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    fact.groupBy("flag").agg(
+        F.expr("CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE)").alias("sum_price"),
+        F.expr("CAST(SUM(CAST(price * (1 - discount) AS DECIMAL(18,6))) AS DOUBLE)").alias("sum_disc"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()
+    out["scan_agg"] = round(time.perf_counter() - t0, 2)
+
+    dim = fact.select("orderkey").distinct().withColumn("o_flag", F.col("orderkey") % 7)
+    t0 = time.perf_counter()
+    n = (
+        fact.hint("merge")
+        .join(dim, "orderkey")
+        .groupBy("o_flag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .count()
+    )
+    out["join_large_sortmerge"] = round(time.perf_counter() - t0, 2)
+    assert n == 7
+
+    hot_dim = spark.range(100000).select(
+        F.col("id").alias("skew_key"), (F.col("id") % 5).alias("grp")
+    )
+    # at 100 TB the defaults (256 MB) trigger naturally; at demo scale the
+    # hot partition is ~240 MB, so scale the thresholds down proportionally
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32m")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+    def run_skewed() -> float:
+        t0 = time.perf_counter()
+        (
+            fact.join(hot_dim.hint("merge"), "skew_key")
+            .groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        return round(time.perf_counter() - t0, 2)
+
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    out["join_skewed_aqe_off"] = run_skewed()
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    out["join_skewed_aqe_on"] = run_skewed()
+
+    t0 = time.perf_counter()
+    w = Window.partitionBy("partkey").orderBy(F.col("price").desc(), F.col("id"))
+    fact.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2).agg(
+        F.count(F.lit(1))
+    ).collect()
+    out["window_topk"] = round(time.perf_counter() - t0, 2)
+
+    docs = spark.range(rows // 200).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "transform(sequence(0, 49), i -> md5(concat(cast(id % 997 AS STRING), '-', cast(i AS STRING))))"
+        ).alias("shingles"),
+    )
+    t0 = time.perf_counter()
+    docs.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, 15), p -> array_min(transform(shingles,"
+            " s -> md5(concat(CAST(p AS STRING), '|', s)))))"
+        ).alias("sig"),
+    ).agg(F.count(F.lit(1))).collect()
+    out["minhash_sig"] = round(time.perf_counter() - t0, 2)
+
+    print(json.dumps({"rows": rows, "shapes": out}))
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000)
