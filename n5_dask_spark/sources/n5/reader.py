@@ -176,7 +176,12 @@ def read_region(
         out_shape = tuple(e - s for s, e in zip(start_xyz, end_xyz))
         return np.zeros(out_shape, dtype=np_dtype(attrs.data_type))
     tune_session(spark)
-    raw_df = spark.read.format("binaryFile").load(paths)
+    # ignoreMissingFiles closes the race between the existence check above
+    # and the read: a block sparsified mid-read degrades to fill-value
+    # instead of failing the job.
+    raw_df = (
+        spark.read.format("binaryFile").option("ignoreMissingFiles", "true").load(paths)
+    )
     pat = r"/(\d+)" * attrs.ndim + r"$"
     coord_cols = [
         F.regexp_extract("path", pat, i + 1).cast("int").alias(c)

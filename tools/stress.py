@@ -7,7 +7,7 @@ plan shapes at that volume, printing one JSON line per shape.
 Shapes covered:
 - scan_agg:      q1-shaped decimal-exact aggregation over the fact table
 - join_large:    fact x fact-sized join forced to sort-merge
-- join_skewed:   join where 30%% of rows share ONE key -> AQE skew split
+- join_skewed:   join where 30% of rows share ONE key -> AQE skew split
 - window_topk:   per-key row_number over the full table
 - minhash_sig:   the columnar md5 signature kernel at corpus scale
 
@@ -33,12 +33,14 @@ from n5_dask_spark.session import get_spark
 
 
 def main(rows: int = 20_000_000) -> None:
-    spark = get_spark("n5ds-stress", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    spark = get_spark("n5ds-stress")  # get_spark owns the SPARK_GRAFT_CPUS policy
     spark.sparkContext.setLogLevel("ERROR")
     base = os.path.join(tempfile.gettempdir(), f"n5ds-stress-{rows}")
 
     fact_path = os.path.join(base, "fact.parquet")
-    if not os.path.exists(fact_path):
+    # _SUCCESS marker, not bare existence: an interrupted prior write must
+    # regenerate, not silently benchmark a partial dataset
+    if not os.path.exists(os.path.join(fact_path, "_SUCCESS")):
         (
             spark.range(rows)
             .select(
@@ -76,13 +78,22 @@ def main(rows: int = 20_000_000) -> None:
         .count()
     )
     out["join_large_sortmerge"] = round(time.perf_counter() - t0, 2)
-    assert n == 7
+    assert n > 0, f"join produced no groups (rows={rows})"
 
     hot_dim = spark.range(100000).select(
         F.col("id").alias("skew_key"), (F.col("id") % 5).alias("grp")
     )
     # at 100 TB the defaults (256 MB) trigger naturally; at demo scale the
-    # hot partition is ~240 MB, so scale the thresholds down proportionally
+    # hot partition is ~240 MB, so scale the thresholds down proportionally.
+    # Saved + restored after the skew section so later shapes run under the
+    # engine's normal configuration.
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
     spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32m")
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
     def run_skewed() -> float:
@@ -99,6 +110,11 @@ def main(rows: int = 20_000_000) -> None:
     out["join_skewed_aqe_off"] = run_skewed()
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     out["join_skewed_aqe_on"] = run_skewed()
+    for k, v in saved.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
 
     t0 = time.perf_counter()
     w = Window.partitionBy("partkey").orderBy(F.col("price").desc(), F.col("id"))
