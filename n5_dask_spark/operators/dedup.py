@@ -23,8 +23,9 @@ Scale notes (100 TB):
   shuffle keys; hot buckets (boilerplate docs) are the skew case, handled
   by AQE skew-join splitting.
 - n-gram Jaccard joins on shingle then aggregates per pair; worst case is a
-  hot shingle (stopword trigram) — production would drop top-frequency
-  shingles first (the `HAVING` frequency cap mirrors that).
+  hot shingle (stopword trigram) — at production scale a top-frequency
+  shingle drop (document-frequency cap before the self-join) bounds the
+  join fan-out; not applied here so the oracle semantics stay plain Jaccard.
 - SimHash pair search here is bucket-free (fine at test scale); the scale
   path is blocking on simhash prefix bytes, same join shape as LSH.
 """

@@ -397,18 +397,21 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "set_except",
     oracle="""
-    SELECT n_nationkey AS nk FROM nation
+    SELECT o_custkey AS ck FROM orders WHERE o_orderstatus = 'P'
     EXCEPT
-    SELECT s_nationkey FROM supplier
-    ORDER BY nk
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    ORDER BY ck
     """,
-    doc="EXCEPT: nations with no supplier.",
+    doc="EXCEPT: customers with pending but no finished orders (duplicate-heavy left side).",
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir, ("nation", "supplier"))
-    a = t["nation"].select(F.col("n_nationkey").alias("nk"))
-    b = t["supplier"].select(F.col("s_nationkey").alias("nk"))
-    return a.exceptAll(b.distinct()).distinct().orderBy("nk")
+    t = load_tables(spark, sf_dir, ("orders",))
+    a = t["orders"].filter(F.col("o_orderstatus") == "P").select(F.col("o_custkey").alias("ck"))
+    b = t["orders"].filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("ck"))
+    # subtract == EXCEPT DISTINCT: drops EVERY left row whose value appears
+    # in b (exceptAll(b.distinct()) would only remove one occurrence each —
+    # and this left side genuinely has duplicates)
+    return a.subtract(b).orderBy("ck")
 
 
 @register(

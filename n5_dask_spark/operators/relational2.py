@@ -268,6 +268,7 @@ def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    edges.unpersist()  # labels are localCheckpointed; don't pin the cache
     return labels.select(F.col("u").alias("doc_id"), F.col("lbl").cast("bigint").alias("cluster_id")).orderBy(
         "doc_id"
     )

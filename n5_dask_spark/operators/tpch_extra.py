@@ -252,17 +252,19 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT SUBSTRING(c_name, 1, 9) AS name_prefix, COUNT(*) AS numcust,
            CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
     FROM customer
-    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.00)
+    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+                       FROM customer WHERE c_acctbal > 0.00)
       AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
     GROUP BY name_prefix
     ORDER BY name_prefix
     """,
-    doc="TPC-H Q22 adapted: scalar subquery (global avg) + anti join.",
+    doc="TPC-H Q22 adapted: scalar subquery (decimal-exact global avg) + anti join.",
 )
 def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("customer", "orders"))
-    # scalar subquery -> literal broadcast (deterministic plain AVG of doubles
-    # could drift across engines; use decimal-exact avg on both sides).
+    # the threshold is a row-gating comparison, so the scalar subquery's avg
+    # must be decimal-exact on BOTH engines (a last-ulp double difference
+    # could flip rows near the boundary)
     t["customer"].createOrReplaceTempView("customer")
     t["orders"].createOrReplaceTempView("orders")
     return spark.sql(
@@ -270,7 +272,8 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT SUBSTRING(c_name, 1, 9) AS name_prefix, COUNT(*) AS numcust,
                CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
         FROM customer
-        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.00)
+        WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+                           FROM customer WHERE c_acctbal > 0.00)
           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
         GROUP BY name_prefix
         ORDER BY name_prefix
@@ -308,19 +311,23 @@ def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice
     FROM orders o
-    WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey)
+    WHERE o_totalprice > 2 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+                              FROM orders i WHERE i.o_custkey = o.o_custkey)
     ORDER BY o_orderkey
     """,
-    doc="Correlated scalar subquery (decorrelated by Catalyst into an aggregate join).",
+    doc="Correlated scalar subquery (decorrelated by Catalyst; decimal-exact avg threshold).",
 )
 def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("orders",))
     t["orders"].createOrReplaceTempView("orders")
+    # decimal-exact per-key avg: the comparison gates rows, so both engines
+    # must compute the identical threshold double
     return spark.sql(
         """
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders o
-        WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey)
+        WHERE o_totalprice > 2 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+                                  FROM orders i WHERE i.o_custkey = o.o_custkey)
         ORDER BY o_orderkey
         """
     )

@@ -5,9 +5,12 @@ Determinism: every window ORDER BY carries a unique tiebreaker key so row
 numbering is total. Running float sums are decimal-exact (the frame fold
 order is then irrelevant).
 
-Scale: window functions shuffle once on partitionBy keys; at 100 TB the
-partition key (custkey/user_id) has bounded per-key cardinality, so no
-single-partition sort bottleneck (nothing uses a global ORDER BY frame).
+Scale: partitioned windows shuffle once on their partitionBy keys; at 100 TB
+the partition key (custkey/user_id) has bounded per-key cardinality, so no
+single-partition sort bottleneck. Two queries here (window_range_between,
+window_ntile) deliberately use GLOBAL windows to cover the un-partitioned
+frame semantics — those are single-partition by definition and would be
+re-expressed (pre-bucketed ntile, range-join) for a 100 TB input.
 """
 
 from __future__ import annotations

@@ -52,24 +52,6 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkFn]
     return deco
 
 
-# ---------------------------------------------------------------------------
-# Decimal-exact aggregation helpers (see module docstring).
-# ---------------------------------------------------------------------------
-
-def dsum_sql(col: str, alias: str, prec: int = 18, scale: int = 6) -> str:
-    """Exact float-sum expression, valid in BOTH Spark SQL and DuckDB."""
-    return f"CAST(SUM(CAST({col} AS DECIMAL({prec},{scale}))) AS DOUBLE) AS {alias}"
-
-
-def davg_sql(col: str, alias: str, prec: int = 18, scale: int = 6) -> str:
-    """Exact float-avg: decimal-exact sum divided by count (double / bigint
-    is deterministic IEEE division, identical across engines)."""
-    return (
-        f"CAST(SUM(CAST({col} AS DECIMAL({prec},{scale}))) AS DOUBLE)"
-        f" / COUNT({col}) AS {alias}"
-    )
-
-
 def load_all() -> dict[str, Query]:
     """Import every operator module (each registers its queries) and return
     the populated registry."""

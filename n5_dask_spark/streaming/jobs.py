@@ -15,35 +15,23 @@ state; AvailableNow gives incremental batch execution over the same code.
 
 from __future__ import annotations
 
-import pathlib
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from n5_dask_spark.catalog import load_table, table_path
 from n5_dask_spark.registry import register
 
 
 def run_streaming_tumbling(spark: SparkSession, sf_dir: str, gap: str = "1 hour") -> DataFrame:
-    """readStream -> withWatermark -> window agg -> memory sink (AvailableNow)."""
-    # Raw file schema: ts is TIMESTAMP(NANOS) -> read as int64 nanos
-    # (spark.sql.legacy.parquet.nanosAsLong, set by load_table) and convert
-    # inside the stream, same as the batch path.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
-    # FileStreamSource requires a directory; the testdata table is a single
-    # file. Stage a symlink dir (no data copy).
-    stage = pathlib.Path(tempfile.gettempdir()) / f"n5ds_stream_{abs(hash(sf_dir)) % 10**8}"
-    stage.mkdir(exist_ok=True)
-    link = stage / "events.parquet"
-    if not link.exists():
-        link.symlink_to(table_path(sf_dir, "events"))
+    """readStream -> withWatermark -> window agg -> memory sink (AvailableNow).
+
+    Source construction (nanos handling, staged symlink dir, UTC tuning) is
+    shared with the stateful jobs via _event_stream."""
+    from n5_dask_spark.streaming.stateful import _event_stream
+
     stream = (
-        spark.readStream.schema(raw_schema)
-        .parquet(str(stage))
-        .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+        _event_stream(spark, sf_dir)
         .withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", gap).alias("w"), "event_type")
         .agg(

@@ -36,11 +36,20 @@ from n5_dask_spark.registry import register
 
 
 def _staged_events_dir(sf_dir: str) -> str:
-    stage = pathlib.Path(tempfile.gettempdir()) / f"n5ds_stream_{abs(hash(sf_dir)) % 10**8}"
+    """FileStreamSource needs a directory; stage a symlink to the single
+    parquet file. Content-addressed by md5 of the path (hash() would vary or
+    collide), and stale/dangling symlinks are replaced."""
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    stage = pathlib.Path(tempfile.gettempdir()) / f"n5ds_stream_{tag}"
     stage.mkdir(exist_ok=True)
     link = stage / "events.parquet"
-    if not link.exists():
-        link.symlink_to(table_path(sf_dir, "events"))
+    target = table_path(sf_dir, "events")
+    if link.is_symlink() and os.readlink(link) != target:
+        link.unlink()
+    if not link.is_symlink():
+        link.symlink_to(target)
     return str(stage)
 
 
