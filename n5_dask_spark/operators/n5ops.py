@@ -103,6 +103,89 @@ def n5_rechunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "n5_intensity_histogram",
+    oracle=None,
+    doc=(
+        "Voxel-level analytics over the chunked array: per-block partial "
+        "histograms (numpy bincount inside the UDF) -> groupBy(bin) merge. "
+        "No voxel ever becomes a row; the shuffle carries n_bins rows per "
+        "block — the scale-correct shape for 100 TB volumes."
+    ),
+)
+def n5_intensity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from n5_dask_spark.sources.n5.metadata import read_attributes
+    from n5_dask_spark.sources.n5.reader import scan_block_files
+    from n5_dask_spark.sources.n5.codec import decode_block
+
+    attrs = read_attributes(FIXTURE, FIXTURE_DS)
+    data_type, compression = attrs.data_type, dict(attrs.compression)
+    n_bins = 16  # uint8 -> 16 bins of width 16
+
+    def partial_hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            acc = np.zeros(n_bins, dtype="int64")
+            for raw in pdf["raw"]:
+                a = decode_block(bytes(raw), data_type, compression)
+                acc += np.bincount(a.ravel() >> 4, minlength=n_bins)[:n_bins]
+            yield pd.DataFrame({"bin": np.arange(n_bins, dtype="int32"), "n_voxels": acc})
+
+    return (
+        scan_block_files(spark, FIXTURE, FIXTURE_DS)
+        .mapInPandas(partial_hist, schema="bin int, n_voxels long")
+        .groupBy("bin")
+        .agg(F.sum("n_voxels").alias("n_voxels"))
+        .filter(F.col("n_voxels") > 0)
+        .orderBy("bin")
+    )
+
+
+@register(
+    "n5_zprofile",
+    oracle=None,
+    doc=(
+        "Per-z-slice mean intensity: per-block partial (sum, count) by "
+        "global z -> merge -> exact mean. The array->relational bridge: "
+        "slice statistics as ordinary rows."
+    ),
+)
+def n5_zprofile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from n5_dask_spark.sources.n5.metadata import read_attributes
+    from n5_dask_spark.sources.n5.reader import scan_block_files
+    from n5_dask_spark.sources.n5.codec import decode_block
+
+    attrs = read_attributes(FIXTURE, FIXTURE_DS)
+    data_type, compression = attrs.data_type, dict(attrs.compression)
+    bz = attrs.block_size[2]
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for gz, raw in zip(pdf["gz"], pdf["raw"]):
+                a = decode_block(bytes(raw), data_type, compression)
+                sums = a.sum(axis=(1, 2), dtype="int64")
+                counts = a.shape[1] * a.shape[2]
+                for dz in range(a.shape[0]):
+                    rows.append((int(gz) * bz + dz, int(sums[dz]), counts))
+            yield pd.DataFrame(rows, columns=["z", "vsum", "n"])
+
+    return (
+        scan_block_files(spark, FIXTURE, FIXTURE_DS)
+        .mapInPandas(partial, schema="z int, vsum long, n long")
+        .groupBy("z")
+        .agg((F.sum("vsum") / F.sum("n")).alias("mean_intensity"), F.sum("n").alias("n_voxels"))
+        .orderBy("z")
+    )
+
+
+@register(
     "n5_downsample_stats",
     oracle=None,
     doc=(
