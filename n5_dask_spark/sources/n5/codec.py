@@ -114,7 +114,11 @@ def decode_header(raw: bytes) -> tuple[int, tuple[int, ...], int]:
 def decode_block(raw: bytes, data_type: str, compression: dict[str, Any] | None) -> np.ndarray:
     """Decode one block file -> C-order ndarray with axes REVERSED vs the
     header (header is x-fastest; returned shape is (z, y, x) for 3-D)."""
-    _, dims, offset = decode_header(raw)
+    mode, dims, offset = decode_header(raw)
+    if mode == HEADER_MODE_VARLENGTH:
+        # varlength blocks (label multisets) have num_elements != prod(dims);
+        # reject explicitly rather than failing the size check below
+        raise ValueError("varlength (mode 1) N5 blocks are not supported")
     payload = _decompress(raw[offset:], compression)
     be = np_dtype(data_type).newbyteorder(">")
     arr = np.frombuffer(payload, dtype=be)

@@ -96,8 +96,12 @@ class N5Reader(DataSourceReader):
         from n5_dask_spark.sources.n5.metadata import read_attributes
 
         attrs = read_attributes(self.container, self.dataset)
-        with open(partition.path, "rb") as f:
-            arr = decode_block(f.read(), attrs.data_type, attrs.compression)
+        try:
+            with open(partition.path, "rb") as f:
+                raw = f.read()
+        except FileNotFoundError:
+            return  # block sparsified after planning -> fill-value (no row)
+        arr = decode_block(raw, attrs.data_type, attrs.compression)
         g = list(partition.grid) + [0] * (3 - len(partition.grid))
         yield (g[0], g[1], g[2], list(arr.shape), arr.tobytes())
 

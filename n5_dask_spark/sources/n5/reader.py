@@ -70,10 +70,31 @@ STATS_SCHEMA = StructType(
 
 
 def scan_block_files(spark: SparkSession, container: str, dataset: str, ndim: int = 3) -> DataFrame:
-    """Raw block-file scan: (gx, gy, gz, length, raw) via binaryFile."""
+    """Raw block-file scan: (gx, gy, gz, length, raw) via binaryFile.
+
+    A fully-sparse dataset (attributes.json, zero block files) is legal N5
+    and scans as an EMPTY DataFrame, not an error."""
     tune_session(spark)
     glob = "/".join(["*"] * ndim)
-    df = spark.read.format("binaryFile").load(os.path.join(container, dataset, glob))
+    try:
+        df = spark.read.format("binaryFile").load(os.path.join(container, dataset, glob))
+    except Exception as exc:  # binaryFile raises when the glob matches nothing
+        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+            raise
+        from pyspark.sql.types import (
+            BinaryType as _B,
+            IntegerType as _I,
+            LongType as _L,
+            StringType as _S,
+            StructField as _F,
+            StructType as _T,
+        )
+
+        empty = _T(
+            [_F(c, _I()) for c in ("gx", "gy", "gz")[:ndim]]
+            + [_F("length", _L()), _F("raw", _B()), _F("path", _S())]
+        )
+        return spark.createDataFrame([], empty)
     # grid coords are the last `ndim` path segments: .../gx/gy/gz
     pat = r"/(\d+)" * ndim + r"$"
     cols = [
@@ -163,7 +184,10 @@ def read_region(
     attrs = read_attributes(container, dataset)
     hits = overlapping_blocks(attrs, start_xyz, end_xyz)
     if not hits:
-        return np.zeros([0] * attrs.ndim, dtype=np_dtype(attrs.data_type))
+        # consistent fill-value contract: out-of-bounds regions return the
+        # REQUESTED shape of zeros, same as regions over absent blocks
+        out_shape = tuple(e - s for s, e in zip(start_xyz, end_xyz))
+        return np.zeros(out_shape, dtype=np_dtype(attrs.data_type))
     # N5 datasets are legally SPARSE: an absent block file means fill-value
     # (zero) voxels, so only existing paths are scanned and the zero-
     # initialized output covers the gaps.

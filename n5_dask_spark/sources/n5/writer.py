@@ -81,6 +81,7 @@ def write_blocks(
     write_attributes(container, dataset, attrs)
     data_type, compression = attrs.data_type, dict(attrs.compression)
     dt = np_dtype(data_type)
+    ndim = attrs.ndim  # block paths are exactly ndim levels deep
 
     def sink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n = 0
@@ -89,7 +90,8 @@ def write_blocks(
                 pdf["gx"], pdf["gy"], pdf["gz"], pdf["shape_zyx"], pdf["data"]
             ):
                 arr = np.frombuffer(bytes(data), dtype=dt).reshape(list(shape))
-                path = os.path.join(container, dataset, str(int(gx)), str(int(gy)), str(int(gz)))
+                coords = (int(gx), int(gy), int(gz))[:ndim]
+                path = os.path.join(container, dataset, *map(str, coords))
                 _atomic_write(path, encode_block(arr, data_type, compression))
                 n += 1
         yield pd.DataFrame({"written": [n]})
@@ -100,7 +102,9 @@ def write_blocks(
         .agg(F.sum("written"))
         .collect()
     )
-    assert counts[0][0] is not None
+    written = counts[0][0] or 0  # empty blocks DF -> valid no-op write
+    if written > attrs.n_blocks:
+        raise RuntimeError(f"wrote {written} blocks for a {attrs.n_blocks}-block grid")
 
 
 def write_array(
@@ -145,7 +149,8 @@ def write_array(
                     for g, b, d in zip(grid[::-1], bs_xyz[::-1], vol.shape)
                 )
                 block = np.ascontiguousarray(vol[sel]).astype(dt)
-                out.append((*grid, list(block.shape), block.tobytes()))
+                # pad grid coords to the fixed 3-column schema for ndim < 3
+                out.append((*(list(grid) + [0] * (3 - ndim)), list(block.shape), block.tobytes()))
             yield pd.DataFrame(out, columns=["gx", "gy", "gz", "shape_zyx", "data"])
 
     blocks = grid_df(spark, attrs).mapInPandas(make_blocks, schema=(
@@ -211,21 +216,21 @@ def create_from_template(
     if compression == "same":
         comp = dict(t.compression)
     elif isinstance(compression, str):
-        comp = {"type": compression} if compression != "raw" else {"type": "raw"}
+        comp = {"type": compression}
     else:
         comp = dict(compression)
+    extra = {
+        k: v
+        for k, v in read_raw_attributes(template_container, template_dataset).items()
+        if k not in ("dataType", "dimensions", "blockSize", "compression")
+    }
     attrs = DatasetAttributes(
         data_type=t.data_type if data_type == "same" else data_type,
         dimensions=list(t.dimensions),
         block_size=list(t.block_size),
         compression=comp,
-        extra=dict(read_raw_attributes(template_container, template_dataset)),
+        extra=extra,
     )
-    attrs.extra = {
-        k: v
-        for k, v in attrs.extra.items()
-        if k not in ("dataType", "dimensions", "blockSize", "compression")
-    }
     write_attributes(out_container, out_dataset, attrs)
     return attrs
 

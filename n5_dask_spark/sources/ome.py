@@ -5,8 +5,9 @@
 Shape of the computation (mirrors the reference's design, re-expressed on
 DataFrames):
 1. Driver-side metadata parse — page count, dimension order, per-page IFD
-   offsets (tiff_page_offsets; the analog of the reference's ome_types parse
-   at src/ometif_to_n5.py:34-74). No pixel I/O on the driver.
+   offsets via SEEK-based reads (tiff_page_offsets_file; the analog of the
+   reference's ome_types parse at src/ometif_to_n5.py:34-74). No pixel I/O
+   on the driver, O(pages) small reads regardless of file size.
 2. A page-index DataFrame (page, c, z) is the work spine (T11 grid
    enumeration); each executor task opens the file LOCALLY and decodes only
    its assigned pages (the `_get_block_data` random-access pattern,
@@ -40,7 +41,7 @@ from n5_dask_spark.sources.n5.codec import data_type_of
 from n5_dask_spark.sources.n5.metadata import DatasetAttributes
 from n5_dask_spark.sources.n5.transforms import BLOCK_SCHEMA_DDL, rechunk
 from n5_dask_spark.sources.n5.writer import write_blocks
-from n5_dask_spark.sources.tiff import decode_tiff_page, tiff_page_offsets
+from n5_dask_spark.sources.tiff import decode_tiff_page_file, tiff_page_offsets_file
 
 
 def ome_tif_to_n5(
@@ -56,53 +57,55 @@ def ome_tif_to_n5(
 ) -> list[DatasetAttributes]:
     """Convert a multichannel multi-page TIFF into c{c}/{dataset} N5 volumes."""
     tune_session(spark)
-    with open(image_path, "rb") as f:
-        head = f.read()
-    _, offsets = tiff_page_offsets(head)
+    # Metadata walk via seeks: O(pages) small reads, NO pixel I/O on the
+    # driver regardless of file size.
+    endian, offsets = tiff_page_offsets_file(image_path)
     n_pages = len(offsets)
     if n_pages % n_channels:
         raise ValueError(f"{n_pages} pages not divisible by {n_channels} channels")
     n_z = n_pages // n_channels
-    first = decode_tiff_page(head, 0)
+    first = decode_tiff_page_file(image_path, offsets[0], endian)
     dims_xyz = [first.shape[1], first.shape[0], n_z]
     data_type = data_type_of(first.dtype)
 
     if dim_order == "cz":
-        pages = [(p, p // n_z, p % n_z) for p in range(n_pages)]
+        pages = [(p, offsets[p], p // n_z, p % n_z) for p in range(n_pages)]
     elif dim_order == "zc":
-        pages = [(p, p % n_channels, p // n_channels) for p in range(n_pages)]
+        pages = [(p, offsets[p], p % n_channels, p // n_channels) for p in range(n_pages)]
     else:
         raise ValueError("dim_order must be 'cz' or 'zc'")
 
-    spine = spark.createDataFrame(pages, "page int, c int, z int").repartition(
+    spine = spark.createDataFrame(pages, "page int, ifd long, c int, z int").repartition(
         max(1, spark.sparkContext.defaultParallelism), "page"
     )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        buf: bytes | None = None
         for pdf in batches:
-            if buf is None:
-                with open(image_path, "rb") as f:
-                    buf = f.read()
             rows = []
-            for page, c, z in zip(pdf["page"], pdf["c"], pdf["z"]):
-                arr = decode_tiff_page(buf, int(page))[None, :, :]
+            for ifd, c, z in zip(pdf["ifd"], pdf["c"], pdf["z"]):
+                # range reads: each task touches only its pages' strips
+                arr = decode_tiff_page_file(image_path, int(ifd), endian)[None, :, :]
                 rows.append((int(c), 0, 0, int(z), list(arr.shape), arr.tobytes()))
             yield pd.DataFrame(rows, columns=["c", "gx", "gy", "gz", "shape_zyx", "data"])
 
-    slice_blocks = spine.mapInPandas(decode, schema="c int, " + BLOCK_SCHEMA_DDL)
-    slice_attrs = DatasetAttributes(
-        data_type=data_type,
-        dimensions=dims_xyz,
-        block_size=[dims_xyz[0], dims_xyz[1], 1],
-        compression=compression or {"type": "raw"},
-    )
-    out = []
-    for c in range(n_channels):
-        chan = slice_blocks.filter(F.col("c") == c).drop("c")
-        blocks, attrs = rechunk(chan, slice_attrs, list(block_size))
-        write_blocks(blocks, container, f"{group}/c{c}/{dataset}", attrs)
-        out.append(attrs)
+    # decode ONCE (persisted), then fan out per channel — the per-channel
+    # rechunk jobs must not re-read and re-decode every page n_channels times
+    slice_blocks = spine.mapInPandas(decode, schema="c int, " + BLOCK_SCHEMA_DDL).persist()
+    try:
+        slice_attrs = DatasetAttributes(
+            data_type=data_type,
+            dimensions=dims_xyz,
+            block_size=[dims_xyz[0], dims_xyz[1], 1],
+            compression=compression or {"type": "raw"},
+        )
+        out = []
+        for c in range(n_channels):
+            chan = slice_blocks.filter(F.col("c") == c).drop("c")
+            blocks, attrs = rechunk(chan, slice_attrs, list(block_size))
+            write_blocks(blocks, container, f"{group}/c{c}/{dataset}", attrs)
+            out.append(attrs)
+    finally:
+        slice_blocks.unpersist()
     return out
 
 

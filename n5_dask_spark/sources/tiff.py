@@ -86,11 +86,15 @@ def encode_tiff(arr: np.ndarray) -> bytes:
     return bytes(out)
 
 
-def _read_tag_value(buf: bytes, endian: str, typ: int, cnt: int, raw: bytes) -> list[int]:
+def _read_tag_value(buf: bytes, endian: str, typ: int, cnt: int, raw: bytes) -> list[int] | None:
+    """Integer tag types decode; anything else (ASCII descriptions, RATIONAL
+    resolutions, ...) returns None — such tags are metadata the pixel decoder
+    never consumes, and real-world writers (ImageJ, tifffile) always emit
+    some of them."""
     sizes = {1: 1, 3: 2, 4: 4}
     fmts = {1: "B", 3: "H", 4: "I"}
     if typ not in sizes:
-        raise ValueError(f"unsupported TIFF tag type {typ}")
+        return None
     total = sizes[typ] * cnt
     if total <= 4:
         data = raw[:total]
@@ -106,7 +110,9 @@ def _parse_ifd(buf: bytes, endian: str, ifd_off: int) -> tuple[dict[int, list[in
     for i in range(n_entries):
         tag, typ, cnt = struct.unpack_from(endian + "HHI", buf, ifd_off + 2 + 12 * i)
         raw = buf[ifd_off + 2 + 12 * i + 8 : ifd_off + 2 + 12 * i + 12]
-        tags[tag] = _read_tag_value(buf, endian, typ, cnt, raw)
+        val = _read_tag_value(buf, endian, typ, cnt, raw)
+        if val is not None:
+            tags[tag] = val
     (next_ifd,) = struct.unpack_from(endian + "I", buf, ifd_off + 2 + 12 * n_entries)
     return tags, next_ifd
 
@@ -148,6 +154,77 @@ def decode_tiff_page(buf: bytes, page: int = 0) -> np.ndarray:
         raise IndexError(f"page {page} out of range ({len(offsets)} pages)")
     tags, _ = _parse_ifd(buf, endian, offsets[page])
     return _decode_page(buf, endian, tags)
+
+
+# ---------------------------------------------------------------------------
+# Seek-based (range-read) access: IFD walk + per-page strip reads without
+# loading the file — the path large OME volumes must take.
+# ---------------------------------------------------------------------------
+
+
+def _parse_ifd_file(f, endian: str, ifd_off: int) -> tuple[dict[int, list[int]], int]:
+    f.seek(ifd_off)
+    (n_entries,) = struct.unpack(endian + "H", f.read(2))
+    entries_raw = f.read(12 * n_entries)
+    (next_ifd,) = struct.unpack(endian + "I", f.read(4))
+    sizes = {1: 1, 3: 2, 4: 4}
+    fmts = {1: "B", 3: "H", 4: "I"}
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        tag, typ, cnt = struct.unpack_from(endian + "HHI", entries_raw, 12 * i)
+        raw = entries_raw[12 * i + 8 : 12 * i + 12]
+        if typ not in sizes:
+            continue  # metadata tag types the decoder never consumes
+        total = sizes[typ] * cnt
+        if total <= 4:
+            data = raw[:total]
+        else:
+            (off,) = struct.unpack(endian + "I", raw)
+            pos = f.tell()
+            f.seek(off)
+            data = f.read(total)
+            f.seek(pos)
+        tags[tag] = list(struct.unpack(f"{endian}{cnt}{fmts[typ]}", data))
+    return tags, next_ifd
+
+
+def tiff_page_offsets_file(path: str) -> tuple[str, list[int]]:
+    """Like tiff_page_offsets but via seeks: O(pages) metadata reads, no
+    pixel I/O, regardless of file size."""
+    with open(path, "rb") as f:
+        head = f.read(8)
+        order = head[:2]
+        endian = "<" if order == b"II" else ">" if order == b"MM" else None
+        if endian is None:
+            raise ValueError("not a TIFF file")
+        magic, ifd_off = struct.unpack_from(endian + "HI", head, 2)
+        if magic != 42:
+            raise ValueError("not a classic TIFF (BigTIFF unsupported)")
+        offsets = []
+        while ifd_off != 0:
+            offsets.append(ifd_off)
+            _, ifd_off = _parse_ifd_file(f, endian, ifd_off)
+    return endian, offsets
+
+
+def decode_tiff_page_file(path: str, ifd_offset: int, endian: str) -> np.ndarray:
+    """Decode ONE page by reading only its IFD and strip byte ranges."""
+    with open(path, "rb") as f:
+        tags, _ = _parse_ifd_file(f, endian, ifd_offset)
+        if tags.get(_COMP, [1])[0] != 1:
+            raise ValueError("compressed TIFF unsupported")
+        if tags.get(_SPP, [1])[0] != 1:
+            raise ValueError("multi-sample (RGB) TIFF unsupported")
+        w, h = tags[_W][0], tags[_H][0]
+        bits = tags[_BITS][0]
+        kind = _FMT_KIND[tags.get(_SFMT, [1])[0]]
+        dt = np.dtype(f"{endian}{kind}{bits // 8}")
+        chunks = []
+        for off, cnt in zip(tags[_STRIP_OFF], tags[_STRIP_CNT]):
+            f.seek(off)
+            chunks.append(f.read(cnt))
+    payload = b"".join(chunks)
+    return np.frombuffer(payload, dtype=dt).reshape(h, w).astype(dt.newbyteorder("="))
 
 
 def decode_tiff(buf: bytes) -> np.ndarray:

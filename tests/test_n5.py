@@ -115,9 +115,10 @@ def test_read_region_matches_golden(spark):
     # region straddling all four blocks
     reg = read_region(spark, FIXTURE, FIXTURE_DS, [100, 100, 5], [150, 160, 20])
     np.testing.assert_array_equal(reg, golden[100:150, 100:160, 5:20])
-    # clamped + empty regions
+    # clamped + out-of-bounds regions (fill-value contract: requested shape)
     assert read_region(spark, FIXTURE, FIXTURE_DS, [0, 0, 0], [1, 1, 1]).shape == (1, 1, 1)
-    assert read_region(spark, FIXTURE, FIXTURE_DS, [300, 0, 0], [310, 1, 1]).size == 0
+    oob = read_region(spark, FIXTURE, FIXTURE_DS, [300, 0, 0], [310, 1, 1])
+    assert oob.shape == (10, 1, 1) and (oob == 0).all()
 
 
 @pytest.mark.parametrize("comp", [{"type": "raw"}, {"type": "gzip"}, {"type": "bzip2"}])

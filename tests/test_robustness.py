@@ -62,3 +62,65 @@ def test_empty_tif_dir_errors(spark):
 
     with pytest.raises(FileNotFoundError, match=r"no \*\.tif"):
         tif_series_scan(spark, tempfile.mkdtemp())
+
+
+def test_write_array_2d(spark):
+    """write_array must handle non-3-D arrays (grid padded to 3 columns)."""
+    from n5_dask_spark.sources.n5.reader import read_full
+    from n5_dask_spark.sources.n5.writer import temp_container, write_array
+
+    arr = np.arange(35, dtype="u2").reshape(7, 5).T  # xyz = (5, 7)... 2-D x,y
+    c = temp_container()
+    write_array(spark, np.ascontiguousarray(arr), c, "img/s0", [4, 4])
+    back = read_full(spark, c, "img/s0")
+    np.testing.assert_array_equal(back, arr)
+
+
+def test_fully_sparse_dataset_scans_empty(spark):
+    """attributes.json with zero block files is legal N5."""
+    from n5_dask_spark.sources.n5.metadata import DatasetAttributes, write_attributes
+    from n5_dask_spark.sources.n5.reader import block_stats, read_region, scan_block_files
+    from n5_dask_spark.sources.n5.writer import temp_container
+
+    c = temp_container()
+    write_attributes(
+        c, "empty/s0",
+        DatasetAttributes("uint8", [10, 10, 4], [4, 4, 4], {"type": "raw"}),
+    )
+    assert scan_block_files(spark, c, "empty/s0").count() == 0
+    assert block_stats(spark, c, "empty/s0").count() == 0
+    reg = read_region(spark, c, "empty/s0", [0, 0, 0], [10, 10, 4])
+    assert reg.shape == (10, 10, 4) and (reg == 0).all()
+
+
+def test_tiff_with_metadata_tags_decodes():
+    """Real-world writers add ASCII/RATIONAL tags; the decoder must skip
+    them, not crash."""
+    import struct
+
+    from n5_dask_spark.sources.tiff import decode_tiff
+
+    arr = np.arange(12, dtype="u1").reshape(3, 4)
+    data = arr.tobytes()
+    desc = b"ImageJ=1.53\x00"
+    out = bytearray()
+    out += struct.pack("<2sHI", b"II", 42, 8 + len(data) + len(desc) + 8)
+    out += data
+    desc_off = len(out)
+    out += desc
+    rat_off = len(out)
+    out += struct.pack("<II", 72, 1)  # RATIONAL 72/1 dpi
+    entries = [
+        (256, 3, 1, 4), (257, 3, 1, 3), (258, 3, 1, 8), (259, 3, 1, 1),
+        (262, 3, 1, 1),
+        (270, 2, len(desc), desc_off),     # ImageDescription (ASCII)
+        (273, 4, 1, 8), (277, 3, 1, 1), (278, 3, 1, 3),
+        (279, 4, 1, len(data)),
+        (282, 5, 1, rat_off),              # XResolution (RATIONAL)
+        (339, 3, 1, 1),
+    ]
+    out += struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        out += struct.pack("<HHII", tag, typ, cnt, val)
+    out += struct.pack("<I", 0)
+    np.testing.assert_array_equal(decode_tiff(bytes(out)), arr)
