@@ -139,6 +139,38 @@ def main(rows: int = 20_000_000) -> None:
     ).agg(F.count(F.lit(1))).collect()
     out["minhash_sig"] = round(time.perf_counter() - t0, 2)
 
+    # --- chunked-array shapes: write / rechunk / multiscale a 512x512x256
+    # uint16 volume (~134 MB decoded, 64 blocks of 128^3) ---
+    import numpy as np
+
+    from n5_dask_spark.sources.n5.metadata import read_attributes
+    from n5_dask_spark.sources.n5.reader import decoded_blocks
+    from n5_dask_spark.sources.n5.transforms import build_multiscale, rechunk
+    from n5_dask_spark.sources.n5.writer import write_array, write_blocks
+
+    vol_dims = (512, 512, 256)
+    n5_dir = os.path.join(base, "vol.n5")
+    t0 = time.perf_counter()
+    if not os.path.exists(os.path.join(n5_dir, "img/s0/attributes.json")):
+        rng = np.random.default_rng(0)
+        vol = (rng.random(vol_dims) * 60000).astype("u2")
+        write_array(
+            spark, vol, n5_dir, "img/s0", [128, 128, 128], compression={"type": "gzip"}
+        )
+    out["n5_write_134mb"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    blocks, attrs2 = rechunk(
+        decoded_blocks(spark, n5_dir, "img/s0"), read_attributes(n5_dir, "img/s0"), [96, 96, 96]
+    )
+    write_blocks(blocks, os.path.join(base, "vol96.n5"), "img/s0", attrs2)
+    out["n5_rechunk_134mb"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    levels = build_multiscale(spark, n5_dir, "img")
+    out["n5_multiscale_134mb"] = round(time.perf_counter() - t0, 2)
+    out["n5_levels"] = len(levels)
+
     print(json.dumps({"rows": rows, "shapes": out}))
 
 
