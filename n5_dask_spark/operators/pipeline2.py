@@ -1,0 +1,135 @@
+"""Training-data pipeline operators, part 2: deterministic dataset
+splitting, sequence packing, and text scrubbing — the remaining plumbing a
+100 TB corpus pipeline needs between cleaning and tokenization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from n5_dask_spark.catalog import load_tables
+from n5_dask_spark.operators.dedup import DUCK_TOKENS, SPARK_TOKENS
+from n5_dask_spark.registry import register
+
+PACK_BUDGET = 512  # tokens per packed sequence
+
+
+@register(
+    "pipeline_train_val_split",
+    oracle="""
+    WITH split AS (
+      SELECT doc_id, lang, n_chars,
+             CASE WHEN (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) < 14
+                  THEN 'train' ELSE 'val' END AS split
+      FROM documents
+    )
+    SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM split GROUP BY split, lang ORDER BY split, lang
+    """,
+    doc=(
+        "Deterministic train/val split: first md5 nibble of the doc id "
+        "buckets 16 ways (14 train / 2 val = 87.5/12.5). Hash-based splits "
+        "are stable under reprocessing and resharding — the property random "
+        "splits lack at scale."
+    ),
+)
+def pipeline_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    nibble = F.expr("instr('0123456789abcdef', substring(md5(CAST(doc_id AS STRING)), 1, 1)) - 1")
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.when(nibble < 14, "train").otherwise("val").alias("split"),
+        )
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").cast("bigint").alias("total_chars"))
+        .orderBy("split", "lang")
+    )
+
+
+@register(
+    "pipeline_sequence_packing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, CAST(len({DUCK_TOKENS}) AS BIGINT) AS n_tokens FROM documents
+    ), packed AS (
+      SELECT doc_id, n_tokens,
+             CAST((SUM(n_tokens) OVER (ORDER BY doc_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens) // {PACK_BUDGET} AS BIGINT) AS pack_id
+      FROM toks
+    )
+    SELECT pack_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM packed GROUP BY pack_id ORDER BY pack_id
+    """,
+    doc=(
+        "Sequence packing: running token count over a stable document order "
+        "assigns each doc to the pack where its window starts (greedy "
+        "first-fit in order). The running sum is one window pass; at 100 TB "
+        "this runs per shard (partitionBy shard id) with identical code."
+    ),
+)
+def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    toks = t["documents"].select(
+        "doc_id", F.size(F.expr(SPARK_TOKENS)).cast("bigint").alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    packed = toks.select(
+        "doc_id",
+        "n_tokens",
+        ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_BUDGET)
+        .cast("bigint")
+        .alias("pack_id"),
+    )
+    return (
+        packed.groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("pack_id")
+    )
+
+
+@register(
+    "text_pii_scrub",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(
+                 regexp_replace(text, '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+', '<EMAIL>', 'g'),
+                 '[0-9]{3}[- ][0-9]{4}', '<PHONE>', 'g')) AS scrubbed_hash,
+           CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INT) AS n_digits
+    FROM documents WHERE doc_id < 100 ORDER BY doc_id
+    """,
+    doc=(
+        "PII scrubbing plumbing: email/phone patterns replaced with "
+        "placeholder tokens (regexp_replace, JVM-side); output hashed so the "
+        "whole scrubbed text is oracle-checked without shipping it."
+    ),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+", "<EMAIL>"),
+        "[0-9]{3}[- ][0-9]{4}",
+        "<PHONE>",
+    )
+    return (
+        t["documents"]
+        .filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            F.md5(scrubbed).alias("scrubbed_hash"),
+            (F.length("text") - F.length(F.regexp_replace("text", "[0-9]", ""))).cast("int").alias("n_digits"),
+        )
+        .orderBy("doc_id")
+    )

@@ -72,6 +72,7 @@ def load_all() -> dict[str, Query]:
         relational2,
         text2,
         pipeline,
+        pipeline2,
     )
     from n5_dask_spark.streaming import jobs, joins, stateful  # noqa: F401
 
