@@ -46,7 +46,9 @@ HEADLINE = [
 
 
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from n5_dask_spark.catalog import DEFAULT_SF_DIR
+
+    sf_dir = DEFAULT_SF_DIR
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     try:
         sf = float(pathlib.Path(sf_dir).name.replace("sf", ""))

@@ -47,11 +47,10 @@ def _compression(arg: str) -> dict | str:
 
 
 def _spark(args: argparse.Namespace):
-    spark = get_spark("n5_dask_spark-cli", cpus=args.cpus)
-    for kv in args.conf or []:
-        k, _, v = kv.partition("=")
-        spark.conf.set(k, v)
-    return spark
+    # --conf must reach the BUILDER: static/core confs (executor memory etc.)
+    # cannot be set after getOrCreate
+    extra = dict(kv.partition("=")[::2] for kv in (args.conf or []))
+    return get_spark("n5_dask_spark-cli", cpus=args.cpus, extra_conf=extra)
 
 
 def _add_common(p: argparse.ArgumentParser) -> None:
@@ -119,6 +118,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "tif-to-n5":
         from n5_dask_spark.sources.tiff import tif_series_to_n5
 
+        if args.compression == "same":
+            ap.error("--compression same requires a template; valid only for create-n5")
         attrs = tif_series_to_n5(
             _spark(args),
             args.input,
@@ -130,7 +131,9 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(json.dumps({"written": args.output, "attributes": attrs.to_json()}))
     elif args.cmd == "n5-to-tif":
-        if args.start or args.end:
+        if bool(args.start) != bool(args.end):
+            ap.error("--start and --end must be given together")
+        if args.start and args.end:
             from n5_dask_spark.sources.tiff import n5_region_to_tif
 
             n5_region_to_tif(
@@ -177,11 +180,13 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "ometif-to-n5":
         from n5_dask_spark.sources.ome import ome_tif_to_n5
 
+        if args.compression == "same":
+            ap.error("--compression same requires a template; valid only for create-n5")
         attrs = ome_tif_to_n5(
             _spark(args),
             args.input,
             args.output,
-            args.group,
+            args.group.strip("/"),
             _parse_ints(args.chunk_size),
             n_channels=args.n_channels,
             dim_order=args.dim_order,

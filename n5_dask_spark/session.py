@@ -37,10 +37,15 @@ DEFAULT_CONFS: dict[str, str] = {
 }
 
 
-def get_spark(app_name: str = "n5_dask_spark", cpus: int | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "n5_dask_spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
     """Build (or fetch) a SparkSession on local[cpus].
 
-    ``cpus`` defaults to $SPARK_GRAFT_CPUS or '*'.
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS or '*'. ``extra_conf`` entries are
+    applied to the BUILDER (so static confs work) and override defaults.
     """
     if cpus is None:
         env = os.environ.get("SPARK_GRAFT_CPUS")
@@ -48,7 +53,7 @@ def get_spark(app_name: str = "n5_dask_spark", cpus: int | None = None) -> Spark
     else:
         master = f"local[{cpus}]"
     builder = SparkSession.builder.appName(app_name).master(master)
-    for k, v in DEFAULT_CONFS.items():
+    for k, v in {**DEFAULT_CONFS, **(extra_conf or {})}.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
 

@@ -102,7 +102,10 @@ def ome_tif_to_n5(
         for c in range(n_channels):
             chan = slice_blocks.filter(F.col("c") == c).drop("c")
             blocks, attrs = rechunk(chan, slice_attrs, list(block_size))
-            write_blocks(blocks, container, f"{group}/c{c}/{dataset}", attrs)
+            # empty group -> "c{c}/{dataset}", never a leading "/" (which
+            # os.path.join would treat as an absolute path)
+            ds = "/".join(p for p in (group.strip("/"), f"c{c}", dataset) if p)
+            write_blocks(blocks, container, ds, attrs)
             out.append(attrs)
     finally:
         slice_blocks.unpersist()

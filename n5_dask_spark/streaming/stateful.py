@@ -46,10 +46,16 @@ def _staged_events_dir(sf_dir: str) -> str:
     stage.mkdir(exist_ok=True)
     link = stage / "events.parquet"
     target = table_path(sf_dir, "events")
-    if link.is_symlink() and os.readlink(link) != target:
-        link.unlink()
+    if link.is_symlink():
+        if os.readlink(link) != target:
+            link.unlink()
+    elif link.exists():
+        raise RuntimeError(f"stage path {link} is occupied by a non-symlink")
     if not link.is_symlink():
-        link.symlink_to(target)
+        try:
+            link.symlink_to(target)
+        except FileExistsError:
+            pass  # concurrent stager won the race with the same target
     return str(stage)
 
 
@@ -73,10 +79,15 @@ def run_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         n, total_micro = state.get if state.exists else (0, 0)
+        import numpy as np
+
         for pdf in pdfs:
             n += len(pdf)
-            # integer micro-units: exact accumulation, no float drift
-            total_micro += int((pdf["value"] * 1_000_000).round().astype("int64").sum())
+            # integer micro-units: exact accumulation, no float drift.
+            # half-AWAY-FROM-ZERO to match SQL ROUND (pandas .round() is
+            # half-to-even and would diverge on exact .5 products)
+            v = (pdf["value"] * 1_000_000).to_numpy()
+            total_micro += int((np.sign(v) * np.floor(np.abs(v) + 0.5)).astype("int64").sum())
         state.update((n, total_micro))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "sum_value_micro": [total_micro]}

@@ -102,3 +102,34 @@ def test_cli_ometif(spark, capsys):
     )
     assert json.loads(capsys.readouterr().out)["channels"] == 2
     np.testing.assert_array_equal(read_full(spark, out, "img/c1/s0"), vol[1].transpose(2, 1, 0))
+
+
+def test_cli_ometif_default_group_stays_in_container(spark, capsys):
+    """Empty --group must not produce an absolute '/c0/s0' path."""
+    from n5_dask_spark.cli import main
+    from n5_dask_spark.sources.tiff import encode_tiff_pages
+    from n5_dask_spark.sources.n5.reader import read_full
+
+    vol = (np.arange(2 * 2 * 4 * 6) % 251).astype("u1").reshape(2, 2, 4, 6)
+    path = os.path.join(tdir("omeg"), "img.tif")
+    with open(path, "wb") as f:
+        f.write(encode_tiff_pages([vol[c, z] for c in range(2) for z in range(2)]))
+    out = os.path.join(tdir("omegn5"), "img.n5")
+    assert main(["ometif-to-n5", "-i", path, "-o", out, "-c", "4,4,2", "--n_channels", "2"]) == 0
+    capsys.readouterr()
+    assert os.path.exists(f"{out}/c0/s0/attributes.json")  # inside the container
+    np.testing.assert_array_equal(read_full(spark, out, "c1/s0"), vol[1].transpose(2, 1, 0))
+
+
+def test_cli_argument_validation(spark, capsys):
+    import pytest
+
+    from n5_dask_spark.cli import main
+
+    from tests.test_n5 import FIXTURE, FIXTURE_DS
+
+    with pytest.raises(SystemExit):  # lone --start
+        main(["n5-to-tif", "-i", FIXTURE, "-d", FIXTURE_DS, "-o", "/tmp/x.tif", "--start", "0,0,0"])
+    with pytest.raises(SystemExit):  # 'same' without a template
+        main(["tif-to-n5", "-i", "/tmp/none", "-o", "/tmp/o.n5", "--compression", "same"])
+    capsys.readouterr()
