@@ -146,6 +146,93 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "set_intersect_all",
+    oracle="""
+    SELECT ck FROM (
+      SELECT o_custkey AS ck FROM orders WHERE o_orderstatus = 'P'
+      INTERSECT ALL
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    ) ORDER BY ck
+    """,
+    doc="INTERSECT ALL (multiset semantics: min of per-side multiplicities).",
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    a = t["orders"].filter(F.col("o_orderstatus") == "P").select(F.col("o_custkey").alias("ck"))
+    b = t["orders"].filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("ck"))
+    return a.intersectAll(b).orderBy("ck")
+
+
+@register(
+    "set_except_all",
+    oracle="""
+    SELECT ck FROM (
+      SELECT o_custkey AS ck FROM orders WHERE o_orderstatus = 'P'
+      EXCEPT ALL
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    ) ORDER BY ck
+    """,
+    doc="EXCEPT ALL (multiset difference of per-side multiplicities).",
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    a = t["orders"].filter(F.col("o_orderstatus") == "P").select(F.col("o_custkey").alias("ck"))
+    b = t["orders"].filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("ck"))
+    return a.exceptAll(b).orderBy("ck")
+
+
+@register(
+    "scalar_map_funcs",
+    oracle="""
+    WITH m AS (
+      SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n
+      FROM orders JOIN customer ON c_custkey = o_custkey
+      GROUP BY c_mktsegment, o_orderstatus
+    )
+    SELECT c_mktsegment,
+           STRING_AGG(o_orderstatus || ':' || CAST(n AS VARCHAR), ',' ORDER BY o_orderstatus)
+             AS status_counts,
+           CAST(COUNT(*) AS INT) AS n_keys
+    FROM m GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    doc=(
+        "Map-typed column construction: per-segment status->count map via "
+        "map_from_entries; emitted as sorted entry strings because map "
+        "iteration order is engine-specific (maps are unhashable for the "
+        "oracle gate, string form is canonical)."
+    ),
+)
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    m = (
+        t["orders"]
+        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_mktsegment", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # real map column built, then canonicalized: sorted entries -> string
+    return (
+        m.groupBy("c_mktsegment")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("o_orderstatus", "n")))
+            ).alias("status_map")
+        )
+        .select(
+            "c_mktsegment",
+            F.array_join(
+                F.expr(
+                    "transform(map_entries(status_map), e -> concat(e.key, ':', CAST(e.value AS STRING)))"
+                ),
+                ",",
+            ).alias("status_counts"),
+            F.size("status_map").cast("int").alias("n_keys"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
     "unpivot_price_metrics",
     oracle="""
     SELECT p_partkey, metric, value FROM (
