@@ -280,12 +280,38 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", F.expr(_SPARK_SIMHASH).cast("bigint").alias("simhash"))
     )
-    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
-    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    # Pigeonhole blocking: with hamming <= 3 over 4 disjoint 15-bit bands, at
+    # least one band matches EXACTLY, so candidates come from an equi-join on
+    # (band index, band value) — never the full O(n^2) cross product. The
+    # exact hamming filter then prunes false candidates; results are provably
+    # identical to the brute-force pair join the oracle computes.
+    n_bands = SIMHASH_MAX_HAMMING + 1
+    width = SIMHASH_BITS // n_bands
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_bands - 1}), b -> struct(b AS band,"
+                f" (shiftright(simhash, b * {width}) % shiftleft(CAST(1 AS BIGINT), {width})) AS bval))"
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
+    a = bands.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "band", "bval")
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"),
+        F.col("band").alias("band_b"), F.col("bval").alias("bval_b"),
+    )
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int").alias("hamming"))
+        a.join(b, (F.col("band") == F.col("band_b")) & (F.col("bval") == F.col("bval_b")))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int").alias("hamming"),
+        )
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .distinct()  # a pair may share several bands
         .orderBy("doc_a", "doc_b")
     )
 
