@@ -22,7 +22,13 @@ from __future__ import annotations
 import os
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -58,6 +64,9 @@ class N5DataSource(DataSource):
 
     def reader(self, schema: StructType) -> "N5Reader":
         return N5Reader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> "N5Writer":
+        return N5Writer(self.options, [f.name for f in schema.fields])
 
 
 class N5Reader(DataSourceReader):
@@ -104,6 +113,47 @@ class N5Reader(DataSourceReader):
         arr = decode_block(raw, attrs.data_type, attrs.compression)
         g = list(partition.grid) + [0] * (3 - len(partition.grid))
         yield (g[0], g[1], g[2], list(arr.shape), arr.tobytes())
+
+
+class N5Writer(DataSourceWriter):
+    """Sink for a blocks DataFrame (gx, gy, gz, shape_zyx, data) via
+    ``df.write.format("n5")``. The dataset's attributes.json must exist
+    (created via metadata.write_attributes / writer.create_from_template) —
+    the writer is data-plane only; each task writes its rows' block files
+    atomically (temp + rename, same retry-idempotence as writer.write_blocks).
+    """
+
+    REQUIRED = ("gx", "gy", "gz", "shape_zyx", "data")
+
+    def __init__(self, options: dict, columns: list[str]):
+        self.container = options.get("path")
+        self.dataset = options.get("dataset")
+        if not self.container or not self.dataset:
+            raise ValueError("n5 sink requires .option('path', ...) and .option('dataset', ...)")
+        missing = [c for c in self.REQUIRED if c not in columns]
+        if missing:
+            raise ValueError(f"n5 sink input is missing columns {missing}; need {self.REQUIRED}")
+        self.columns = list(columns)
+
+    def write(self, rows) -> WriterCommitMessage:
+        import numpy as np
+
+        from n5_dask_spark.sources.n5.codec import encode_block, np_dtype
+        from n5_dask_spark.sources.n5.metadata import read_attributes
+        from n5_dask_spark.sources.n5.writer import _atomic_write
+
+        attrs = read_attributes(self.container, self.dataset)
+        dt = np_dtype(attrs.data_type)
+        idx = {c: i for i, c in enumerate(self.columns)}
+        n = 0
+        for row in rows:
+            shape = list(row[idx["shape_zyx"]])
+            arr = np.frombuffer(bytes(row[idx["data"]]), dtype=dt).reshape(shape)
+            coords = tuple(int(row[idx[c]]) for c in ("gx", "gy", "gz")[: attrs.ndim])
+            path = os.path.join(self.container, self.dataset, *map(str, coords))
+            _atomic_write(path, encode_block(arr, attrs.data_type, dict(attrs.compression)))
+            n += 1
+        return WriterCommitMessage()
 
 
 def register_n5_source(spark) -> None:
