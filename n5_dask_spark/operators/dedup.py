@@ -26,8 +26,9 @@ Scale notes (100 TB):
   hot shingle (stopword trigram) — at production scale a top-frequency
   shingle drop (document-frequency cap before the self-join) bounds the
   join fan-out; not applied here so the oracle semantics stay plain Jaccard.
-- SimHash pair search here is bucket-free (fine at test scale); the scale
-  path is blocking on simhash prefix bytes, same join shape as LSH.
+- SimHash pair search uses pigeonhole band blocking (hamming <= 3 over four
+  15-bit bands => one band matches exactly): candidates come from an
+  equi-join on band buckets, never the O(n^2) cross product.
 """
 
 from __future__ import annotations
