@@ -123,6 +123,8 @@ def n5_intensity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     attrs = read_attributes(FIXTURE, FIXTURE_DS)
     data_type, compression = attrs.data_type, dict(attrs.compression)
+    if data_type != "uint8":
+        raise ValueError(f"histogram binning (>>4, 16 bins) assumes uint8, got {data_type}")
     n_bins = 16  # uint8 -> 16 bins of width 16
 
     def partial_hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -170,15 +172,15 @@ def n5_zprofile(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for gz, raw in zip(pdf["gz"], pdf["raw"]):
                 a = decode_block(bytes(raw), data_type, compression)
-                sums = a.sum(axis=(1, 2), dtype="int64")
+                sums = a.sum(axis=(1, 2), dtype="f8")  # f8: exact for ints, no truncation for floats
                 counts = a.shape[1] * a.shape[2]
                 for dz in range(a.shape[0]):
-                    rows.append((int(gz) * bz + dz, int(sums[dz]), counts))
+                    rows.append((int(gz) * bz + dz, float(sums[dz]), counts))
             yield pd.DataFrame(rows, columns=["z", "vsum", "n"])
 
     return (
         scan_block_files(spark, FIXTURE, FIXTURE_DS)
-        .mapInPandas(partial, schema="z int, vsum long, n long")
+        .mapInPandas(partial, schema="z int, vsum double, n long")
         .groupBy("z")
         .agg((F.sum("vsum") / F.sum("n")).alias("mean_intensity"), F.sum("n").alias("n_voxels"))
         .orderBy("z")

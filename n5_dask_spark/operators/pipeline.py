@@ -17,7 +17,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from n5_dask_spark.catalog import load_tables
-from n5_dask_spark.operators.dedup import DUCK_SHINGLES, DUCK_TOKENS, SPARK_TOKENS
+from n5_dask_spark.operators.dedup import (
+    DUCK_SHINGLES,
+    DUCK_TOKENS,
+    N_BANDS,
+    N_PERM,
+    SPARK_TOKENS,
+)
 from n5_dask_spark.operators.similarity import DUCK_COSINE, N_QUERIES, TOP_K, cosine_col
 from n5_dask_spark.registry import register
 
@@ -28,10 +34,11 @@ from n5_dask_spark.registry import register
     + f"""
     , hashes AS (
       SELECT doc_id, p, MIN(md5(CAST(p AS VARCHAR) || '|' || shingle)) AS minh
-      FROM sh, UNNEST(range(0, 16)) AS perms(p)
+      FROM sh, UNNEST(range(0, {N_PERM})) AS perms(p)
       GROUP BY doc_id, p
     ), bands AS (
-      SELECT doc_id, CAST(p // 4 AS INT) AS band, STRING_AGG(minh, ',' ORDER BY p) AS band_sig
+      SELECT doc_id, CAST(p // {N_PERM // N_BANDS} AS INT) AS band,
+             STRING_AGG(minh, ',' ORDER BY p) AS band_sig
       FROM hashes GROUP BY doc_id, band
     ), dup_pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -61,7 +61,8 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df = tf.select("doc_id", "tok").distinct().groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # (doc_id, tok) is already unique after the tf groupBy — no distinct pass
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n_docs = t["documents"].count()
     scored = tf.join(F.broadcast(df), "tok").select(
         "doc_id",

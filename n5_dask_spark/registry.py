@@ -73,6 +73,7 @@ def load_all() -> dict[str, Query]:
         text2,
         pipeline,
         pipeline2,
+        relational3,
     )
     from n5_dask_spark.streaming import jobs, joins, stateful  # noqa: F401
 
