@@ -8,8 +8,9 @@ DuckDB hash-match, not a rows-only check:
 - exact:       md5(text) group-dedup                      -> dedup_exact
 - MinHash+LSH: shingle -> 16 md5-seeded min-hashes -> 4 bands of 4 ->
                band-bucket self-join                      -> dedup_minhash_lsh
-- SimHash:     32-bit signature from per-token md5 nibbles, hamming<=
-               threshold pairs via bit_count(xor)         -> dedup_simhash
+- SimHash:     60-bit signature from per-token md5 bits (four 15-bit
+               pigeonhole bands), hamming<=threshold pairs via
+               bit_count(xor)                             -> dedup_simhash
 - n-gram Jaccard: 3-token shingle sets, pair similarity via shingle-join
                (only pairs sharing >=1 shingle are ever materialized)
                                                           -> dedup_ngram_jaccard

@@ -518,8 +518,10 @@ def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_suppkey",
             F.abs("s_acctbal").alias("abs_bal"),
             F.round("s_acctbal", 1).alias("round_bal"),
-            F.floor("s_acctbal").alias("floor_bal"),
-            F.ceil("s_acctbal").alias("ceil_bal"),
+            # Cast to double: Spark floor/ceil return BIGINT while DuckDB's
+            # FLOOR/CEIL(double) return DOUBLE — the driver hash is type-aware.
+            F.floor("s_acctbal").cast("double").alias("floor_bal"),
+            F.ceil("s_acctbal").cast("double").alias("ceil_bal"),
             F.round(F.sqrt(F.abs(F.col("s_acctbal"))), 6).alias("sqrt_bal"),
             F.round(F.log(F.abs(F.col("s_acctbal")) + 1), 6).alias("ln_bal"),
             (F.col("s_suppkey") % 7).cast("bigint").alias("mod7"),

@@ -23,21 +23,36 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon_cell(v):
+    """Canonicalize a cell VALUE while keeping its TYPE observable.
+
+    The external driver's value-hash stringifies cells, so ``8752`` (BIGINT)
+    and ``8752.0`` (DOUBLE) hash differently even though ``8752 == 8752.0``
+    in Python.  Every canonical cell is therefore a ``(type_tag, value)``
+    pair — int-vs-float drift fails locally exactly like it fails the gate
+    (that drift gave scalar_math_funcs a false local green in round 1).
+    Decimal is tagged as float: our determinism discipline casts decimal
+    aggregates back to DOUBLE on both sides, so a Decimal here is already
+    a float in spirit and the driver sees its plain string form.
+    """
     if v is None:
         return None
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return ("b", v)
+    if isinstance(v, int):
+        return ("i", v)
     if isinstance(v, Decimal):
-        return float(v)
+        return ("f", float(v))
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return v
+            return ("f", "NaN")
+        return ("f", v)
     if hasattr(v, "isoformat"):  # datetime / date
         try:
-            return v.isoformat(sep=" ")
+            return ("t", v.isoformat(sep=" "))
         except TypeError:
             # plain date: keep distinct from a midnight timestamp so DATE vs
             # TIMESTAMP schema drift surfaces as a mismatch (driver would too)
-            return v.isoformat()
+            return ("d", v.isoformat())
     if isinstance(v, (list, tuple)):
         return tuple(_canon_cell(x) for x in v)
     return v
