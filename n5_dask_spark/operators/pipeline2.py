@@ -51,37 +51,58 @@ def pipeline_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_PACK_SHARDS = 8  # packing shards: running sums never cross a shard
+
+
 @register(
     "pipeline_sequence_packing",
     oracle=f"""
     WITH toks AS (
-      SELECT doc_id, CAST(len({DUCK_TOKENS}) AS BIGINT) AS n_tokens FROM documents
+      SELECT doc_id,
+             CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+                  AS BIGINT) % {N_PACK_SHARDS} AS shard,
+             CAST(len({DUCK_TOKENS}) AS BIGINT) AS n_tokens
+      FROM documents
     ), packed AS (
-      SELECT doc_id, n_tokens,
-             CAST((SUM(n_tokens) OVER (ORDER BY doc_id
+      SELECT shard, doc_id, n_tokens,
+             CAST((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    - n_tokens) // {PACK_BUDGET} AS BIGINT) AS pack_id
       FROM toks
     )
-    SELECT pack_id, COUNT(*) AS n_docs,
+    SELECT shard, pack_id, COUNT(*) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
            MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-    FROM packed GROUP BY pack_id ORDER BY pack_id
+    FROM packed GROUP BY shard, pack_id ORDER BY shard, pack_id
     """,
     doc=(
-        "Sequence packing: running token count over a stable document order "
-        "assigns each doc to the pack where its window starts (greedy "
-        "first-fit in order). The running sum is one window pass; at 100 TB "
-        "this runs per shard (partitionBy shard id) with identical code."
+        "Sequence packing: docs are hash-sharded (md5 nibble — deterministic "
+        "and engine-portable), then a per-shard running token count assigns "
+        "each doc to the pack where its window starts (greedy first-fit in "
+        "doc order within the shard). The window is PARTITIONED: no global "
+        "single-task sort exists at any scale; shards pack independently "
+        "exactly as a 1000-executor run would."
     ),
 )
 def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
-    toks = t["documents"].select(
-        "doc_id", F.size(F.expr(SPARK_TOKENS)).cast("bigint").alias("n_tokens")
+    shard = (
+        F.expr("instr('0123456789abcdef', substring(md5(CAST(doc_id AS STRING)), 1, 1)) - 1")
+        .cast("bigint")
+        % N_PACK_SHARDS
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks = t["documents"].select(
+        shard.alias("shard"),
+        "doc_id",
+        F.size(F.expr(SPARK_TOKENS)).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     packed = toks.select(
+        "shard",
         "doc_id",
         "n_tokens",
         ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_BUDGET)
@@ -89,14 +110,14 @@ def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pack_id"),
     )
     return (
-        packed.groupBy("pack_id")
+        packed.groupBy("shard", "pack_id")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
             F.min("doc_id").alias("first_doc"),
             F.max("doc_id").alias("last_doc"),
         )
-        .orderBy("pack_id")
+        .orderBy("shard", "pack_id")
     )
 
 

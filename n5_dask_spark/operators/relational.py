@@ -196,7 +196,10 @@ def join_range_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "no ASOF primitive; implemented as equi-join on the key + timestamp "
         "range predicate + row_number dedup — per-key work, skew handled by "
         "AQE. Orders pre-deduped per (custkey, orderdate) so ties are "
-        "deterministic on both engines."
+        "deterministic on both engines. No broadcast hint: the build side is "
+        "an aggregate over the whole orders fact, so its size scales with the "
+        "data — Catalyst keys the equi-join and AQE picks broadcast only when "
+        "the aggregate is actually small."
     ),
 )
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -204,7 +207,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = t["orders"].groupBy("o_custkey", "o_orderdate").agg(F.max("o_orderkey").alias("o_orderkey"))
     ev = t["events"].filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
     joined = ev.join(
-        F.broadcast(od),
+        od,
         (F.col("user_id") == F.col("o_custkey")) & (F.col("ts") >= F.col("o_orderdate")),
     )
     w = Window.partitionBy("event_id").orderBy(F.col("o_orderdate").desc())

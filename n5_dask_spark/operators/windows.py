@@ -141,40 +141,64 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "window_range_between",
     oracle="""
-    SELECT o_orderkey, o_totalprice,
-           COUNT(*) OVER (ORDER BY o_totalprice RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+                          RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)
              AS n_within_1000
     FROM orders WHERE o_custkey < 50
-    ORDER BY o_totalprice, o_orderkey
+    ORDER BY o_orderpriority, o_totalprice, o_orderkey
     """,
-    doc="RANGE frame: count of orders within a price band below each row.",
+    doc=(
+        "RANGE frame: count of same-priority orders within a price band "
+        "below each row. Partitioned by priority — a RANGE frame never "
+        "forces a global single-task sort."
+    ),
 )
 def window_range_between(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("orders",))
-    w = Window.orderBy("o_totalprice").rangeBetween(-1000, Window.currentRow)
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, Window.currentRow)
+    )
     return (
         t["orders"]
         .filter(F.col("o_custkey") < 50)
-        .select("o_orderkey", "o_totalprice", F.count(F.lit(1)).over(w).alias("n_within_1000"))
-        .orderBy("o_totalprice", "o_orderkey")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.count(F.lit(1)).over(w).alias("n_within_1000"),
+        )
+        .orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
     )
 
 
 @register(
     "window_ntile",
     oracle="""
-    SELECT c_custkey, c_acctbal,
-           CAST(NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS INT) AS bal_quartile
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           CAST(NTILE(4) OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal, c_custkey) AS INT) AS bal_quartile
     FROM customer ORDER BY c_custkey
     """,
-    doc="ntile quartiles over a total order.",
+    doc=(
+        "ntile quartiles within each market segment. Partitioned: a global "
+        "NTILE needs a total order (single task); per-segment quartiles are "
+        "the shape that scales."
+    ),
 )
 def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("customer",))
-    w = Window.orderBy("c_acctbal", "c_custkey")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
     return (
         t["customer"]
-        .select("c_custkey", "c_acctbal", F.ntile(4).over(w).cast("int").alias("bal_quartile"))
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            "c_acctbal",
+            F.ntile(4).over(w).cast("int").alias("bal_quartile"),
+        )
         .orderBy("c_custkey")
     )
 

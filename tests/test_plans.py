@@ -84,3 +84,46 @@ def test_n5_region_read_lists_only_overlapping_blocks(spark):
 def test_knn_query_broadcasts_queries(spark):
     plan = plan_of(get_query("knn_bruteforce_cosine").fn(spark, SF_SMALL))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_asof_join_does_not_force_broadcast(spark):
+    """The asof build side is an aggregate over the orders FACT — its size
+    scales with the data, so the plan must not hard-code a broadcast. With
+    auto-broadcast disabled the join must degrade to a keyed shuffle join
+    (equi-join recognized), never a BroadcastExchange/NestedLoop."""
+    # Build the DataFrame FIRST: load_tables -> tune_session resets the
+    # broadcast threshold. Physical planning is lazy, so the conf set after
+    # construction is the one planning sees.
+    df = get_query("join_asof").fn(spark, SF_SMALL)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = plan_of(df)
+        assert "BroadcastExchange" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_no_unpartitioned_windows_in_source():
+    """Every window in every operator/streaming module must carry a
+    partition spec: ``Window.orderBy(...)`` with no partitionBy is a global
+    single-task sort — a scale-killer regardless of local correctness."""
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "n5_dask_spark"
+    offenders = [
+        f"{p.relative_to(pkg.parent)}:{i}"
+        for p in sorted(pkg.rglob("*.py"))
+        for i, line in enumerate(p.read_text().splitlines(), 1)
+        if "Window.orderBy" in line
+    ]
+    assert offenders == [], f"unpartitioned Window.orderBy at {offenders}"
+
+
+def test_sequence_packing_window_is_partitioned(spark):
+    plan = plan_of(get_query("pipeline_sequence_packing").fn(spark, SF_SMALL))
+    # the Window node must hash-partition on the shard column, not
+    # SinglePartition
+    assert "SinglePartition" not in plan
