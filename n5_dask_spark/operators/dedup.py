@@ -24,9 +24,10 @@ Scale notes (100 TB):
   shuffle keys; hot buckets (boilerplate docs) are the skew case, handled
   by AQE skew-join splitting.
 - n-gram Jaccard joins on shingle then aggregates per pair; worst case is a
-  hot shingle (stopword trigram) — at production scale a top-frequency
-  shingle drop (document-frequency cap before the self-join) bounds the
-  join fan-out; not applied here so the oracle semantics stay plain Jaccard.
+  hot shingle (stopword trigram) — ``dedup_ngram_jaccard(max_doc_freq=K)``
+  drops shingles appearing in more than K documents BEFORE the self-join,
+  bounding per-key fan-out to O(K^2). The registered oracle query runs
+  uncapped so its semantics stay plain Jaccard; production runs set K.
 - SimHash pair search uses pigeonhole band blocking (hamming <= 3 over four
   15-bit bands => one band matches exactly): candidates come from an
   equi-join on band buckets, never the O(n^2) cross product.
@@ -342,23 +343,46 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "via shingle self-join so only colliding pairs materialize."
     ),
 )
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, max_doc_freq: int | None = None
+) -> DataFrame:
+    """``max_doc_freq``: document-frequency cap on shingles entering the
+    self-join. A shingle appearing in d documents contributes O(d^2) joined
+    pairs — at 100 TB one stopword trigram is a quadratic blow-up on a
+    single key, so production runs cap d (pairs that ONLY share ultra-common
+    shingles are noise anyway; Jaccard is then a slight underestimate, the
+    standard near-dup trade). ``None`` keeps exact Jaccard for the oracle-
+    gated query. Set-size denominators always use the UNCAPPED sets so the
+    capped variant only loses intersection mass, never inflates it."""
     t = load_tables(spark, sf_dir, ("documents",))
     sh = _spark_shingles(t["documents"])
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("shingle_b"))
+    joinable = sh
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_count"))
+            .filter(F.col("df_count") <= max_doc_freq)
+            .select("shingle")
+        )
+        # shuffle equi-join on shingle: both sides already hash-partition on
+        # the same key for the groupBy, so no extra exchange materializes
+        joinable = sh.join(rare, "shingle")
+    a = joinable.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = joinable.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("shingle_b"))
     inter = (
         a.join(b, (F.col("shingle") == F.col("shingle_b")) & (F.col("doc_a") < F.col("doc_b")))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    # no broadcast hint: sizes is one row per DOCUMENT (fact-derived) — AQE
+    # broadcasts it when small, shuffles when the corpus is 100 TB
     sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
     jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("da"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("db"))
+        inter.join(sa, F.col("doc_a") == F.col("da"))
+        .join(sb, F.col("doc_b") == F.col("db"))
         .filter(jac >= 0.12)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")

@@ -1,0 +1,76 @@
+"""Document-frequency cap on the n-gram Jaccard shingle join.
+
+At 100 TB a shingle appearing in d documents fans the self-join out to
+O(d^2) pairs on one shuffle key; ``max_doc_freq`` must prune such shingles
+BEFORE the join. These tests build a synthetic corpus with one deliberately
+hot shingle and assert the cap (a) bounds the candidate-pair count and
+(b) never inflates similarity (capped jaccard <= uncapped jaccard).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+
+HOT = "zz yy xx"  # one trigram shared by EVERY doc -> df = n_docs
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    """documents.parquet where all 12 docs share the HOT trigram but only
+    docs 0/1 share any substantial real content."""
+    d = tmp_path_factory.mktemp("capcorpus")
+    rows = []
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    for i in range(12):
+        if i in (0, 1):
+            text = f"{base} {HOT}"  # near-duplicate pair
+        else:
+            uniq = " ".join(f"tok{i}w{j}" for j in range(10))
+            text = f"{uniq} {HOT}"
+        rows.append((i, text, "en", f"src{i}", len(text)))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    pdf.to_parquet(d / "documents.parquet", index=False)
+    return str(d)
+
+
+def _pairs(df):
+    return {(r.doc_a, r.doc_b): r.jaccard for r in df.collect()}
+
+
+def test_uncapped_join_sees_hot_shingle_pairs(spark, corpus_dir):
+    from n5_dask_spark.operators.dedup import dedup_ngram_jaccard
+
+    # every doc pair shares HOT, so the join materializes all C(12,2)=66
+    # candidate pairs before the threshold filter; only (0,1) survives 0.12
+    out = _pairs(dedup_ngram_jaccard(spark, corpus_dir))
+    assert (0, 1) in out and out[(0, 1)] > 0.8
+
+
+def test_cap_prunes_hot_shingle_and_bounds_pairs(spark, corpus_dir):
+    from n5_dask_spark.operators.dedup import _spark_shingles, dedup_ngram_jaccard
+    from n5_dask_spark.catalog import load_tables
+    from pyspark.sql import functions as F
+
+    # cap 3 < df(HOT)=12: the hot shingle must not enter the join at all.
+    # Candidate pairs (pre-threshold) are then bounded by sum over surviving
+    # shingles of C(df,2) = C(2,2 of each shared real trigram) — i.e. only
+    # genuinely co-occurring content creates pairs.
+    sh = _spark_shingles(load_tables(spark, corpus_dir, ("documents",))["documents"])
+    hot_df = sh.filter(F.col("shingle") == HOT).count()
+    assert hot_df == 12
+
+    out = _pairs(dedup_ngram_jaccard(spark, corpus_dir, max_doc_freq=3))
+    assert (0, 1) in out  # the real near-dup pair survives the cap
+    assert set(out) == {(0, 1)}  # hot-shingle-only pairs never materialize
+
+
+def test_cap_never_inflates_similarity(spark, corpus_dir):
+    from n5_dask_spark.operators.dedup import dedup_ngram_jaccard
+
+    uncapped = _pairs(dedup_ngram_jaccard(spark, corpus_dir))
+    capped = _pairs(dedup_ngram_jaccard(spark, corpus_dir, max_doc_freq=3))
+    assert set(capped) <= set(uncapped)
+    for pair, jac in capped.items():
+        assert jac <= uncapped[pair] + 1e-9
