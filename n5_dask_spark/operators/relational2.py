@@ -331,28 +331,31 @@ def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels = edges.select("u").distinct().withColumn("lbl", F.col("u"))
     # min-label propagation: clusters here are tiny (near-dup groups), so a
-    # handful of iterations reaches the fixpoint; each iteration is one
-    # shuffle join + aggregate. localCheckpoint truncates the lineage so the
-    # plan doesn't grow exponentially.
+    # handful of iterations reaches the fixpoint; each iteration is ONE job
+    # (shuffle join + aggregate, materialized by the eager localCheckpoint,
+    # which also truncates lineage). The old label rides along through the
+    # checkpoint, so the convergence probe is a filter over already-
+    # materialized partitions — no second join, no recompute per iteration.
+    # At 100 TB with deep components, swap this loop for large-star/small-
+    # star (Kiveris et al.) to bound the iteration count; near-dup clusters
+    # are shallow so plain propagation wins here.
     while True:
         neighbor_min = (
             edges.join(labels.withColumnRenamed("u", "v2"), F.col("v") == F.col("v2"))
             .groupBy("u")
             .agg(F.min("lbl").alias("nlbl"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, "u", "left")
-            .select("u", F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"))
+            .select(
+                "u",
+                F.col("lbl").alias("old_lbl"),
+                F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "u")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("lbl") != F.col("old_lbl")).limit(1).count()
+        labels = stepped.select("u", "lbl")
         if changed == 0:
             break
     edges.unpersist()  # labels are localCheckpointed; don't pin the cache
