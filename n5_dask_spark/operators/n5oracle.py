@@ -1,0 +1,249 @@
+"""Hash-checked N5 array queries (SURVEY.md §2.A, driver-verifiable).
+
+The fixture-based ``n5_*`` queries in ``n5ops.py`` are rows-only checks
+(the fixture bytes have no SQL twin). These queries close that gap: the
+voxel values are a deterministic function of the parquet ``documents``
+table (md5 of the linear voxel index + the document's lang), so DuckDB can
+compute the exact expected statistics WITHOUT ever seeing an N5 byte —
+while the Spark side routes the same values through the full chunked-array
+engine: grid assembly -> codec encode -> block files on disk -> scan ->
+codec decode -> distributed aggregation (plus rechunk / downsample
+variants). A single flipped byte anywhere in the write/read path fails the
+driver's value-hash.
+
+Volume layout (shared by Spark and the oracles): VOL^3 voxels, linear
+index i -> x = i % VOL, y = (i / VOL) % VOL, z = i / VOL^2; voxel value =
+first two hex nibbles of md5(i ':' lang(doc i % n_docs)) -> uint8.
+
+Reference parity: write path mirrors tif_to_n5.py's grid write (SURVEY
+§2.A K1/K2/T11), rechunk mirrors dask rechunk semantics (T1), downsample
+is the windowed mean of n5_multiscale.py:63-136 (T7).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from n5_dask_spark.catalog import load_tables
+from n5_dask_spark.registry import register
+
+VOL = 32  # volume is VOL^3 voxels
+BLOCK = 16  # base chunking BLOCK^3 -> a 2x2x2 block grid
+N_VOX = VOL * VOL * VOL
+
+# value = (nibble1 * 16 + nibble2) of md5(i ':' lang) — identical expression
+# on both engines (instr/strpos are both 1-based).
+_SPARK_VAL = (
+    "CAST((instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', substring(h, 2, 1)) - 1) AS INT)"
+)
+
+_DUCK_VOX = f"""
+    WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    grid AS (SELECT CAST(range AS BIGINT) AS i FROM range({N_VOX})),
+    vox AS (
+      SELECT g.i,
+             CAST(g.i % {VOL} AS INT) AS x,
+             CAST((g.i // {VOL}) % {VOL} AS INT) AS y,
+             CAST(g.i // {VOL * VOL} AS INT) AS z,
+             CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS INT) AS val
+      FROM (
+        SELECT g.i, md5(CAST(g.i AS VARCHAR) || ':' || d.lang) AS h
+        FROM grid g CROSS JOIN n
+        JOIN documents d ON d.doc_id = g.i % n.n_docs
+      ) g
+    )
+"""
+
+
+def _voxels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(i, x, y, z, val) — fully distributed; no window, no collect."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    n_docs = docs.count()  # driver scalar (table cardinality), not data
+    g = spark.range(N_VOX).select(
+        F.col("id").alias("i"),
+        (F.col("id") % VOL).cast("int").alias("x"),
+        F.expr(f"CAST((id div {VOL}) % {VOL} AS INT)").alias("y"),
+        F.expr(f"CAST(id div {VOL * VOL} AS INT)").alias("z"),
+        (F.col("id") % n_docs).alias("doc_id"),
+    )
+    vox = g.join(docs.select("doc_id", "lang"), "doc_id")
+    h = F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("lang")))
+    return vox.withColumn("h", h).select("i", "x", "y", "z", F.expr(_SPARK_VAL).alias("val"))
+
+
+def _build_container(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Assemble the voxel DataFrame into BLOCK^3 chunks and write a fresh
+    gzip-compressed N5 container; returns (container, dataset).
+
+    Distributed end to end: voxels are hash-shuffled to their block cell
+    (applyInPandas assembles each chunk exactly once) and each write task
+    owns its block files — the same single-writer-per-block discipline as
+    the TIFF import path."""
+    from n5_dask_spark.sources.n5.metadata import DatasetAttributes
+    from n5_dask_spark.sources.n5.writer import write_blocks
+
+    container = os.path.join(
+        tempfile.gettempdir(),
+        f"n5ds-oracle-{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}.n5",
+    )
+    dataset = "vol/s0"
+    shutil.rmtree(container, ignore_errors=True)
+    attrs = DatasetAttributes(
+        data_type="uint8",
+        dimensions=[VOL, VOL, VOL],
+        block_size=[BLOCK, BLOCK, BLOCK],
+        compression={"type": "gzip"},
+    )
+
+    def assemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        gx, gy, gz = (int(k) for k in key)
+        arr = np.zeros((BLOCK, BLOCK, BLOCK), dtype=np.uint8)  # zyx
+        zz = pdf["z"].to_numpy() - gz * BLOCK
+        yy = pdf["y"].to_numpy() - gy * BLOCK
+        xx = pdf["x"].to_numpy() - gx * BLOCK
+        arr[zz, yy, xx] = pdf["val"].to_numpy().astype(np.uint8)
+        return pd.DataFrame(
+            [(gx, gy, gz, list(arr.shape), arr.tobytes())],
+            columns=["gx", "gy", "gz", "shape_zyx", "data"],
+        )
+
+    vox = _voxels(spark, sf_dir)
+    blocks = (
+        vox.withColumn("gx", F.expr(f"CAST(x div {BLOCK} AS INT)"))
+        .withColumn("gy", F.expr(f"CAST(y div {BLOCK} AS INT)"))
+        .withColumn("gz", F.expr(f"CAST(z div {BLOCK} AS INT)"))
+        .groupBy("gx", "gy", "gz")
+        .applyInPandas(assemble, schema="gx int, gy int, gz int, shape_zyx array<int>, data binary")
+    )
+    write_blocks(blocks, container, dataset, attrs)
+    return container, dataset
+
+
+def _zprofile(blocks: DataFrame, data_type: str, block_z: int) -> DataFrame:
+    """Per-z-slice (sum, count) from a decoded blocks DF: per-block partials
+    inside Arrow batches, merged by one groupBy — voxels never become rows."""
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from n5_dask_spark.sources.n5.codec import np_dtype
+
+        dt = np_dtype(data_type)
+        for pdf in batches:
+            rows = []
+            for gz, shape, data in zip(pdf["gz"], pdf["shape_zyx"], pdf["data"]):
+                a = np.frombuffer(bytes(data), dtype=dt).reshape(list(shape))
+                sums = a.sum(axis=(1, 2), dtype="i8")
+                for dz in range(a.shape[0]):
+                    rows.append((int(gz) * block_z + dz, int(sums[dz]), a.shape[1] * a.shape[2]))
+            yield pd.DataFrame(rows, columns=["z", "zsum", "n_vox"])
+
+    return (
+        blocks.mapInPandas(partial, schema="z int, zsum long, n_vox long")
+        .groupBy("z")
+        .agg(F.sum("zsum").alias("zsum"), F.sum("n_vox").cast("bigint").alias("n_vox"))
+        .orderBy("z")
+    )
+
+
+@register(
+    "n5_roundtrip_zprofile",
+    oracle=_DUCK_VOX
+    + """
+    SELECT z, CAST(SUM(val) AS BIGINT) AS zsum, COUNT(*) AS n_vox
+    FROM vox GROUP BY z ORDER BY z
+    """,
+    doc=(
+        "S2/K1/K2/T11 hash-checked end to end: documents-derived voxels -> "
+        "block assembly -> gzip N5 write -> block scan -> decode -> per-z "
+        "profile. The oracle computes the same profile straight from the "
+        "parquet table; any codec or write/read defect flips the hash."
+    ),
+)
+def n5_roundtrip_zprofile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from n5_dask_spark.sources.n5.reader import decoded_blocks
+
+    container, dataset = _build_container(spark, sf_dir)
+    return _zprofile(decoded_blocks(spark, container, dataset), "uint8", BLOCK)
+
+
+@register(
+    "n5_rechunk_blocksums",
+    oracle=_DUCK_VOX
+    + """
+    SELECT CAST(x // 8 AS INT) AS tgx, CAST(y // 8 AS INT) AS tgy,
+           CAST(z // 8 AS INT) AS tgz,
+           COUNT(*) AS n_elems, CAST(SUM(val) AS BIGINT) AS bsum
+    FROM vox GROUP BY tgx, tgy, tgz ORDER BY tgx, tgy, tgz
+    """,
+    doc=(
+        "T1 hash-checked: 16^3 -> 8^3 rechunk (fragment explode -> hash "
+        "shuffle on target cell -> reassemble), then per-target-block sums. "
+        "The oracle derives each target block's sum from voxel coordinates; "
+        "any fragment offset/overlap error flips the hash."
+    ),
+)
+def n5_rechunk_blocksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from n5_dask_spark.sources.n5.metadata import read_attributes
+    from n5_dask_spark.sources.n5.reader import decoded_blocks
+    from n5_dask_spark.sources.n5.transforms import rechunk
+
+    container, dataset = _build_container(spark, sf_dir)
+    attrs = read_attributes(container, dataset)
+    out_blocks, _ = rechunk(decoded_blocks(spark, container, dataset), attrs, [8, 8, 8])
+
+    def sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for gx, gy, gz, shape, data in zip(
+                pdf["gx"], pdf["gy"], pdf["gz"], pdf["shape_zyx"], pdf["data"]
+            ):
+                a = np.frombuffer(bytes(data), dtype=np.uint8).reshape(list(shape))
+                rows.append((int(gx), int(gy), int(gz), int(a.size), int(a.sum(dtype="i8"))))
+            yield pd.DataFrame(rows, columns=["tgx", "tgy", "tgz", "n_elems", "bsum"])
+
+    return (
+        out_blocks.mapInPandas(sums, schema="tgx int, tgy int, tgz int, n_elems long, bsum long")
+        .orderBy("tgx", "tgy", "tgz")
+    )
+
+
+@register(
+    "n5_downsample_zprofile",
+    oracle=_DUCK_VOX
+    + """
+    , ds AS (
+      SELECT CAST(z // 2 AS INT) AS dz,
+             CAST(FLOOR(SUM(val) / 8.0) AS INT) AS dval
+      FROM vox GROUP BY x // 2, y // 2, CAST(z // 2 AS INT)
+    )
+    SELECT dz AS z, CAST(SUM(dval) AS BIGINT) AS zsum, COUNT(*) AS n_vox
+    FROM ds GROUP BY dz ORDER BY z
+    """,
+    doc=(
+        "T7 hash-checked: one windowed-mean downsample level (factors "
+        "2,2,2; full windows -> the sequential per-axis mean equals "
+        "sum/8 exactly in f8, truncated to uint8 = FLOOR) -> per-z profile "
+        "of the reduced volume. Oracle computes each 2x2x2 window straight "
+        "from the voxel values."
+    ),
+)
+def n5_downsample_zprofile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from n5_dask_spark.sources.n5.metadata import read_attributes
+    from n5_dask_spark.sources.n5.reader import decoded_blocks
+    from n5_dask_spark.sources.n5.transforms import downsample
+
+    container, dataset = _build_container(spark, sf_dir)
+    attrs = read_attributes(container, dataset)
+    out_blocks, out_attrs = downsample(decoded_blocks(spark, container, dataset), attrs, [2, 2, 2])
+    return _zprofile(out_blocks, out_attrs.data_type, out_attrs.block_size[2])

@@ -59,6 +59,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "n5_intensity_histogram",
     "n5_zprofile",
     "n5_downsample_stats",
+    # §2.A hash-checked twins: parquet-derived voxels through the full
+    # write -> codec -> read -> aggregate path, with real DuckDB oracles
+    "n5_roundtrip_zprofile",
+    "n5_rechunk_blocksums",
+    "n5_downsample_zprofile",
     # real Structured Streaming runs
     "streaming_tumbling_agg",
     "streaming_stateful_running_totals",
@@ -108,10 +113,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "correlated_scalar_subquery",
     "fuzzy_match_levenshtein",
     "events_cohort_retention",
-    # TPC-H variants not yet driver-verified
-    "q9_product_profit",
-    "q18_large_volume_customer",
-    "q22_global_sales_opportunity",
 )
 
 
@@ -149,6 +150,7 @@ def load_all() -> dict[str, Query]:
         pipeline,
         pipeline2,
         relational3,
+        n5oracle,
     )
     from n5_dask_spark.streaming import jobs, joins, stateful  # noqa: F401
 
