@@ -25,7 +25,7 @@ import sys
 
 from n5_dask_spark.session import get_spark
 
-COMPRESSION_IDS = ("raw", "gzip", "bz2", "xz", "same")
+COMPRESSION_IDS = ("raw", "gzip", "bz2", "xz", "lz4", "same")
 
 
 def _parse_ints(s: str) -> list[int]:
@@ -43,6 +43,8 @@ def _compression(arg: str) -> dict | str:
         return {"type": "bzip2"}
     if arg == "xz":
         return {"type": "xz"}
+    if arg == "lz4":
+        return {"type": "lz4", "blockSize": 65536}
     raise argparse.ArgumentTypeError(f"unknown compression {arg!r} (known: {COMPRESSION_IDS})")
 
 

@@ -21,8 +21,9 @@ arrays are C-order with axes (z, y, x) — i.e. dims reversed — so
 that array IS the x-fastest payload.
 
 Compression ids: raw, gzip (useZlib:false = gzip member framing,
-useZlib:true = raw zlib stream), bz2, xz. lz4/blosc would need external
-libs (not in this container) and raise ImportError.
+useZlib:true = raw zlib stream), bz2, xz, lz4 (pure-Python lz4-java
+LZ4Block framing — see lz4.py). blosc needs the C library (absent here)
+and raises ImportError with a clear message rather than failing silently.
 """
 
 from __future__ import annotations
@@ -81,6 +82,19 @@ def _compress(payload: bytes, compression: dict[str, Any] | None) -> bytes:
         return _bz2.compress(payload, compresslevel=int((compression or {}).get("blockSize", 9)))
     if ctype == "xz":
         return _lzma.compress(payload, preset=int((compression or {}).get("preset", 6)))
+    if ctype == "lz4":
+        from n5_dask_spark.sources.n5 import lz4 as _lz4
+
+        return _lz4.frame_compress(
+            payload, int((compression or {}).get("blockSize", _lz4.DEFAULT_BLOCK_SIZE))
+        )
+    if ctype == "blosc":
+        # blosc needs the C library (absent here); a silent fallback would
+        # write unreadable containers, so fail loudly with the alternative
+        raise ImportError(
+            "blosc compression requires the blosc C library, which is not "
+            "available in this environment; use lz4, gzip, bz2, xz or raw"
+        )
     raise ImportError(f"compression {ctype!r} requires external codecs not installed here")
 
 
@@ -96,6 +110,15 @@ def _decompress(payload: bytes, compression: dict[str, Any] | None) -> bytes:
         return _bz2.decompress(payload)
     if ctype == "xz":
         return _lzma.decompress(payload)
+    if ctype == "lz4":
+        from n5_dask_spark.sources.n5 import lz4 as _lz4
+
+        return _lz4.frame_decompress(payload)
+    if ctype == "blosc":
+        raise ImportError(
+            "blosc decompression requires the blosc C library, which is not "
+            "available in this environment"
+        )
     raise ImportError(f"compression {ctype!r} requires external codecs not installed here")
 
 

@@ -1,0 +1,289 @@
+"""Pure-Python LZ4 codec for N5 blocks (no external libs in this container).
+
+n5-java's ``Lz4Compression`` writes blocks through lz4-java's
+``LZ4BlockOutputStream`` — NOT the standard LZ4 frame format. Its framing
+(one or more chunks, each at most ``blockSize`` bytes of uncompressed
+payload):
+
+    8 bytes   magic "LZ4Block"
+    1 byte    token = method | level
+                method: 0x10 = RAW (stored), 0x20 = LZ4 block compression
+                level:  log2(blockSize) - 10  (default blockSize 65536 -> 6)
+    4 bytes   LE compressed length
+    4 bytes   LE decompressed length
+    4 bytes   LE checksum = xxhash32(decompressed, seed 0x9747b28c) & 0xFFFFFFF
+              (lz4-java masks to 28 bits; 0 for the end marker)
+    n bytes   chunk data
+
+A terminating chunk with decompressed length 0 marks end-of-stream
+(lz4-java writes it; we accept streams with or without it).
+
+The LZ4 *block* compression inside a chunk is the standard LZ4 block
+format: sequences of [token][literals][2-byte LE match offset][match],
+high token nibble = literal count, low nibble = match length - 4, both
+with 255-extension bytes. The compressor here is a greedy single-entry
+hash-table matcher (numpy-accelerated match extension, zero-run friendly);
+the decompressor handles any spec-conformant stream, so containers written
+by n5-java/lz4 CLI read correctly.
+
+Reference parity: the reference CLI advertises ``lz4`` via numcodecs
+(/root/reference/src/tif_to_n5.py:82, create_n5.py:55).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+MAGIC = b"LZ4Block"
+METHOD_RAW = 0x10
+METHOD_LZ4 = 0x20
+DEFAULT_SEED = 0x9747B28C
+DEFAULT_BLOCK_SIZE = 1 << 16  # lz4-java default 64 KiB
+
+_MASK = 0xFFFFFFFF
+_P1, _P2, _P3, _P4, _P5 = 2654435761, 2246822519, 3266489917, 668265263, 374761393
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & _MASK
+
+
+def xxhash32(data: bytes, seed: int = 0) -> int:
+    """Spec implementation of XXH32 (sequential tail; vectorized stripes)."""
+    n = len(data)
+    if n >= 16:
+        # process 16-byte stripes with numpy (4 independent lanes)
+        nstripes = n // 16
+        lanes = (
+            np.frombuffer(data[: nstripes * 16], dtype="<u4").reshape(nstripes, 4).astype(np.uint64)
+        )
+        acc = np.array(
+            [
+                (seed + _P1 + _P2) & _MASK,
+                (seed + _P2) & _MASK,
+                seed & _MASK,
+                (seed - _P1) & _MASK,
+            ],
+            dtype=np.uint64,
+        )
+        p1 = np.uint64(_P1)
+        p2 = np.uint64(_P2)
+        m = np.uint64(_MASK)
+        for i in range(nstripes):
+            acc = (acc + lanes[i] * p2) & m
+            acc = ((acc << np.uint64(13)) | (acc >> np.uint64(19))) & m
+            acc = (acc * p1) & m
+        a0, a1, a2, a3 = (int(v) for v in acc)
+        h = (_rotl(a0, 1) + _rotl(a1, 7) + _rotl(a2, 12) + _rotl(a3, 18)) & _MASK
+        pos = nstripes * 16
+    else:
+        h = (seed + _P5) & _MASK
+        pos = 0
+    h = (h + n) & _MASK
+    while pos + 4 <= n:
+        (k,) = struct.unpack_from("<I", data, pos)
+        h = (h + k * _P3) & _MASK
+        h = (_rotl(h, 17) * _P4) & _MASK
+        pos += 4
+    while pos < n:
+        h = (h + data[pos] * _P5) & _MASK
+        h = (_rotl(h, 11) * _P1) & _MASK
+        pos += 1
+    h ^= h >> 15
+    h = (h * _P2) & _MASK
+    h ^= h >> 13
+    h = (h * _P3) & _MASK
+    h ^= h >> 16
+    return h
+
+
+# ---------------------------------------------------------------------------
+# LZ4 block format
+# ---------------------------------------------------------------------------
+
+_MIN_MATCH = 4
+_MF_LIMIT = 12  # last match must start at least this many bytes before end
+_LAST_LITERALS = 5
+
+
+def lz4_block_decompress(src: bytes, dst_size: int) -> bytes:
+    """Decompress one standard LZ4 block. ``dst_size`` is the exact
+    decompressed size (known from the chunk header)."""
+    dst = bytearray(dst_size)
+    s, d, n = 0, 0, len(src)
+    while s < n:
+        token = src[s]
+        s += 1
+        # literals
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                b = src[s]
+                s += 1
+                lit += b
+                if b != 255:
+                    break
+        if lit:
+            dst[d : d + lit] = src[s : s + lit]
+            s += lit
+            d += lit
+        if s >= n:
+            break  # last sequence has no match
+        # match
+        (offset,) = struct.unpack_from("<H", src, s)
+        s += 2
+        if offset == 0:
+            raise ValueError("corrupt LZ4 block: zero match offset")
+        mlen = (token & 0x0F) + _MIN_MATCH
+        if (token & 0x0F) == 15:
+            while True:
+                b = src[s]
+                s += 1
+                mlen += b
+                if b != 255:
+                    break
+        start = d - offset
+        if start < 0:
+            raise ValueError("corrupt LZ4 block: match before output start")
+        if offset >= mlen:
+            dst[d : d + mlen] = dst[start : start + mlen]
+        else:
+            # overlapping match: repeat the window
+            for i in range(mlen):
+                dst[d + i] = dst[start + i]
+        d += mlen
+    if d != dst_size:
+        raise ValueError(f"LZ4 block decompressed to {d} bytes, expected {dst_size}")
+    return bytes(dst)
+
+
+def _match_len(a: np.ndarray, i: int, j: int, limit: int) -> int:
+    """Length of the common prefix of a[i:limit] and a[j:limit-ish],
+    numpy-compared in one shot (long matches — zero runs — stay cheap)."""
+    span = min(limit - i, limit - j)
+    if span <= 0:
+        return 0
+    eq = a[i : i + span] == a[j : j + span]
+    nz = np.flatnonzero(~eq)
+    return int(nz[0]) if nz.size else span
+
+
+def lz4_block_compress(src: bytes) -> bytes:
+    """Greedy LZ4 block compressor (single-entry hash table, spec-conformant
+    output: last 5 bytes literal, no match into the last 5)."""
+    n = len(src)
+    out = bytearray()
+    if n == 0:
+        return bytes(out)
+    a = np.frombuffer(src, dtype=np.uint8)
+    table: dict[int, int] = {}
+    anchor = 0
+    i = 0
+    limit = n - _LAST_LITERALS
+    mf_limit = n - _MF_LIMIT
+
+    def emit(lit_start: int, lit_end: int, offset: int | None, mlen: int) -> None:
+        lit = lit_end - lit_start
+        token_lit = 15 if lit >= 15 else lit
+        token_ml = 0
+        if offset is not None:
+            ml = mlen - _MIN_MATCH
+            token_ml = 15 if ml >= 15 else ml
+        out.append((token_lit << 4) | token_ml)
+        if lit >= 15:
+            rem = lit - 15
+            while rem >= 255:
+                out.append(255)
+                rem -= 255
+            out.append(rem)
+        out.extend(src[lit_start:lit_end])
+        if offset is not None:
+            out.extend(struct.pack("<H", offset))
+            ml = mlen - _MIN_MATCH
+            if ml >= 15:
+                rem = ml - 15
+                while rem >= 255:
+                    out.append(255)
+                    rem -= 255
+                out.append(rem)
+
+    while i < mf_limit:
+        key = src[i : i + 4]
+        h = hash(key)
+        cand = table.get(h)
+        table[h] = i
+        if cand is not None and i - cand <= 0xFFFF and src[cand : cand + 4] == key:
+            mlen = _MIN_MATCH + _match_len(a, cand + _MIN_MATCH, i + _MIN_MATCH, limit)
+            if mlen >= _MIN_MATCH:
+                emit(anchor, i, i - cand, mlen)
+                i += mlen
+                anchor = i
+                continue
+        i += 1
+    emit(anchor, n, None, 0)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# lz4-java LZ4Block stream framing (what n5-java reads/writes)
+# ---------------------------------------------------------------------------
+
+
+def _compression_level(block_size: int) -> int:
+    level = max(0, (block_size - 1).bit_length() - 10)
+    if (1 << (level + 10)) < block_size:
+        level += 1
+    return level
+
+
+def frame_compress(payload: bytes, block_size: int = DEFAULT_BLOCK_SIZE) -> bytes:
+    out = bytearray()
+    level = _compression_level(block_size)
+    for off in range(0, len(payload), block_size) or [0]:
+        chunk = payload[off : off + block_size]
+        check = xxhash32(chunk, DEFAULT_SEED) & 0xFFFFFFF
+        packed = lz4_block_compress(chunk)
+        if len(packed) < len(chunk):
+            method, data = METHOD_LZ4, packed
+        else:
+            method, data = METHOD_RAW, chunk
+        out += MAGIC
+        out.append(method | level)
+        out += struct.pack("<iii", len(data), len(chunk), check)
+        out += data
+    # end marker (lz4-java finish()): RAW, zero lengths, zero checksum
+    out += MAGIC
+    out.append(METHOD_RAW | level)
+    out += struct.pack("<iii", 0, 0, 0)
+    return bytes(out)
+
+
+def frame_decompress(raw: bytes) -> bytes:
+    out = bytearray()
+    pos = 0
+    n = len(raw)
+    while pos < n:
+        if raw[pos : pos + 8] != MAGIC:
+            raise ValueError("bad LZ4Block magic")
+        token = raw[pos + 8]
+        method = token & 0xF0
+        clen, dlen, check = struct.unpack_from("<iii", raw, pos + 9)
+        pos += 21
+        if dlen == 0:
+            break  # end marker
+        data = raw[pos : pos + clen]
+        pos += clen
+        if method == METHOD_RAW:
+            chunk = bytes(data)
+        elif method == METHOD_LZ4:
+            chunk = lz4_block_decompress(data, dlen)
+        else:
+            raise ValueError(f"unknown LZ4Block method 0x{method:02x}")
+        # mask BOTH sides: we write the 28-bit-masked checksum like
+        # lz4-java, but stay readable even if a writer stored all 32 bits
+        if (xxhash32(chunk, DEFAULT_SEED) ^ check) & 0xFFFFFFF:
+            raise ValueError("LZ4Block checksum mismatch")
+        out += chunk
+    return bytes(out)
