@@ -103,8 +103,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("-d", "--data_set", default="s0")
     p.add_argument("-g", "--group", default="")
     p.add_argument("-c", "--chunk_size", default="128,128,128")
-    p.add_argument("--n_channels", type=int, required=True)
-    p.add_argument("--dim_order", choices=("cz", "zc"), default="cz")
+    # both default to the OME-XML in the file's ImageDescription
+    p.add_argument("--n_channels", type=int, default=None)
+    p.add_argument("--dim_order", choices=("cz", "zc"), default=None)
     p.add_argument("--compression", default="raw", type=_compression)
     _add_common(p)
 

@@ -17,8 +17,13 @@ DataFrames):
    src/ometif_to_n5.py:110-118).
 
 Page order: dim_order 'cz' = page index p -> (c = p // n_z, z = p % n_z);
-'zc' = (c = p % n_c, z = p // n_c). OME-XML would pin this; without XML
-libs the caller supplies n_channels + dim_order explicitly.
+'zc' = (c = p % n_c, z = p // n_c). The OME-XML block in the first page's
+ImageDescription pins this (DimensionOrder: the non-XY axes iterate
+fastest-first across pages, so XYCZT means C fastest = our 'zc'); when
+n_channels/dim_order aren't supplied they are parsed from it (stdlib
+xml.etree — the analog of the reference's ome_types.from_xml at
+src/ometif_to_n5.py:69-74), along with PhysicalSize{X,Y,Z} for the
+pixelResolution attribute (src/ometif_to_n5.py:69-110).
 
 Scale: the input file is read per-task via local/posix range reads (only
 the strips of the assigned pages); at 100 TB input would be many OME-TIFFs
@@ -27,7 +32,9 @@ the strips of the assigned pages); at 100 TB input would be many OME-TIFFs
 
 from __future__ import annotations
 
+import xml.etree.ElementTree as ET
 from collections.abc import Iterator
+from dataclasses import dataclass
 from typing import Any
 
 import numpy as np
@@ -41,7 +48,65 @@ from n5_dask_spark.sources.n5.codec import data_type_of
 from n5_dask_spark.sources.n5.metadata import DatasetAttributes
 from n5_dask_spark.sources.n5.transforms import BLOCK_SCHEMA_DDL, rechunk
 from n5_dask_spark.sources.n5.writer import write_blocks
-from n5_dask_spark.sources.tiff import decode_tiff_page_file, tiff_page_offsets_file
+from n5_dask_spark.sources.tiff import (
+    decode_tiff_page_file,
+    read_image_description_file,
+    tiff_page_offsets_file,
+)
+
+
+@dataclass(frozen=True)
+class OmeMeta:
+    """Dimension + scale metadata from an OME-XML block."""
+
+    size_c: int
+    size_z: int
+    size_t: int
+    dim_order: str  # page iteration: 'cz' (z fastest) or 'zc' (c fastest)
+    physical_size_xyz: list[float] | None
+    physical_unit: str
+
+
+def parse_ome_xml(xml: str) -> OmeMeta:
+    """Minimal OME-XML reader (stdlib, namespace-agnostic): SizeC/SizeZ/
+    SizeT, DimensionOrder and PhysicalSize{X,Y,Z} from the first Pixels
+    element — the fields the reference pulls via ome_types
+    (src/ometif_to_n5.py:69-74)."""
+    root = ET.fromstring(xml)
+    pixels = next(
+        (el for el in root.iter() if el.tag.rsplit("}", 1)[-1] == "Pixels"), None
+    )
+    if pixels is None:
+        raise ValueError("OME-XML has no Pixels element")
+    g = pixels.attrib.get
+    size_c, size_z, size_t = int(g("SizeC", 1)), int(g("SizeZ", 1)), int(g("SizeT", 1))
+    order = g("DimensionOrder", "XYZCT").upper()
+    if "C" not in order or "Z" not in order:
+        raise ValueError(f"unsupported DimensionOrder {order!r}")
+    # pages iterate the non-XY axes fastest-first: C before Z -> C fastest
+    dim_order = "zc" if order.index("C") < order.index("Z") else "cz"
+    phys = [g("PhysicalSizeX"), g("PhysicalSizeY"), g("PhysicalSizeZ")]
+    physical = [float(v) for v in phys] if all(v is not None for v in phys) else None
+    unit = g("PhysicalSizeXUnit", "um")
+    return OmeMeta(
+        size_c=size_c,
+        size_z=size_z,
+        size_t=size_t,
+        dim_order=dim_order,
+        physical_size_xyz=physical,
+        physical_unit=unit,
+    )
+
+
+def read_ome_meta(image_path: str) -> OmeMeta:
+    """Parse the OME-XML block out of a TIFF's first ImageDescription."""
+    desc = read_image_description_file(image_path)
+    if not desc or "<" not in desc:
+        raise ValueError(
+            f"{image_path} has no OME-XML ImageDescription; pass "
+            "n_channels/dim_order explicitly"
+        )
+    return parse_ome_xml(desc)
 
 
 def ome_tif_to_n5(
@@ -50,13 +115,36 @@ def ome_tif_to_n5(
     container: str,
     group: str,
     block_size: list[int],
-    n_channels: int,
-    dim_order: str = "cz",
+    n_channels: int | None = None,
+    dim_order: str | None = None,
     compression: dict[str, Any] | None = None,
     dataset: str = "s0",
 ) -> list[DatasetAttributes]:
-    """Convert a multichannel multi-page TIFF into c{c}/{dataset} N5 volumes."""
+    """Convert a multichannel multi-page TIFF into c{c}/{dataset} N5 volumes.
+
+    ``n_channels``/``dim_order`` default to the OME-XML metadata in the
+    file's ImageDescription; pass them explicitly for plain (non-OME)
+    multi-page TIFFs."""
     tune_session(spark)
+    extra_attrs: dict[str, Any] = {}
+    if n_channels is None or dim_order is None:
+        try:
+            meta = read_ome_meta(image_path)
+        except ValueError:
+            if n_channels is None:
+                raise  # channel count is underivable without the XML
+            meta = None  # plain multi-page TIFF: keep the legacy 'cz' default
+        if meta is not None:
+            if meta.size_t > 1:
+                raise ValueError(f"time series unsupported (SizeT={meta.size_t})")
+            n_channels = meta.size_c if n_channels is None else n_channels
+            dim_order = meta.dim_order if dim_order is None else dim_order
+            if meta.physical_size_xyz is not None:
+                extra_attrs["pixelResolution"] = {
+                    "unit": meta.physical_unit,
+                    "dimensions": meta.physical_size_xyz,
+                }
+        dim_order = dim_order or "cz"
     # Metadata walk via seeks: O(pages) small reads, NO pixel I/O on the
     # driver regardless of file size.
     endian, offsets = tiff_page_offsets_file(image_path)
@@ -97,6 +185,7 @@ def ome_tif_to_n5(
             dimensions=dims_xyz,
             block_size=[dims_xyz[0], dims_xyz[1], 1],
             compression=compression or {"type": "raw"},
+            extra=extra_attrs,
         )
         out = []
         for c in range(n_channels):

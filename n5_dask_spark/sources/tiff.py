@@ -48,6 +48,7 @@ from n5_dask_spark.sources.n5.writer import _atomic_write, write_blocks
 _W, _H, _BITS, _COMP, _PHOTO, _STRIP_OFF, _SPP, _ROWS_PER_STRIP, _STRIP_CNT, _SFMT = (
     256, 257, 258, 259, 262, 273, 277, 278, 279, 339,
 )
+_DESC = 270  # ImageDescription: OME-TIFF stores its OME-XML here
 _SAMPLE_FMT = {"u": 1, "i": 2, "f": 3}
 _FMT_KIND = {1: "u", 2: "i", 3: "f"}
 
@@ -236,12 +237,22 @@ def decode_tiff(buf: bytes) -> np.ndarray:
     return _decode_page(buf, endian, tags)
 
 
-def encode_tiff_pages(arrs: list[np.ndarray]) -> bytes:
-    """Multi-page little-endian baseline TIFF (one strip per page)."""
+def encode_tiff_pages(arrs: list[np.ndarray], description: str | None = None) -> bytes:
+    """Multi-page little-endian baseline TIFF (one strip per page).
+
+    ``description`` lands in the first page's ImageDescription tag (270) —
+    where OME-TIFF stores its OME-XML block."""
     out = bytearray()
     out += struct.pack("<2sH", b"II", 42)
     ifd_ptr_pos = len(out)
     out += b"\x00\x00\x00\x00"  # first IFD offset, patched below
+    desc_off = desc_len = 0
+    if description is not None:
+        desc = description.encode("utf-8") + b"\x00"
+        desc_off, desc_len = len(out), len(desc)
+        out += desc
+        if len(out) % 2:
+            out += b"\x00"  # keep offsets word-aligned
     payload_offsets = []
     datas = []
     for arr in arrs:
@@ -252,7 +263,7 @@ def encode_tiff_pages(arrs: list[np.ndarray]) -> bytes:
         out += data
         datas.append(data)
     prev_ptr_pos = ifd_ptr_pos
-    for arr, data, poff in zip(arrs, datas, payload_offsets):
+    for page, (arr, data, poff) in enumerate(zip(arrs, datas, payload_offsets)):
         ifd_off = len(out)
         struct.pack_into("<I", out, prev_ptr_pos, ifd_off)
         h, w = arr.shape
@@ -268,12 +279,41 @@ def encode_tiff_pages(arrs: list[np.ndarray]) -> bytes:
             (_STRIP_CNT, 4, 1, len(data)),
             (_SFMT, 3, 1, _SAMPLE_FMT[arr.dtype.kind]),
         ]
+        if page == 0 and description is not None:
+            entries.append((_DESC, 2, desc_len, desc_off))
+            entries.sort()  # TIFF requires ascending tag order
         out += struct.pack("<H", len(entries))
         for tag, typ, cnt, val in entries:
             out += struct.pack("<HHII", tag, typ, cnt, val)
         prev_ptr_pos = len(out)
         out += struct.pack("<I", 0)
     return bytes(out)
+
+
+def read_image_description_file(path: str) -> str | None:
+    """ImageDescription (tag 270) of the FIRST page, or None — seek-based,
+    no pixel I/O (the OME-XML metadata probe)."""
+    with open(path, "rb") as f:
+        header = f.read(8)
+        endian = {b"II": "<", b"MM": ">"}.get(header[:2])
+        if endian is None or struct.unpack_from(endian + "H", header, 2)[0] != 42:
+            raise ValueError(f"{path} is not a TIFF")
+        (ifd_off,) = struct.unpack_from(endian + "I", header, 4)
+        f.seek(ifd_off)
+        (n,) = struct.unpack(endian + "H", f.read(2))
+        entries_raw = f.read(12 * n)
+        for i in range(n):
+            tag, typ, cnt = struct.unpack_from(endian + "HHI", entries_raw, 12 * i)
+            if tag == _DESC and typ == 2:
+                raw = entries_raw[12 * i + 8 : 12 * i + 12]
+                if cnt <= 4:
+                    data = raw[:cnt]
+                else:
+                    (off,) = struct.unpack(endian + "I", raw)
+                    f.seek(off)
+                    data = f.read(cnt)
+                return data.rstrip(b"\x00").decode("utf-8", "replace")
+    return None
 
 
 def write_tiff(path: str, arr: np.ndarray) -> None:

@@ -60,6 +60,106 @@ def test_ome_tif_to_n5(spark, dim_order):
         np.testing.assert_array_equal(got, vol[c].transpose(2, 1, 0))
 
 
+def _ome_xml(size_c, size_z, order, phys=None, size_t=1):
+    phys_attrs = (
+        f'PhysicalSizeX="{phys[0]}" PhysicalSizeY="{phys[1]}" '
+        f'PhysicalSizeZ="{phys[2]}" PhysicalSizeXUnit="nm" '
+        if phys
+        else ""
+    )
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<OME xmlns="http://www.openmicroscopy.org/Schemas/OME/2016-06">'
+        '<Image ID="Image:0"><Pixels ID="Pixels:0" '
+        f'DimensionOrder="{order}" Type="uint16" SizeX="30" SizeY="20" '
+        f'SizeC="{size_c}" SizeZ="{size_z}" SizeT="{size_t}" {phys_attrs}/>'
+        "</Image></OME>"
+    )
+
+
+def test_parse_ome_xml():
+    from n5_dask_spark.sources.ome import parse_ome_xml
+
+    m = parse_ome_xml(_ome_xml(3, 4, "XYCZT", phys=(0.1, 0.2, 0.5)))
+    assert (m.size_c, m.size_z, m.size_t) == (3, 4, 1)
+    assert m.dim_order == "zc"  # C before Z -> C varies fastest across pages
+    assert m.physical_size_xyz == [0.1, 0.2, 0.5] and m.physical_unit == "nm"
+    assert parse_ome_xml(_ome_xml(2, 5, "XYZCT")).dim_order == "cz"
+    assert parse_ome_xml(_ome_xml(2, 5, "XYZCT")).physical_size_xyz is None
+
+
+def test_image_description_roundtrip():
+    from n5_dask_spark.sources.tiff import encode_tiff_pages, read_image_description_file
+
+    desc = _ome_xml(2, 3, "XYCZT")
+    pages = [np.zeros((4, 4), dtype="u1")] * 6
+    path = os.path.join(tempfile.gettempdir(), f"ome-{uuid.uuid4().hex[:6]}.tif")
+    with open(path, "wb") as f:
+        f.write(encode_tiff_pages(pages, description=desc))
+    assert read_image_description_file(path) == desc
+    # pages still decode identically with the extra tag present
+    from n5_dask_spark.sources.tiff import decode_tiff_page
+
+    buf = open(path, "rb").read()
+    np.testing.assert_array_equal(decode_tiff_page(buf, 5), pages[5])
+
+
+@pytest.mark.parametrize("order,dim_order", [("XYCZT", "zc"), ("XYZCT", "cz")])
+def test_ome_tif_to_n5_dims_inferred_from_xml(spark, order, dim_order):
+    """n_channels/dim_order derived from the embedded OME-XML, matching the
+    reference's ome_types-driven parse (src/ometif_to_n5.py:34-74)."""
+    from n5_dask_spark.sources.n5.metadata import read_attributes
+    from n5_dask_spark.sources.n5.reader import read_full
+    from n5_dask_spark.sources.ome import channel_dataset, ome_tif_to_n5
+    from n5_dask_spark.sources.tiff import encode_tiff_pages
+    from n5_dask_spark.sources.n5.writer import temp_container
+
+    n_c, n_z = 3, 4
+    vol = make_volume(n_c=n_c, n_z=n_z)
+    if dim_order == "cz":
+        pages = [vol[c, z] for c in range(n_c) for z in range(n_z)]
+    else:
+        pages = [vol[c, z] for z in range(n_z) for c in range(n_c)]
+    path = os.path.join(tempfile.gettempdir(), f"ome-{uuid.uuid4().hex[:6]}.tif")
+    with open(path, "wb") as f:
+        f.write(encode_tiff_pages(pages, description=_ome_xml(n_c, n_z, order, phys=(0.1, 0.1, 0.5))))
+
+    out = temp_container()
+    attrs = ome_tif_to_n5(spark, path, out, "img", [16, 16, 2], compression={"type": "gzip"})
+    assert len(attrs) == n_c
+    for c in range(n_c):
+        got = read_full(spark, out, channel_dataset("img", c))
+        np.testing.assert_array_equal(got, vol[c].transpose(2, 1, 0))
+    stored = read_attributes(out, channel_dataset("img", 0))
+    assert stored.extra["pixelResolution"] == {"unit": "nm", "dimensions": [0.1, 0.1, 0.5]}
+
+
+def test_ome_time_series_rejected(spark):
+    from n5_dask_spark.sources.ome import ome_tif_to_n5
+    from n5_dask_spark.sources.tiff import encode_tiff_pages
+    from n5_dask_spark.sources.n5.writer import temp_container
+
+    pages = [np.zeros((4, 4), dtype="u2")] * 4
+    path = os.path.join(tempfile.gettempdir(), f"ome-{uuid.uuid4().hex[:6]}.tif")
+    with open(path, "wb") as f:
+        f.write(encode_tiff_pages(pages, description=_ome_xml(2, 1, "XYCZT", size_t=2)))
+    with pytest.raises(ValueError, match="SizeT"):
+        ome_tif_to_n5(spark, path, temp_container(), "img", [4, 4, 1])
+
+
+def test_ome_missing_xml_requires_explicit_dims(spark):
+    from n5_dask_spark.sources.ome import ome_tif_to_n5
+    from n5_dask_spark.sources.tiff import encode_tiff_pages
+    from n5_dask_spark.sources.n5.writer import temp_container
+
+    pages = [np.zeros((4, 4), dtype="u1")] * 4
+    path = os.path.join(tempfile.gettempdir(), f"ome-{uuid.uuid4().hex[:6]}.tif")
+    with open(path, "wb") as f:
+        f.write(encode_tiff_pages(pages))
+    with pytest.raises(ValueError, match="no OME-XML"):
+        ome_tif_to_n5(spark, path, temp_container(), "img", [4, 4, 1])
+
+
 def test_ome_bad_channel_count(spark):
     from n5_dask_spark.sources.ome import ome_tif_to_n5
     from n5_dask_spark.sources.tiff import encode_tiff_pages
