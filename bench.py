@@ -42,6 +42,9 @@ HEADLINE = [
     "multimodal_feature_extract",
     "dedup_connected_clusters",
     "n5_rechunk_stats",
+    # round 2: hash-checked N5 write->read roundtrip + sharded packing
+    "n5_roundtrip_zprofile",
+    "pipeline_sequence_packing",
 ]
 
 

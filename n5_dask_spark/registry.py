@@ -151,6 +151,7 @@ def load_all() -> dict[str, Query]:
         pipeline2,
         relational3,
         n5oracle,
+        tpch_extra2,
     )
     from n5_dask_spark.streaming import jobs, joins, stateful  # noqa: F401
 
