@@ -1,0 +1,88 @@
+"""Format/connector roundtrips (SURVEY.md §2.B formats row): the engine's
+Spark-native read/write surface beyond parquet — ORC, CSV, JSON — proven
+by writing real files and reading them back before aggregating. The oracle
+computes the same aggregate straight from the parquet table, so any
+serialization defect (type mangling, header drift, encoding) flips the
+hash. N5 and TIFF (the reference's own formats) have their own modules;
+binaryFile is exercised by the N5 scan path.
+
+Paths are deterministic per sf_dir (atomic per-task files via Spark's
+commit protocol; mode=overwrite), so reruns are idempotent. Only
+well-behaved columns (ids, lang, counters) go through CSV — free-text
+stays in formats whose escaping is total.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from n5_dask_spark.catalog import load_tables
+from n5_dask_spark.registry import register
+
+_AGG_ORACLE = """
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select(
+        "doc_id", "lang", "n_chars"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"n5ds-fmt-{fmt}-{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    writer = docs.write.mode("overwrite").format(fmt)
+    reader = spark.read.format(fmt)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+        # explicit schema: a CSV roundtrip that silently infers LongType as
+        # string would still count rows right but corrupt the sums
+        reader = reader.option("header", "true").schema("doc_id long, lang string, n_chars long")
+    elif fmt == "json":
+        reader = reader.schema("doc_id long, lang string, n_chars long")
+    writer.save(path)
+    back = reader.load(path)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum("doc_id").cast("bigint").alias("id_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "formats_orc_roundtrip",
+    oracle=_AGG_ORACLE,
+    doc="ORC write -> read -> aggregate; oracle reads the parquet directly.",
+)
+def formats_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _roundtrip(spark, sf_dir, "orc")
+
+
+@register(
+    "formats_csv_roundtrip",
+    oracle=_AGG_ORACLE,
+    doc="CSV (header, explicit schema) write -> read -> aggregate vs parquet oracle.",
+)
+def formats_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _roundtrip(spark, sf_dir, "csv")
+
+
+@register(
+    "formats_json_roundtrip",
+    oracle=_AGG_ORACLE,
+    doc="JSON-lines write -> read (explicit schema) -> aggregate vs parquet oracle.",
+)
+def formats_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _roundtrip(spark, sf_dir, "json")

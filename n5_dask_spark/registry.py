@@ -152,7 +152,10 @@ def load_all() -> dict[str, Query]:
         relational3,
         n5oracle,
         tpch_extra2,
+        relational4,
+        formats,
     )
+    from n5_dask_spark.streaming import dedup as streaming_dedup  # noqa: F401
     from n5_dask_spark.streaming import jobs, joins, stateful  # noqa: F401
 
     missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]
