@@ -154,8 +154,10 @@ def load_all() -> dict[str, Query]:
         tpch_extra2,
         relational4,
         formats,
+        bucketed,
     )
     from n5_dask_spark.streaming import dedup as streaming_dedup  # noqa: F401
+    from n5_dask_spark.streaming import static_join  # noqa: F401
     from n5_dask_spark.streaming import jobs, joins, stateful  # noqa: F401
 
     missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]

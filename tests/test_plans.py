@@ -122,6 +122,23 @@ def test_no_unpartitioned_windows_in_source():
     assert offenders == [], f"unpartitioned Window.orderBy at {offenders}"
 
 
+def test_bucketed_join_has_no_exchange(spark):
+    """Both sides bucketed+sorted on the key: the sort-merge join must be
+    scan-local — no Exchange anywhere below the aggregation, even with
+    auto-broadcast disabled."""
+    df = get_query("join_bucketed_colocated").fn(spark, SF_SMALL)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = plan_of(df)
+        join_pos = plan.index("SortMergeJoin")
+        # no exchange may feed the join (bucket-pruned scans feed it directly)
+        assert "Exchange" not in plan[join_pos - 2000 : join_pos]
+        assert "BroadcastExchange" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_sequence_packing_window_is_partitioned(spark):
     plan = plan_of(get_query("pipeline_sequence_packing").fn(spark, SF_SMALL))
     # the Window node must hash-partition on the shard column, not
