@@ -1,0 +1,117 @@
+"""Multimodal part 2: frame sampling and resize plumbing (SURVEY.md §2.B
+multimodal row; completes the decode / feature-extract / resize /
+frame-sample quartet the pipeline brief mandates).
+
+Same honesty contract as multimodal.py: the real codecs are stubbed
+(container has no av/PIL), but the Spark-side shape is real and
+oracle-checked — frame sampling is a one-to-MANY mapInPandas fan-out
+(rows out != rows in, the batch shape video decode actually has), resize
+is payload->payload with changed byte length. Deterministic fakes (fixed
+64-byte "frames", every-4th-byte "resize") make both hash-checkable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+from n5_dask_spark.operators.multimodal import media_table
+from n5_dask_spark.registry import register
+
+FRAME_BYTES = 64  # fake fixed-size frame
+FRAME_STRIDE = 4  # keep every 4th frame
+
+
+def decode_video_frames(payload: bytes) -> "object":
+    """Real video decode — stubbed: no av/ffmpeg in this container. The
+    frame-sampling plumbing below is real; swap this in production."""
+    try:
+        import av  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError("video decoding requires pyav/ffmpeg (not installed)") from exc
+    raise NotImplementedError("unreachable in this container")
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+    SELECT doc_id, CAST(j AS INT) AS frame_idx,
+           md5(substr(text, CAST(1 + j * {FRAME_BYTES} AS INT), {FRAME_BYTES})) AS frame_md5,
+           CAST(LEAST({FRAME_BYTES}, len(text) - j * {FRAME_BYTES}) AS INT) AS n_frame_bytes
+    FROM documents,
+         UNNEST(range(0, CAST(CEIL(len(text) / {FRAME_BYTES}.0) AS BIGINT), {FRAME_STRIDE}))
+           AS t(j)
+    WHERE doc_id % 3 = 2
+    ORDER BY doc_id, frame_idx
+    """,
+    doc=(
+        "Frame sampling over video payloads: mapInPandas fans each binary "
+        "row out to every 4th fixed-size frame (one-to-many batch shape — "
+        "what a real decoder produces). Deterministic fake frames keep it "
+        "hash-checked."
+    ),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    videos = media_table(spark, sf_dir).filter("media_type = 'video/mp4'")
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = (len(b) + FRAME_BYTES - 1) // FRAME_BYTES
+                for j in range(0, n_frames, FRAME_STRIDE):
+                    frame = b[j * FRAME_BYTES : (j + 1) * FRAME_BYTES]
+                    rows.append(
+                        (int(doc_id), j, hashlib.md5(frame).hexdigest(), len(frame))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_md5", "n_frame_bytes"]
+            )
+
+    return videos.mapInPandas(
+        sample, schema="doc_id long, frame_idx int, frame_md5 string, n_frame_bytes int"
+    ).orderBy("doc_id", "frame_idx")
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+    WITH strided AS (
+      SELECT doc_id, md5(string_agg(ch, '' ORDER BY i)) AS resized_md5, COUNT(*) AS n_out
+      FROM (
+        SELECT doc_id, i, substr(text, CAST(i AS INT), 1) AS ch
+        FROM documents, UNNEST(range(1, len(text) + 1, 4)) AS t(i)
+        WHERE doc_id % 3 = 0
+      ) GROUP BY doc_id
+    )
+    SELECT doc_id, resized_md5, CAST(n_out AS BIGINT) AS n_bytes_out
+    FROM strided ORDER BY doc_id
+    """,
+    doc=(
+        "Resize plumbing over image payloads: payload -> smaller payload "
+        "(deterministic every-4th-byte fake for the real interpolation), "
+        "output re-hashed so the byte-exact transform is oracle-checked."
+    ),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    images = media_table(spark, sf_dir).filter("media_type = 'image/png'")
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [bytes(p)[0::4] for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "resized_md5": [hashlib.md5(b).hexdigest() for b in out],
+                    "n_bytes_out": [len(b) for b in out],
+                }
+            )
+
+    return images.mapInPandas(
+        resize, schema="doc_id long, resized_md5 string, n_bytes_out long"
+    ).orderBy("doc_id")

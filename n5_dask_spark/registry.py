@@ -155,6 +155,7 @@ def load_all() -> dict[str, Query]:
         relational4,
         formats,
         bucketed,
+        multimodal2,
     )
     from n5_dask_spark.streaming import dedup as streaming_dedup  # noqa: F401
     from n5_dask_spark.streaming import static_join  # noqa: F401
