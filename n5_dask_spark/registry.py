@@ -80,9 +80,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_langid",
     "text_quality_score",
     "text_fingerprint",
-    "text_tf_top_terms",
     "text_tfidf_top_terms",
     "text_pii_scrub",
+    # formats/connectors beyond parquet (round 2): explicit roundtrip proof
+    "formats_orc_roundtrip",
     # LLM-pipeline composites
     "pipeline_clean_corpus",
     "pipeline_train_val_split",
