@@ -51,6 +51,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # flagship + the round-1 red row (fixed)
     "q1_pricing_summary",
     "scalar_math_funcs",
+    # changed this round (newly partitioned; r01 verdicts are stale)
+    "window_range_between",
+    "window_ntile",
     # §2.A N5 chunked-array surface (rows-only checks)
     "n5_block_inventory",
     "n5_block_stats",
@@ -79,7 +82,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # text analysis
     "text_langid",
     "text_quality_score",
-    "text_fingerprint",
     "text_tfidf_top_terms",
     "text_pii_scrub",
     # formats/connectors beyond parquet (round 2): explicit roundtrip proof
@@ -113,7 +115,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # subqueries / fuzzy / sessionization
     "correlated_scalar_subquery",
     "fuzzy_match_levenshtein",
-    "events_cohort_retention",
 )
 
 

@@ -51,31 +51,27 @@ def _rotl(x: int, r: int) -> int:
 
 
 def xxhash32(data: bytes, seed: int = 0) -> int:
-    """Spec implementation of XXH32 (sequential tail; vectorized stripes)."""
+    """Spec implementation of XXH32. The 16-byte stripe loop is plain-int
+    with unrolled lanes — each lane's accumulator is sequentially dependent
+    across stripes, so numpy can't batch it, and small per-stripe numpy
+    temporaries cost more than the arithmetic itself."""
     n = len(data)
     if n >= 16:
-        # process 16-byte stripes with numpy (4 independent lanes)
         nstripes = n // 16
-        lanes = (
-            np.frombuffer(data[: nstripes * 16], dtype="<u4").reshape(nstripes, 4).astype(np.uint64)
-        )
-        acc = np.array(
-            [
-                (seed + _P1 + _P2) & _MASK,
-                (seed + _P2) & _MASK,
-                seed & _MASK,
-                (seed - _P1) & _MASK,
-            ],
-            dtype=np.uint64,
-        )
-        p1 = np.uint64(_P1)
-        p2 = np.uint64(_P2)
-        m = np.uint64(_MASK)
-        for i in range(nstripes):
-            acc = (acc + lanes[i] * p2) & m
-            acc = ((acc << np.uint64(13)) | (acc >> np.uint64(19))) & m
-            acc = (acc * p1) & m
-        a0, a1, a2, a3 = (int(v) for v in acc)
+        words = struct.unpack_from(f"<{nstripes * 4}I", data)
+        a0 = (seed + _P1 + _P2) & _MASK
+        a1 = (seed + _P2) & _MASK
+        a2 = seed & _MASK
+        a3 = (seed - _P1) & _MASK
+        for i in range(0, nstripes * 4, 4):
+            a0 = (a0 + words[i] * _P2) & _MASK
+            a0 = (((a0 << 13) | (a0 >> 19)) & _MASK) * _P1 & _MASK
+            a1 = (a1 + words[i + 1] * _P2) & _MASK
+            a1 = (((a1 << 13) | (a1 >> 19)) & _MASK) * _P1 & _MASK
+            a2 = (a2 + words[i + 2] * _P2) & _MASK
+            a2 = (((a2 << 13) | (a2 >> 19)) & _MASK) * _P1 & _MASK
+            a3 = (a3 + words[i + 3] * _P2) & _MASK
+            a3 = (((a3 << 13) | (a3 >> 19)) & _MASK) * _P1 & _MASK
         h = (_rotl(a0, 1) + _rotl(a1, 7) + _rotl(a2, 12) + _rotl(a3, 18)) & _MASK
         pos = nstripes * 16
     else:
@@ -211,7 +207,10 @@ def lz4_block_compress(src: bytes) -> bytes:
 
     while i < mf_limit:
         key = src[i : i + 4]
-        h = hash(key)
+        # deterministic multiplicative hash (the standard LZ4 bucket fn):
+        # builtin hash(bytes) is salted per-process, which would make the
+        # compressed bytes vary across executors/runs
+        h = (int.from_bytes(key, "little") * 2654435761) & _MASK
         cand = table.get(h)
         table[h] = i
         if cand is not None and i - cand <= 0xFFFF and src[cand : cand + 4] == key:
@@ -241,7 +240,9 @@ def _compression_level(block_size: int) -> int:
 def frame_compress(payload: bytes, block_size: int = DEFAULT_BLOCK_SIZE) -> bytes:
     out = bytearray()
     level = _compression_level(block_size)
-    for off in range(0, len(payload), block_size) or [0]:
+    # empty payload -> ONLY the end marker: lz4-java treats any chunk with
+    # dlen==0 as the end marker and requires its checksum field to be 0
+    for off in range(0, len(payload), block_size):
         chunk = payload[off : off + block_size]
         check = xxhash32(chunk, DEFAULT_SEED) & 0xFFFFFFF
         packed = lz4_block_compress(chunk)

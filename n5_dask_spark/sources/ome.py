@@ -99,14 +99,23 @@ def parse_ome_xml(xml: str) -> OmeMeta:
 
 
 def read_ome_meta(image_path: str) -> OmeMeta:
-    """Parse the OME-XML block out of a TIFF's first ImageDescription."""
+    """Parse the OME-XML block out of a TIFF's first ImageDescription.
+
+    Raises ValueError for ANY unusable description — including ImageJ-style
+    free text that happens to contain '<' (ET.ParseError is a SyntaxError
+    subclass, so it must be converted for callers' except ValueError)."""
     desc = read_image_description_file(image_path)
     if not desc or "<" not in desc:
         raise ValueError(
             f"{image_path} has no OME-XML ImageDescription; pass "
             "n_channels/dim_order explicitly"
         )
-    return parse_ome_xml(desc)
+    try:
+        return parse_ome_xml(desc)
+    except ET.ParseError as exc:
+        raise ValueError(
+            f"{image_path} ImageDescription is not parseable OME-XML: {exc}"
+        ) from exc
 
 
 def ome_tif_to_n5(
@@ -127,24 +136,26 @@ def ome_tif_to_n5(
     multi-page TIFFs."""
     tune_session(spark)
     extra_attrs: dict[str, Any] = {}
-    if n_channels is None or dim_order is None:
-        try:
-            meta = read_ome_meta(image_path)
-        except ValueError:
-            if n_channels is None:
-                raise  # channel count is underivable without the XML
-            meta = None  # plain multi-page TIFF: keep the legacy 'cz' default
-        if meta is not None:
-            if meta.size_t > 1:
-                raise ValueError(f"time series unsupported (SizeT={meta.size_t})")
-            n_channels = meta.size_c if n_channels is None else n_channels
-            dim_order = meta.dim_order if dim_order is None else dim_order
-            if meta.physical_size_xyz is not None:
-                extra_attrs["pixelResolution"] = {
-                    "unit": meta.physical_unit,
-                    "dimensions": meta.physical_size_xyz,
-                }
-        dim_order = dim_order or "cz"
+    # ALWAYS attempt the OME parse (cheap header read): explicit
+    # n_channels/dim_order override the dims, but PhysicalSize metadata
+    # must not silently vanish just because the caller passed flags
+    try:
+        meta = read_ome_meta(image_path)
+    except ValueError:
+        if n_channels is None:
+            raise  # channel count is underivable without the XML
+        meta = None  # plain multi-page TIFF: keep the legacy 'cz' default
+    if meta is not None:
+        if meta.size_t > 1 and (n_channels is None or dim_order is None):
+            raise ValueError(f"time series unsupported (SizeT={meta.size_t})")
+        n_channels = meta.size_c if n_channels is None else n_channels
+        dim_order = meta.dim_order if dim_order is None else dim_order
+        if meta.physical_size_xyz is not None:
+            extra_attrs["pixelResolution"] = {
+                "unit": meta.physical_unit,
+                "dimensions": meta.physical_size_xyz,
+            }
+    dim_order = dim_order or "cz"
     # Metadata walk via seeks: O(pages) small reads, NO pixel I/O on the
     # driver regardless of file size.
     endian, offsets = tiff_page_offsets_file(image_path)

@@ -280,7 +280,15 @@ def encode_tiff_pages(arrs: list[np.ndarray], description: str | None = None) ->
             (_SFMT, 3, 1, _SAMPLE_FMT[arr.dtype.kind]),
         ]
         if page == 0 and description is not None:
-            entries.append((_DESC, 2, desc_len, desc_off))
+            # TIFF rule: values of <= 4 bytes live INLINE in the value field,
+            # not behind an offset (readers decode the offset as text otherwise)
+            if desc_len <= 4:
+                inline = int.from_bytes(
+                    out[desc_off : desc_off + desc_len].ljust(4, b"\x00"), "little"
+                )
+                entries.append((_DESC, 2, desc_len, inline))
+            else:
+                entries.append((_DESC, 2, desc_len, desc_off))
             entries.sort()  # TIFF requires ascending tag order
         out += struct.pack("<H", len(entries))
         for tag, typ, cnt, val in entries:

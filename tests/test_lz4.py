@@ -106,6 +106,42 @@ def test_frame_multi_chunk():
     assert frame_decompress(framed) == data
 
 
+def test_frame_empty_payload_is_end_marker_only():
+    # lz4-java requires the (0,0) end marker to carry checksum 0; an empty
+    # payload must emit ONLY that marker, not a data chunk with dlen=0
+    framed = frame_compress(b"")
+    assert len(framed) == 21
+    import struct
+
+    clen, dlen, check = struct.unpack_from("<iii", framed, 9)
+    assert (clen, dlen, check) == (0, 0, 0)
+    assert frame_decompress(framed) == b""
+
+
+def test_block_compress_is_process_deterministic():
+    """Compressed bytes must not depend on PYTHONHASHSEED (executor salt)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo');"
+        "from n5_dask_spark.sources.n5.lz4 import lz4_block_compress;"
+        "data = bytes(range(256)) * 8 + b'abcabcabc' * 50;"
+        "sys.stdout.write(lz4_block_compress(data).hex())"
+    )
+    outs = {
+        subprocess.run(
+            [sys.executable, "-c", code],
+            env={"PYTHONHASHSEED": seed, "PATH": "/usr/bin:/bin"},
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        for seed in ("0", "42", "12345")
+    }
+    assert len(outs) == 1
+
+
 def test_frame_checksum_detects_corruption():
     framed = bytearray(frame_compress(b"hello lz4 world" * 100))
     framed[-22] ^= 0xFF  # last payload byte (the final 21 bytes are the end marker)

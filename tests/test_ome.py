@@ -147,6 +147,62 @@ def test_ome_time_series_rejected(spark):
         ome_tif_to_n5(spark, path, temp_container(), "img", [4, 4, 1])
 
 
+def test_short_image_description_is_inlined():
+    """TIFF values of <= 4 bytes live inline in the IFD value field; a
+    short description must roundtrip, not decode its own offset."""
+    from n5_dask_spark.sources.tiff import encode_tiff_pages, read_image_description_file
+
+    pages = [np.zeros((4, 4), dtype="u1")] * 2
+    path = os.path.join(tempfile.gettempdir(), f"ome-{uuid.uuid4().hex[:6]}.tif")
+    with open(path, "wb") as f:
+        f.write(encode_tiff_pages(pages, description="ab"))
+    assert read_image_description_file(path) == "ab"
+
+
+def test_imagej_style_description_falls_back(spark):
+    """A non-XML ImageDescription containing '<' (ImageJ free text) must
+    take the legacy fallback when dims are explicit, not crash in the XML
+    parser (ET.ParseError is a SyntaxError, not a ValueError)."""
+    from n5_dask_spark.sources.n5.reader import read_full
+    from n5_dask_spark.sources.ome import channel_dataset, ome_tif_to_n5
+    from n5_dask_spark.sources.tiff import encode_tiff_pages
+    from n5_dask_spark.sources.n5.writer import temp_container
+
+    vol = make_volume(n_c=2, n_z=3)
+    pages = [vol[c, z] for c in range(2) for z in range(3)]
+    path = os.path.join(tempfile.gettempdir(), f"ome-{uuid.uuid4().hex[:6]}.tif")
+    with open(path, "wb") as f:
+        f.write(encode_tiff_pages(pages, description="threshold x<10 applied"))
+    out = temp_container()
+    attrs = ome_tif_to_n5(spark, path, out, "img", [16, 16, 2], n_channels=2)
+    assert len(attrs) == 2
+    np.testing.assert_array_equal(
+        read_full(spark, out, channel_dataset("img", 0)), vol[0].transpose(2, 1, 0)
+    )
+
+
+def test_explicit_dims_still_capture_pixel_resolution(spark):
+    """Passing n_channels/dim_order explicitly must not drop the OME
+    PhysicalSize metadata from the written datasets."""
+    from n5_dask_spark.sources.n5.metadata import read_attributes
+    from n5_dask_spark.sources.ome import channel_dataset, ome_tif_to_n5
+    from n5_dask_spark.sources.tiff import encode_tiff_pages
+    from n5_dask_spark.sources.n5.writer import temp_container
+
+    n_c, n_z = 2, 3
+    vol = make_volume(n_c=n_c, n_z=n_z)
+    pages = [vol[c, z] for c in range(n_c) for z in range(n_z)]
+    path = os.path.join(tempfile.gettempdir(), f"ome-{uuid.uuid4().hex[:6]}.tif")
+    with open(path, "wb") as f:
+        f.write(
+            encode_tiff_pages(pages, description=_ome_xml(n_c, n_z, "XYZCT", phys=(1.5, 1.5, 4.0)))
+        )
+    out = temp_container()
+    ome_tif_to_n5(spark, path, out, "img", [16, 16, 2], n_channels=n_c, dim_order="cz")
+    stored = read_attributes(out, channel_dataset("img", 0))
+    assert stored.extra["pixelResolution"] == {"unit": "nm", "dimensions": [1.5, 1.5, 4.0]}
+
+
 def test_ome_missing_xml_requires_explicit_dims(spark):
     from n5_dask_spark.sources.ome import ome_tif_to_n5
     from n5_dask_spark.sources.tiff import encode_tiff_pages
