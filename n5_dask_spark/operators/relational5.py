@@ -1,0 +1,90 @@
+"""Round-2 tail additions: bitwise scalar functions and per-dimension
+embedding statistics (SURVEY.md §2.B scalar-functions + similarity rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from n5_dask_spark.catalog import load_tables
+from n5_dask_spark.registry import register
+
+
+@register(
+    "scalar_bitwise_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey & 255 AS BIGINT) AS low_byte,
+           CAST(o_orderkey | 4096 AS BIGINT) AS with_flag,
+           CAST(xor(o_orderkey, o_custkey) AS BIGINT) AS key_xor,
+           CAST(o_orderkey << 2 AS BIGINT) AS shifted_up,
+           CAST(o_orderkey >> 3 AS BIGINT) AS shifted_down,
+           CAST(bit_count(o_orderkey) AS INT) AS popcount
+    FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey
+    """,
+    doc=(
+        "Bitwise scalar surface: and/or/xor/shifts/popcount — the ops "
+        "hash-partitioners, bloom filters, and bitmask flags are built from."
+    ),
+)
+def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders",))
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    return (
+        t["orders"]
+        .filter(k <= 500)
+        .select(
+            "o_orderkey",
+            k.bitwiseAND(255).cast("bigint").alias("low_byte"),
+            k.bitwiseOR(4096).cast("bigint").alias("with_flag"),
+            k.bitwiseXOR(c).cast("bigint").alias("key_xor"),
+            F.expr("shiftleft(o_orderkey, 2)").cast("bigint").alias("shifted_up"),
+            F.expr("shiftright(o_orderkey, 3)").cast("bigint").alias("shifted_down"),
+            F.bit_count(k).cast("int").alias("popcount"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "embedding_dimension_stats",
+    oracle="""
+    WITH ex AS (
+      SELECT CAST(i AS INT) AS dim, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    )
+    SELECT dim,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(CAST(ROUND(v, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_val,
+           ROUND(MIN(v), 6) AS min_val,
+           ROUND(MAX(v), 6) AS max_val
+    FROM ex GROUP BY dim ORDER BY dim
+    """,
+    doc=(
+        "Per-dimension corpus statistics over the embedding column "
+        "(posexplode): the drift/collapse monitor a production embedding "
+        "pipeline runs per batch. Elements rounded to 6dp then summed as "
+        "exact decimals (float32 -> double promotion is exact; the "
+        "order-independent decimal sum keeps both engines bit-identical); "
+        "mean = exact sum / count in double."
+    ),
+)
+def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"].repartition(spark.sparkContext.defaultParallelism)
+    exploded = emb.select(F.posexplode("embedding").alias("pos", "v")).select(
+        (F.col("pos") + 1).cast("int").alias("dim"),  # WITH ORDINALITY is 1-based
+        F.col("v").cast("double").alias("v"),
+    )
+    return (
+        exploded.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            (F.sum(F.round("v", 6).cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)))
+            .alias("mean_val"),
+            F.round(F.min("v"), 6).alias("min_val"),
+            F.round(F.max("v"), 6).alias("max_val"),
+        )
+        .orderBy("dim")
+    )
