@@ -26,8 +26,21 @@ hash-table matcher (numpy-accelerated match extension, zero-run friendly);
 the decompressor handles any spec-conformant stream, so containers written
 by n5-java/lz4 CLI read correctly.
 
-Reference parity: the reference CLI advertises ``lz4`` via numcodecs
-(/root/reference/src/tif_to_n5.py:82, create_n5.py:55).
+Two incompatible lz4 framings exist in the N5 ecosystem:
+
+- **n5-java** (``Lz4Compression``) writes the LZ4Block stream above; this
+  module WRITES that framing.
+- **zarr/numcodecs** (what the reference CLI uses:
+  /root/reference/src/tif_to_n5.py:82, create_n5.py:55) writes a bare
+  4-byte LE *uncompressed size* prefix followed by a single raw LZ4
+  block (``numcodecs.LZ4``). n5-java cannot read those chunks and vice
+  versa — a long-standing ecosystem split, not something we can paper
+  over on the write side.
+
+``frame_decompress`` READS both: it sniffs the 8-byte ``LZ4Block`` magic
+and falls back to numcodecs framing when absent, so containers written by
+either stack decode. Writes target n5-java (the stricter, checksummed
+format); use ``numcodecs_compress`` explicitly for zarr-stack parity.
 """
 
 from __future__ import annotations
@@ -122,6 +135,13 @@ def lz4_block_decompress(src: bytes, dst_size: int) -> bytes:
                 if b != 255:
                     break
         if lit:
+            # explicit bounds checks: a truncated/corrupt source must raise,
+            # not silently shrink dst via a short slice assignment (which
+            # would shift every subsequent match copy)
+            if s + lit > n:
+                raise ValueError("corrupt LZ4 block: literal run past input end")
+            if d + lit > dst_size:
+                raise ValueError("corrupt LZ4 block: literal run past output end")
             dst[d : d + lit] = src[s : s + lit]
             s += lit
             d += lit
@@ -143,6 +163,8 @@ def lz4_block_decompress(src: bytes, dst_size: int) -> bytes:
         start = d - offset
         if start < 0:
             raise ValueError("corrupt LZ4 block: match before output start")
+        if d + mlen > dst_size:
+            raise ValueError("corrupt LZ4 block: match run past output end")
         if offset >= mlen:
             dst[d : d + mlen] = dst[start : start + mlen]
         else:
@@ -261,7 +283,26 @@ def frame_compress(payload: bytes, block_size: int = DEFAULT_BLOCK_SIZE) -> byte
     return bytes(out)
 
 
+def numcodecs_compress(payload: bytes) -> bytes:
+    """zarr/numcodecs.LZ4 framing: 4-byte LE uncompressed size + one raw
+    LZ4 block. What the reference stack (zarr.N5Store + numcodecs) writes."""
+    return struct.pack("<I", len(payload)) + lz4_block_compress(payload)
+
+
+def numcodecs_decompress(raw: bytes) -> bytes:
+    if len(raw) < 4:
+        raise ValueError("numcodecs LZ4 chunk shorter than its size prefix")
+    (dst_size,) = struct.unpack_from("<I", raw, 0)
+    return lz4_block_decompress(raw[4:], dst_size)
+
+
 def frame_decompress(raw: bytes) -> bytes:
+    # Sniff the framing: lz4-java streams always start with the 8-byte
+    # "LZ4Block" magic; zarr/numcodecs chunks start with a bare LE size.
+    # (A numcodecs chunk whose size prefix spells "LZ4B" would be ~1.1 GB
+    # decompressed — out of range for any sane N5 block.)
+    if raw[:8] != MAGIC:
+        return numcodecs_decompress(raw)
     out = bytearray()
     pos = 0
     n = len(raw)

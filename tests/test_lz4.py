@@ -219,3 +219,63 @@ def test_blosc_raises_documented_error():
 
     with pytest.raises(ImportError, match="blosc"):
         encode_block(np.zeros((2, 2, 2), dtype="u1"), "uint8", {"type": "blosc"})
+
+
+# ---------------------------------------------------------------------------
+# numcodecs (zarr-stack) framing interop + corrupt-stream bounds checks
+# ---------------------------------------------------------------------------
+
+
+@given(st.binary(max_size=5000))
+@settings(max_examples=60, deadline=None)
+def test_numcodecs_roundtrip(data):
+    from n5_dask_spark.sources.n5.lz4 import numcodecs_compress, numcodecs_decompress
+
+    assert numcodecs_decompress(numcodecs_compress(data)) == data
+
+
+@given(st.binary(min_size=1, max_size=5000))
+@settings(max_examples=60, deadline=None)
+def test_frame_decompress_sniffs_numcodecs_framing(data):
+    """A zarr/numcodecs-written chunk (4-byte LE size + raw LZ4 block) must
+    decode through the same entry point as lz4-java streams."""
+    from n5_dask_spark.sources.n5.lz4 import numcodecs_compress
+
+    assert frame_decompress(numcodecs_compress(data)) == data
+
+
+def test_numcodecs_framing_matches_reference_layout():
+    """The prefix is the LE uncompressed size; the remainder is one standard
+    LZ4 block (what numcodecs.LZ4 / the reference CLI writes)."""
+    import struct
+
+    from n5_dask_spark.sources.n5.lz4 import lz4_block_decompress, numcodecs_compress
+
+    data = b"abcabcabcabc" * 100
+    framed = numcodecs_compress(data)
+    (size,) = struct.unpack_from("<I", framed, 0)
+    assert size == len(data)
+    assert lz4_block_decompress(framed[4:], size) == data
+
+
+def test_block_decompress_rejects_truncated_literals():
+    """A literal run past the input end must raise, not silently shrink."""
+    import pytest
+
+    from n5_dask_spark.sources.n5.lz4 import lz4_block_compress
+
+    data = bytes(range(200))
+    packed = lz4_block_compress(data)
+    with pytest.raises(ValueError):
+        lz4_block_decompress(packed[: len(packed) // 2], len(data))
+
+
+def test_block_decompress_rejects_overlong_match():
+    """A match run that would overrun dst_size must raise."""
+    import pytest
+
+    # token: 4 literals, match len 15+ext; then 4 literal bytes, offset 4,
+    # ext byte 200 -> match length 4+15+200 = 219 >> dst_size
+    stream = bytes([0x4F]) + b"abcd" + bytes([0x04, 0x00, 200])
+    with pytest.raises(ValueError):
+        lz4_block_decompress(stream, 16)
