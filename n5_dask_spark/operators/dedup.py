@@ -162,9 +162,10 @@ DUCK_SHINGLES = f"""
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
     r = N_PERM // N_BANDS
-    # Whole signature computed columnar inside ONE projection (higher-order
-    # functions, JVM-side): no per-(shingle, perm) explode, no signature
-    # shuffle. The only shuffled rows are 1 per (doc, band).
+    # Whole BAND signature computed columnar inside ONE projection chain
+    # (higher-order functions, JVM-side): no per-(shingle, perm) explode, no
+    # per-permutation shuffle. The only rows that ever shuffle after the
+    # parallelizing repartition are 1 per (doc, band) — doc_id + band_sig.
     docs = (
         # repartition BEFORE the heavy projections: the single-file input
         # otherwise serializes tokenize/shingle/md5 onto one core (and pushed
@@ -184,36 +185,51 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shingles"),
         )
     )
-    sigs = docs.select(
+    # bands[b] = ','-join of the r min-hashes of band b, in permutation
+    # order (matches the oracle's STRING_AGG ... ORDER BY p). NULL (not '')
+    # when the doc has no shingles, so empty docs never share a bucket.
+    bands_df = docs.select(
         "doc_id",
         F.expr(
-            f"transform(sequence(0, {N_PERM - 1}),"
-            " p -> array_min(transform(shingles, s -> md5(concat(CAST(p AS STRING), '|', s)))))"
-        ).alias("sig"),
+            f"transform(sequence(0, {N_BANDS - 1}), b ->"
+            " CASE WHEN size(shingles) = 0 THEN NULL ELSE"
+            f" array_join(transform(sequence(b * {r}, b * {r} + {r - 1}),"
+            " p -> array_min(transform(shingles,"
+            " s -> md5(concat(CAST(p AS STRING), '|', s))))), ',') END)"
+        ).alias("bands"),
     )
     # posexplode_OUTER on purpose: plain explode adds an implicit
-    # `size(sig) > 0` filter that Catalyst pushes below the repartition
+    # `size(bands) > 0` filter that Catalyst pushes below the repartition
     # exchange, inlining (= re-evaluating) the whole md5 signature into a
     # single-task pre-shuffle stage. outer explode generates no such filter,
     # so the signature is computed exactly once, post-repartition.
-    per_perm = sigs.select("doc_id", F.posexplode_outer("sig").alias("p", "minh")).filter(
-        F.col("minh").isNotNull()  # docs with no shingles drop out, as in the oracle
+    per_band = bands_df.select(
+        "doc_id", F.posexplode_outer("bands").alias("band", "band_sig")
+    ).filter(F.col("band_sig").isNotNull())
+    # Bucket groupBy + in-bucket pair expansion instead of a bands⋈bands
+    # self-join: ONE shuffle on (band, band_sig), signature subtree planned
+    # once (a self-join re-reads — and without exchange reuse, re-computes —
+    # it on both sides). Pair fan-out is O(K²) in the bucket size, same as
+    # any LSH candidate generation; buckets are bounded by near-dup cluster
+    # size, and AQE skew-split handles hot buckets' shuffle side. For
+    # degenerate mega-clusters, run dedup_exact first or cluster via
+    # dedup_connected_clusters on representative edges.
+    buckets = (
+        per_band.groupBy("band", "band_sig")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") >= 2)
     )
-    bands = (
-        per_perm.withColumn("band", (F.col("p") / r).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(F.array_sort(F.collect_list(F.struct("p", "minh"))).getField("minh"), ",").alias(
-                "band_sig"
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(docs, (x, i) ->"
+                " transform(slice(docs, i + 2, size(docs)),"
+                " y -> named_struct('doc_a', x, 'doc_b', y))))"
             )
-        )
+        ).alias("pair")
     )
-    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
-    b = bands.select(F.col("doc_id").alias("doc_b"), F.col("band").alias("band_b"), F.col("band_sig").alias("sig_b"))
     return (
-        a.join(b, (F.col("band") == F.col("band_b")) & (F.col("band_sig") == F.col("sig_b")))
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        pairs.select("pair.doc_a", "pair.doc_b")
         .distinct()
         .orderBy("doc_a", "doc_b")
     )
