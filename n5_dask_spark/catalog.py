@@ -28,6 +28,14 @@ TABLES: tuple[str, ...] = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Parquet schema inference re-reads file footers on EVERY spark.read call
+# (~0.1-0.2 s per table on local testdata; a listing+footer round-trip per
+# query on a real cluster). The testdata files are immutable, so cache the
+# inferred schema per (sf_dir, table) and hand it to subsequent readers —
+# same trick a production job uses by reading through a metastore table
+# instead of bare paths.
+_SCHEMA_CACHE: dict[tuple[str, str], object] = {}
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
@@ -43,12 +51,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
-        df = spark.read.parquet(table_path(sf_dir, name))
+        df = _read_cached(spark, sf_dir, name)
         return df.withColumn(
             "ts",
             F.expr("CAST(timestamp_micros(CAST(ts DIV 1000 AS BIGINT)) AS TIMESTAMP_NTZ)"),
         )
-    return spark.read.parquet(table_path(sf_dir, name))
+    return _read_cached(spark, sf_dir, name)
+
+
+def _read_cached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (sf_dir, name)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(table_path(sf_dir, name))
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(table_path(sf_dir, name))
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
