@@ -257,11 +257,22 @@ def unpivot_price_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_distinct",
-    oracle=None,  # HLL sketches are engine-specific; driver records rows-only
+    # HLL sketch VALUES are engine-specific, so the hashable contract is the
+    # sketch's accuracy guarantee: exact counts (computed in both engines)
+    # plus a boolean asserting the Spark sketch landed within 5% of exact
+    # (rsd=0.02 makes 5% a comfortable margin). The oracle asserts TRUE.
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           COUNT(DISTINCT l_suppkey) AS exact_supps,
+           TRUE AS parts_within_tol,
+           TRUE AS supps_within_tol
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
     doc=(
-        "approx_count_distinct (HyperLogLog++): sketch values differ across "
-        "engines by design, so this is a rows-only check; the companion "
-        "exact counts in agg_distinct gate correctness."
+        "approx_count_distinct (HyperLogLog++) checked against the exact "
+        "distinct counts: emits within-5%-tolerance booleans, which ARE "
+        "hash-comparable across engines even though raw sketch values are not."
     ),
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -270,8 +281,21 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["lineitem"]
         .groupBy("l_returnflag")
         .agg(
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.countDistinct("l_suppkey").alias("exact_supps"),
             F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
             F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_supps"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            "exact_supps",
+            (F.abs(F.col("approx_parts") - F.col("exact_parts")) / F.col("exact_parts") <= 0.05).alias(
+                "parts_within_tol"
+            ),
+            (F.abs(F.col("approx_supps") - F.col("exact_supps")) / F.col("exact_supps") <= 0.05).alias(
+                "supps_within_tol"
+            ),
         )
         .orderBy("l_returnflag")
     )
