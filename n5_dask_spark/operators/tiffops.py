@@ -1,0 +1,123 @@
+"""Hash-checked TIFF pipeline query (SURVEY.md §2.A S1/K4/T3 driver-verifiable).
+
+Mirrors the reference's full round trip (tif_to_n5.py -> n5_to_tif.py):
+a z-slice TIFF series is imported into an N5 container (slice decode ->
+rechunk shuffle -> block write), exported back out as a TIFF series, and
+the exported series is scanned and profiled. Voxel values are the same
+deterministic function of the parquet ``documents`` table as
+``n5oracle.py``, so DuckDB computes the expected per-z profile without
+seeing a TIFF or N5 byte — any defect in TIFF encode/decode, the rechunk,
+the dtype cast, or the N5 codec flips the driver's value-hash.
+
+Reference parity: tif-series import = src/tif_to_n5.py:60-104 (slice glob
+-> dask stack -> rechunk -> to_n5); tif export = src/n5_to_tif.py:32-51
+(per-slice imwrite); safe dtype cast = src/n5_to_tif.py:27-28.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from n5_dask_spark.operators.n5oracle import _DUCK_VOX, _voxels, BLOCK, VOL
+from n5_dask_spark.registry import register
+
+
+def _series_root(sf_dir: str) -> str:
+    # query-family-unique path (never shared with n5oracle's containers) so
+    # concurrent harness runs of different queries cannot race on rmtree.
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), f"n5ds-tifser-{h}")
+
+
+def _build_series(spark: SparkSession, sf_dir: str) -> str:
+    """Distributed TIFF-series sink: one task group per z slice assembles a
+    (Y, X) uint8 raster from the voxel DataFrame and writes slice{z}.tif.
+    Idempotent (fixed path per z, same bytes) so task retries are safe."""
+    from n5_dask_spark.sources.tiff import write_tiff
+
+    src_dir = _series_root(sf_dir) + "-src"
+    shutil.rmtree(src_dir, ignore_errors=True)
+    os.makedirs(src_dir, exist_ok=True)
+
+    def write_slice(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        z = int(key[0])
+        arr = np.zeros((VOL, VOL), dtype=np.uint8)  # (y, x)
+        arr[pdf["y"].to_numpy(), pdf["x"].to_numpy()] = pdf["val"].to_numpy().astype(np.uint8)
+        write_tiff(os.path.join(src_dir, f"slice{z:05d}.tif"), arr)
+        return pd.DataFrame({"z": [z]})
+
+    n = (
+        _voxels(spark, sf_dir)
+        .groupBy("z")
+        .applyInPandas(write_slice, schema="z int")
+        .count()
+    )
+    if n != VOL:
+        raise RuntimeError(f"expected {VOL} slices, wrote {n}")
+    return src_dir
+
+
+@register(
+    "tiff_roundtrip_zprofile",
+    oracle=_DUCK_VOX
+    + """
+    SELECT z, CAST(SUM(val) AS BIGINT) AS zsum, COUNT(*) AS n_vox
+    FROM vox GROUP BY z ORDER BY z
+    """,
+    doc=(
+        "S1/K4/T3 (+T1/K1/K2) hash-checked end to end: documents-derived "
+        "z-slice TIFF series -> tif_series_to_n5 (decode -> safe uint8->"
+        "uint16 cast -> rechunk -> gzip N5 write) -> n5_to_tif_series "
+        "export -> tif_series_scan of the EXPORT -> per-z profile. The "
+        "oracle computes the same profile straight from the parquet table; "
+        "any TIFF tag/raster, cast, rechunk or codec defect flips the hash."
+    ),
+)
+def tiff_roundtrip_zprofile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from n5_dask_spark.sources.tiff import (
+        decode_tiff,
+        n5_to_tif_series,
+        tif_series_scan,
+        tif_series_to_n5,
+    )
+
+    src_dir = _build_series(spark, sf_dir)
+    root = _series_root(sf_dir)
+    container, out_dir = root + ".n5", root + "-out"
+    shutil.rmtree(container, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    # import with a widening (safe) cast: exercises T3 on the real pipeline
+    tif_series_to_n5(
+        spark,
+        src_dir,
+        container,
+        "vol/s0",
+        block_size=[BLOCK, BLOCK, BLOCK],
+        compression={"type": "gzip"},
+        data_type="uint16",
+    )
+    n5_to_tif_series(spark, container, "vol/s0", out_dir)
+
+    def profile(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for z, raw in zip(pdf["z"], pdf["raw"]):
+                arr = decode_tiff(bytes(raw))
+                rows.append((int(z), int(arr.sum(dtype="i8")), int(arr.size)))
+            yield pd.DataFrame(rows, columns=["z", "zsum", "n_vox"])
+
+    return (
+        tif_series_scan(spark, out_dir)
+        .mapInPandas(profile, schema="z int, zsum long, n_vox long")
+        .orderBy("z")
+    )

@@ -159,6 +159,7 @@ def load_all() -> dict[str, Query]:
         bucketed,
         multimodal2,
         relational5,
+        tiffops,
     )
     from n5_dask_spark.streaming import dedup as streaming_dedup  # noqa: F401
     from n5_dask_spark.streaming import static_join  # noqa: F401
