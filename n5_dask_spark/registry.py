@@ -48,13 +48,9 @@ REGISTRY: dict[str, Query] = {}
 # Everything not listed keeps registration order after these; previously
 # driver-verified queries (CORRECTNESS_r01 green) are the ones demoted.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # flagship + the round-1 red row (fixed)
-    "q1_pricing_summary",
-    "scalar_math_funcs",
-    # changed this round (newly partitioned; r01 verdicts are stale)
-    "window_range_between",
-    "window_ntile",
-    # §2.A N5 chunked-array surface (rows-only checks)
+    # --- round 3: every query never hash-verified by a driver round (40) ---
+    # §2.A fixture-bound N5 queries, now with literal-VALUES oracles
+    # (rows-only in r02; the fixture is immutable so outputs are constants)
     "n5_block_inventory",
     "n5_block_stats",
     "n5_region_read",
@@ -62,59 +58,59 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "n5_intensity_histogram",
     "n5_zprofile",
     "n5_downsample_stats",
-    # §2.A hash-checked twins: parquet-derived voxels through the full
-    # write -> codec -> read -> aggregate path, with real DuckDB oracles
-    "n5_roundtrip_zprofile",
+    # changed output this round: tolerance booleans replace raw HLL values
+    "agg_approx_distinct",
+    # new this round: full TIFF series -> N5 -> TIFF series round trip
+    "tiff_roundtrip_zprofile",
+    # TPC-H remainder (never inside a window before)
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_value",
+    "q12_late_shipment",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q19_discounted_revenue",
+    "q20_potential_promotion",
+    "q21_suppliers_kept_waiting",
+    "q22_global_sales_opportunity",
+    # events / windows / aggs
+    "events_cohort_retention",
+    "window_distribution_funcs",
+    "agg_argminmax_bool",
+    # text
+    "text_fingerprint",
+    "text_tf_top_terms",
+    "text_bigram_lm_score",
+    # formats
+    "formats_csv_roundtrip",
+    "formats_json_roundtrip",
+    # joins / scalar / embeddings
+    "join_bucketed_colocated",
+    "scalar_bitwise_funcs",
+    "embedding_dimension_stats",
+    # multimodal
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    # streaming
+    "streaming_dedup_events",
+    "streaming_static_dim_join",
+    # --- re-greens: banked-green rows worth re-confirming this round (10) ---
+    "q1_pricing_summary",  # flagship
+    "dedup_minhash_lsh",  # plan reshaped this round (output value-identical)
+    "dedup_connected_clusters",  # consumes the reshaped minhash edges
+    "n5_roundtrip_zprofile",  # N5 core write->codec->read path
     "n5_rechunk_blocksums",
     "n5_downsample_zprofile",
-    # real Structured Streaming runs
-    "streaming_tumbling_agg",
-    "streaming_stateful_running_totals",
-    "streaming_stream_stream_join",
-    # UDF / UDAF / UDTF surface
-    "udf_pandas_zscore",
-    "udf_sql_registered",
-    "udtf_fee_schedule",
-    "udaf_applyinpandas_minmax_scale",
-    # multimodal
-    "multimodal_feature_extract",
-    "multimodal_metadata_stats",
-    # text analysis
-    "text_langid",
-    "text_quality_score",
-    "text_tfidf_top_terms",
-    "text_pii_scrub",
-    # formats/connectors beyond parquet (round 2): explicit roundtrip proof
-    "formats_orc_roundtrip",
-    # LLM-pipeline composites
-    "pipeline_clean_corpus",
-    "pipeline_train_val_split",
-    "pipeline_sequence_packing",
-    # dedup / similarity not yet driver-verified
-    "dedup_connected_clusters",
-    "knn_ivf_probe",
-    # joins: changed this round (asof) + unverified variants
     "join_asof",
-    "join_salted",
-    "join_sort_merge_largelarge",
-    # aggregation variants
-    "agg_median_percentile",
-    "agg_approx_distinct",
-    "agg_filter_clause",
-    "agg_corr_covar",
-    "pivot_segment_by_year",
-    "listagg_nations_per_region",
-    "unpivot_price_metrics",
-    # set-op ALL variants
-    "set_intersect_all",
-    "set_except_all",
-    # scalar/array/map surface
-    "scalar_map_funcs",
-    "array_funcs",
-    "array_label_centroids",
-    # subqueries / fuzzy / sessionization
-    "correlated_scalar_subquery",
-    "fuzzy_match_levenshtein",
+    "udf_pandas_zscore",  # executor package-shipping path
+    "streaming_tumbling_agg",
+    "pipeline_sequence_packing",
 )
 
 
