@@ -29,19 +29,30 @@ N_BUCKETS = 8
 
 def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """(orders_table, lineitem_table) bucketed+sorted on the join key.
-    Idempotent per sf_dir; names carry an sf_dir hash so scale factors
-    don't collide in the shared warehouse."""
+
+    Idempotent per sf_dir (names carry an sf_dir hash so scale factors
+    don't collide), and the bucketing shuffle is paid ONCE: if both tables
+    already exist in this session's catalog they are reused as-is — the
+    whole point of bucketing is that later joins are scan-local.
+    """
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     bo, bl = f"b_orders_{tag}", f"b_lineitem_{tag}"
-    # the warehouse DIRECTORY outlives the session-scoped catalog entry, so a
-    # fresh session's saveAsTable would trip over the stale location: drop
-    # both the entry and the files
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path or spark.conf.get(
-        "spark.sql.warehouse.dir"
-    )
+    if spark.catalog.tableExists(bo) and spark.catalog.tableExists(bl):
+        return bo, bl
+    # The warehouse DIRECTORY outlives the session-scoped catalog entry, so
+    # a fresh session's saveAsTable would trip over the stale location: drop
+    # both the entry and the files. Deleting a config-derived path is only
+    # safe when it is the session-scoped scratch warehouse this package
+    # configures (session.py) — refuse anything outside the system tempdir
+    # rather than rmtree into a foreign deployment's warehouse.
+    raw = spark.conf.get("spark.sql.warehouse.dir")
+    warehouse = urlparse(raw).path or raw
+    tmp_root = __import__("tempfile").gettempdir()
     for name in (bo, bl):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
-        shutil.rmtree(f"{warehouse.rstrip('/')}/{name}", ignore_errors=True)
+        loc = f"{warehouse.rstrip('/')}/{name}"
+        if loc.startswith(tmp_root.rstrip("/") + "/"):
+            shutil.rmtree(loc, ignore_errors=True)
     t = load_tables(spark, sf_dir, ("orders", "lineitem"))
     (
         t["orders"]

@@ -83,9 +83,13 @@ def _voxels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vox.withColumn("h", h).select("i", "x", "y", "z", F.expr(_SPARK_VAL).alias("val"))
 
 
-def _build_container(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+def _build_container(spark: SparkSession, sf_dir: str, tag: str = "base") -> tuple[str, str]:
     """Assemble the voxel DataFrame into BLOCK^3 chunks and write a fresh
     gzip-compressed N5 container; returns (container, dataset).
+
+    ``tag`` (the calling query) keys the container path so concurrent
+    invocations of DIFFERENT queries never race one another's
+    rmtree/scan; a retry of the SAME query is idempotent (same bytes).
 
     Distributed end to end: voxels are hash-shuffled to their block cell
     (applyInPandas assembles each chunk exactly once) and each write task
@@ -96,7 +100,7 @@ def _build_container(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 
     container = os.path.join(
         tempfile.gettempdir(),
-        f"n5ds-oracle-{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}.n5",
+        f"n5ds-oracle-{tag}-{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}.n5",
     )
     dataset = "vol/s0"
     shutil.rmtree(container, ignore_errors=True)
@@ -173,7 +177,7 @@ def _zprofile(blocks: DataFrame, data_type: str, block_z: int) -> DataFrame:
 def n5_roundtrip_zprofile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from n5_dask_spark.sources.n5.reader import decoded_blocks
 
-    container, dataset = _build_container(spark, sf_dir)
+    container, dataset = _build_container(spark, sf_dir, "roundtrip")
     return _zprofile(decoded_blocks(spark, container, dataset), "uint8", BLOCK)
 
 
@@ -198,7 +202,7 @@ def n5_rechunk_blocksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     from n5_dask_spark.sources.n5.reader import decoded_blocks
     from n5_dask_spark.sources.n5.transforms import rechunk
 
-    container, dataset = _build_container(spark, sf_dir)
+    container, dataset = _build_container(spark, sf_dir, "rechunk")
     attrs = read_attributes(container, dataset)
     out_blocks, _ = rechunk(decoded_blocks(spark, container, dataset), attrs, [8, 8, 8])
 
@@ -243,7 +247,7 @@ def n5_downsample_zprofile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from n5_dask_spark.sources.n5.reader import decoded_blocks
     from n5_dask_spark.sources.n5.transforms import downsample
 
-    container, dataset = _build_container(spark, sf_dir)
+    container, dataset = _build_container(spark, sf_dir, "downsample")
     attrs = read_attributes(container, dataset)
     out_blocks, out_attrs = downsample(decoded_blocks(spark, container, dataset), attrs, [2, 2, 2])
     return _zprofile(out_blocks, out_attrs.data_type, out_attrs.block_size[2])
