@@ -1,0 +1,72 @@
+"""Embedding compression operators (training-data pipeline surface).
+
+int8 symmetric quantization is the standard way to cut an embedding
+store 4x before ANN indexing. The cross-engine contract avoids every
+order-sensitive float reduction: the scale factor is a MAX (exact,
+order-free), quantized codes are integers (exact), code sums are integer
+sums (exact), and the reconstruction-error check is a MAX of per-element
+IEEE-identical double expressions, rounded to 6dp. No float SUM crosses
+an engine boundary.
+
+Scale: one projection, no shuffle except the output sort; per-row work is
+a JVM-side higher-order function over a 64-float array.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from n5_dask_spark.catalog import load_tables
+from n5_dask_spark.registry import register
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(len(emb) AS INT) AS n_dims,
+           CAST(list_min(list_transform(emb, x -> round(x * 127.0 / maxabs))) AS INT) AS q_min,
+           CAST(list_max(list_transform(emb, x -> round(x * 127.0 / maxabs))) AS INT) AS q_max,
+           CAST(list_sum(list_transform(emb, x -> CAST(round(x * 127.0 / maxabs) AS INT))) AS INT) AS q_sum,
+           ROUND(list_max(list_transform(emb,
+                 x -> abs(x - round(x * 127.0 / maxabs) * maxabs / 127.0))), 6) AS max_recon_err
+    FROM e ORDER BY vec_id
+    """,
+    doc=(
+        "Symmetric int8 quantization of the embedding column: scale = "
+        "max|x|, code = round(127 x / scale), plus the max reconstruction "
+        "error — code range/sum are exact integers and the error check is "
+        "an order-insensitive MAX, so the whole thing hash-matches DuckDB."
+    ),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("embeddings",))
+    q = "round(x * 127.0D / maxabs)"
+    return (
+        t["embeddings"]
+        .select(
+            "vec_id",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+        )
+        .withColumn("maxabs", F.expr("array_max(transform(emb, x -> abs(x)))"))
+        .select(
+            "vec_id",
+            F.size("emb").cast("int").alias("n_dims"),
+            F.expr(f"CAST(array_min(transform(emb, x -> {q})) AS INT)").alias("q_min"),
+            F.expr(f"CAST(array_max(transform(emb, x -> {q})) AS INT)").alias("q_max"),
+            F.expr(
+                f"aggregate(transform(emb, x -> CAST({q} AS INT)), 0, (a, x) -> a + x)"
+            ).alias("q_sum"),
+            F.round(
+                F.expr(f"array_max(transform(emb, x -> abs(x - {q} * maxabs / 127.0D)))"), 6
+            ).alias("max_recon_err"),
+        )
+        .orderBy("vec_id")
+    )

@@ -109,3 +109,44 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_items"), dsum("l_extendedprice", "sum_price"))
         .orderBy("o_orderpriority")
     )
+
+
+# GPT-2-style pre-tokenizer, simplified to the alternations both regex
+# engines (Java util.regex / RE2) share: contraction suffixes, optional-
+# space word runs, optional-space digit runs, optional-space punctuation
+# runs, space runs. No lookaround (RE2 has none).
+BPE_PATTERN = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+
+@register(
+    "text_bpe_pretokenize",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{BPE_PATTERN.replace("'", "''")}')) AS INT)
+             AS n_bpe_tokens,
+           CAST(len({DUCK_TOKENS}) AS INT) AS n_ws_tokens,
+           ROUND(CAST(len(regexp_extract_all(text, '{BPE_PATTERN.replace("'", "''")}')) AS DOUBLE)
+                 / len({DUCK_TOKENS}), 6) AS bpe_per_ws
+    FROM documents ORDER BY doc_id
+    """,
+    doc=(
+        "BPE-ish pre-tokenization count (the GPT-2 pattern minus "
+        "lookaround): contraction suffixes, space-prefixed word/digit/"
+        "punctuation runs. The per-doc BPE-vs-whitespace token ratio is "
+        "the standard tokens-per-word cost estimate for corpus budgeting."
+    ),
+)
+def text_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    n_bpe = F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0))
+    n_ws = F.size(F.expr(SPARK_TOKENS))
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            n_bpe.cast("int").alias("n_bpe_tokens"),
+            n_ws.cast("int").alias("n_ws_tokens"),
+            F.round(n_bpe.cast("double") / n_ws, 6).alias("bpe_per_ws"),
+        )
+        .orderBy("doc_id")
+    )

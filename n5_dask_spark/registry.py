@@ -156,6 +156,10 @@ def load_all() -> dict[str, Query]:
         multimodal2,
         relational5,
         tiffops,
+        graph,
+        sampling,
+        embeddings,
+        merge,
     )
     from n5_dask_spark.streaming import dedup as streaming_dedup  # noqa: F401
     from n5_dask_spark.streaming import static_join  # noqa: F401
