@@ -251,3 +251,76 @@ def n5_downsample_zprofile(spark: SparkSession, sf_dir: str) -> DataFrame:
     attrs = read_attributes(container, dataset)
     out_blocks, out_attrs = downsample(decoded_blocks(spark, container, dataset), attrs, [2, 2, 2])
     return _zprofile(out_blocks, out_attrs.data_type, out_attrs.block_size[2])
+
+
+@register(
+    "n5_multiscale_levels",
+    oracle=_DUCK_VOX
+    + """
+    , ds1 AS (
+      SELECT CAST(x // 2 AS INT) AS x, CAST(y // 2 AS INT) AS y, CAST(z // 2 AS INT) AS z,
+             CAST(FLOOR(SUM(val) / 8.0) AS INT) AS val
+      FROM vox GROUP BY 1, 2, 3
+    ), ds2 AS (
+      SELECT CAST(x // 2 AS INT) AS x, CAST(y // 2 AS INT) AS y, CAST(z // 2 AS INT) AS z,
+             CAST(FLOOR(SUM(val) / 8.0) AS INT) AS val
+      FROM ds1 GROUP BY 1, 2, 3
+    )
+    SELECT * FROM (
+      SELECT 0 AS level, 32 AS dim_x, 32 AS dim_y, 32 AS dim_z, 1.0 AS ds_factor,
+             CAST(SUM(val) AS BIGINT) AS total_sum, COUNT(*) AS n_vox FROM vox
+      UNION ALL
+      SELECT 1, 16, 16, 16, 2.0, CAST(SUM(val) AS BIGINT), COUNT(*) FROM ds1
+      UNION ALL
+      SELECT 2, 8, 8, 8, 4.0, CAST(SUM(val) AS BIGINT), COUNT(*) FROM ds2
+    ) ORDER BY level
+    """,
+    doc=(
+        "T7+T8+T9 hash-checked: build_multiscale pyramid (s0 32^3 -> s1 "
+        "16^3 -> s2 8^3, thumbnail cutoff 8^3) over the documents-derived "
+        "container; per level the query re-reads the WRITTEN dataset and "
+        "emits dims + downsamplingFactors FROM THE STORED METADATA plus "
+        "distributed voxel sums. The oracle nests the FLOOR(SUM/8) "
+        "windowed mean twice — any defect in the pyramid loop, cutoff, "
+        "metadata stamping or codec flips the hash."
+    ),
+)
+def n5_multiscale_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from n5_dask_spark.sources.n5.metadata import read_attributes
+    from n5_dask_spark.sources.n5.reader import decoded_blocks
+    from n5_dask_spark.sources.n5.transforms import build_multiscale
+
+    container, _ = _build_container(spark, sf_dir, "multiscale")
+    levels = build_multiscale(spark, container, "vol", (2, 2, 2), thumbnail_size_xyz=[8, 8, 8])
+
+    def block_sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for shape, data in zip(pdf["shape_zyx"], pdf["data"]):
+                a = np.frombuffer(bytes(data), dtype=np.uint8).reshape(list(shape))
+                rows.append((int(a.sum(dtype="i8")), int(a.size)))
+            yield pd.DataFrame(rows, columns=["bsum", "n"])
+
+    per_level = []
+    for i, lv in enumerate(levels):
+        attrs = read_attributes(container, f"vol/{lv}")
+        factor = float(attrs.extra.get("downsamplingFactors", [1.0])[0])
+        agg = (
+            decoded_blocks(spark, container, f"vol/{lv}")
+            .mapInPandas(block_sums, schema="bsum long, n long")
+            .agg(F.sum("bsum").alias("total_sum"), F.sum("n").alias("n_vox"))
+            .select(
+                F.lit(i).alias("level"),
+                F.lit(attrs.dimensions[0]).alias("dim_x"),
+                F.lit(attrs.dimensions[1]).alias("dim_y"),
+                F.lit(attrs.dimensions[2]).alias("dim_z"),
+                F.lit(factor).alias("ds_factor"),
+                "total_sum",
+                F.col("n_vox").cast("bigint").alias("n_vox"),
+            )
+        )
+        per_level.append(agg)
+    out = per_level[0]
+    for df in per_level[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("level")
