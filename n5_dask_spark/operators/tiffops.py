@@ -121,3 +121,82 @@ def tiff_roundtrip_zprofile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(profile, schema="z int, zsum long, n_vox long")
         .orderBy("z")
     )
+
+
+_OME_XML = (
+    '<?xml version="1.0" encoding="UTF-8"?>'
+    '<OME xmlns="http://www.openmicroscopy.org/Schemas/OME/2016-06">'
+    '<Image ID="Image:0"><Pixels ID="Pixels:0" SizeC="2" SizeZ="{z}" SizeT="1" '
+    'DimensionOrder="XYCZT" Type="uint8" '
+    'PhysicalSizeX="0.5" PhysicalSizeY="0.5" PhysicalSizeZ="1.0" '
+    'PhysicalSizeXUnit="um"/></Image></OME>'
+)
+
+
+def _build_ome_tiff(spark: SparkSession, sf_dir: str) -> str:
+    """Two-channel multi-page OME TIFF from the voxel volume: ch0 = val,
+    ch1 = 255 - val, pages interleaved c-fastest (DimensionOrder XYCZT).
+    The page assembly is a driver-side fixture build (the volume is a
+    fixed 64 KiB regardless of sf); the IMPORT path being verified is the
+    fully distributed ome_tif_to_n5."""
+    from n5_dask_spark.sources.tiff import encode_tiff_pages
+
+    path = _series_root(sf_dir) + "-ome.tif"
+    pdf = _voxels(spark, sf_dir).toPandas()
+    vol = np.zeros((VOL, VOL, VOL), dtype=np.uint8)  # (z, y, x)
+    vol[pdf["z"].to_numpy(), pdf["y"].to_numpy(), pdf["x"].to_numpy()] = (
+        pdf["val"].to_numpy().astype(np.uint8)
+    )
+    pages = []
+    for z in range(VOL):
+        pages.append(vol[z])  # c0
+        pages.append(255 - vol[z])  # c1
+    buf = encode_tiff_pages(pages, description=_OME_XML.format(z=VOL))
+    with open(path, "wb") as f:
+        f.write(buf)
+    return path
+
+
+@register(
+    "ome_channels_zprofile",
+    oracle=_DUCK_VOX
+    + """
+    SELECT * FROM (
+      SELECT 0 AS c, z, CAST(SUM(val) AS BIGINT) AS zsum, COUNT(*) AS n_vox,
+             0.5 AS phys_x
+      FROM vox GROUP BY z
+      UNION ALL
+      SELECT 1, z, CAST(SUM(255 - val) AS BIGINT), COUNT(*), 0.5
+      FROM vox GROUP BY z
+    ) ORDER BY c, z
+    """,
+    doc=(
+        "S3/T6 hash-checked: two-channel OME TIFF (channel count, page "
+        "interleave and PhysicalSize all taken from the embedded OME-XML, "
+        "nothing passed explicitly) -> ome_tif_to_n5 distributed import -> "
+        "per-channel N5 datasets -> channel select -> per-z profiles, with "
+        "the stored pixelResolution metadata surfaced as a column. Oracle "
+        "derives both channels (val and 255-val) from the parquet table."
+    ),
+)
+def ome_channels_zprofile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from n5_dask_spark.operators.n5oracle import _zprofile
+    from n5_dask_spark.sources.n5.metadata import read_attributes
+    from n5_dask_spark.sources.n5.reader import decoded_blocks
+    from n5_dask_spark.sources.ome import channel_dataset, ome_tif_to_n5
+
+    image = _build_ome_tiff(spark, sf_dir)
+    container = _series_root(sf_dir) + "-ome.n5"
+    shutil.rmtree(container, ignore_errors=True)
+    # no n_channels/dim_order passed: the OME-XML must drive everything
+    ome_tif_to_n5(spark, image, container, "vol", [BLOCK, BLOCK, BLOCK],
+                  compression={"type": "gzip"})
+    per_channel = []
+    for c in (0, 1):
+        ds = channel_dataset("vol", c)
+        phys = float(read_attributes(container, ds).extra["pixelResolution"]["dimensions"][0])
+        prof = _zprofile(decoded_blocks(spark, container, ds), "uint8", BLOCK).select(
+            F.lit(c).alias("c"), "z", "zsum", "n_vox", F.lit(phys).alias("phys_x")
+        )
+        per_channel.append(prof)
+    return per_channel[0].unionByName(per_channel[1]).orderBy("c", "z")
