@@ -45,6 +45,9 @@ HEADLINE = [
     # round 2: hash-checked N5 write->read roundtrip + sharded packing
     "n5_roundtrip_zprofile",
     "pipeline_sequence_packing",
+    # round 3: full TIFF round trip + star-contraction components
+    "tiff_roundtrip_zprofile",
+    "dedup_cc_star",
 ]
 
 

@@ -377,8 +377,13 @@ def tif_series_to_n5(
     Each slice decodes into a (1, Y, X) block; the standard rechunk shuffle
     re-tiles to the requested block grid; one task writes each block."""
     slices = tif_series_scan(spark, input_dir)
-    first = decode_tiff(bytes(slices.limit(1).collect()[0]["raw"]))
-    n_z = slices.count()
+    # dims/dtype probe driver-side from the glob (one small header+strip
+    # read) — running the binaryFile scan for limit(1) and count() would
+    # execute the whole scan+join plan twice more per import
+    files = sorted(_glob.glob(os.path.join(input_dir, "*.tif")))
+    with open(files[0], "rb") as f:
+        first = decode_tiff(f.read())
+    n_z = len(files)
     src_type = data_type_of(first.dtype)
     dims_xyz = [first.shape[1], first.shape[0], n_z]
 
