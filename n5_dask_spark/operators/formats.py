@@ -86,3 +86,43 @@ def formats_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def formats_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip(spark, sf_dir, "json")
+
+
+@register(
+    "formats_partitioned_pruning",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+    FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc=(
+        "Hive-style partitioned layout + partition pruning: orders written "
+        "partitionBy(o_orderpriority), read back with a partition-column "
+        "filter that must prune to 2 of 5 directories (PartitionFilters in "
+        "the scan, asserted by a plan gate). At 100 TB partition pruning is "
+        "the first 10-100x: the other directories are never even listed "
+        "into tasks."
+    ),
+)
+def formats_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"].select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"n5ds-fmt-part-{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)"
+            ).alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

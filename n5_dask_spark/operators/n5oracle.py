@@ -324,3 +324,30 @@ def n5_multiscale_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in per_level[1:]:
         out = out.unionByName(df)
     return out.orderBy("level")
+
+
+@register(
+    "n5_datasource_zprofile",
+    oracle=_DUCK_VOX
+    + """
+    SELECT z, CAST(SUM(val) AS BIGINT) AS zsum, COUNT(*) AS n_vox
+    FROM vox GROUP BY z ORDER BY z
+    """,
+    doc=(
+        "S2 via the Spark 4 Python DataSource API, hash-checked: the same "
+        "container as n5_roundtrip_zprofile read through "
+        "spark.read.format('n5') (one InputPartition per block, codec "
+        "decode inside the source) instead of the binaryFile path, then "
+        "the identical per-z profile. Proves the registered DataSource "
+        "returns byte-identical blocks."
+    ),
+)
+def n5_datasource_zprofile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from n5_dask_spark.sources.n5.datasource import register_n5_source
+
+    container, dataset = _build_container(spark, sf_dir, "datasource")
+    register_n5_source(spark)
+    blocks = (
+        spark.read.format("n5").option("path", container).option("dataset", dataset).load()
+    )
+    return _zprofile(blocks, "uint8", BLOCK)

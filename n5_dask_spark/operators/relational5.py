@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from n5_dask_spark.catalog import load_tables
+from n5_dask_spark.operators._exact import dsum
 from n5_dask_spark.registry import register
 
 
@@ -87,4 +88,62 @@ def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("v"), 6).alias("max_val"),
         )
         .orderBy("dim")
+    )
+
+
+@register(
+    "join_range_binned",
+    oracle="""
+    WITH iv AS (
+      SELECT o_orderkey,
+             CAST(900 + o_orderkey % 1100 AS DOUBLE) - 2.0 AS lo,
+             CAST(900 + o_orderkey % 1100 AS DOUBLE) + 2.0 AS hi
+      FROM orders
+    )
+    SELECT CAST(iv.o_orderkey % 50 AS INT) AS ivbucket,
+           COUNT(*) AS n_matches,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+    FROM iv JOIN part p ON p.p_retailprice >= iv.lo AND p.p_retailprice < iv.hi
+    GROUP BY ivbucket ORDER BY ivbucket
+    """,
+    doc=(
+        "LARGE-large interval join via bin bucketing: a pure range join "
+        "(no equi key) between fact-derived intervals and points is a "
+        "cross product to the planner. Binning makes it an EQUI join: "
+        "intervals replicate to each width-16 bin they overlap "
+        "(explode(sequence(floor(lo/W), floor(hi/W)))), points key to "
+        "their single bin, and the bin equi-join + residual range filter "
+        "meets each true pair exactly once (at the point's bin) — no "
+        "dedup pass. Both sides shuffle-partition on the bin: O(n/bins) "
+        "per task instead of O(n^2) total."
+    ),
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders", "part"))
+    W = 16
+    iv = (
+        t["orders"]
+        .select(
+            "o_orderkey",
+            (F.lit(900.0) + (F.col("o_orderkey") % 1100).cast("double") - 2.0).alias("lo"),
+            (F.lit(900.0) + (F.col("o_orderkey") % 1100).cast("double") + 2.0).alias("hi"),
+        )
+        .select(
+            "o_orderkey",
+            "lo",
+            "hi",
+            F.explode(
+                F.expr(f"sequence(CAST(floor(lo / {W}) AS INT), CAST(floor(hi / {W}) AS INT))")
+            ).alias("bin"),
+        )
+    )
+    pts = t["part"].select(
+        "p_retailprice", F.expr(f"CAST(floor(p_retailprice / {W}) AS INT)").alias("bin")
+    )
+    return (
+        iv.join(pts, "bin")
+        .filter((F.col("p_retailprice") >= F.col("lo")) & (F.col("p_retailprice") < F.col("hi")))
+        .groupBy((F.col("o_orderkey") % 50).cast("int").alias("ivbucket"))
+        .agg(F.count(F.lit(1)).alias("n_matches"), dsum("p_retailprice", "sum_price"))
+        .orderBy("ivbucket")
     )

@@ -144,3 +144,19 @@ def test_sequence_packing_window_is_partitioned(spark):
     # the Window node must hash-partition on the shard column, not
     # SinglePartition
     assert "SinglePartition" not in plan
+
+
+def test_partitioned_read_prunes_partitions(spark):
+    plan = plan_of(get_query("formats_partitioned_pruning").fn(spark, SF_SMALL))
+    # the o_orderpriority IN (...) predicate must land in PartitionFilters
+    # (directory pruning), not as a post-scan row filter
+    assert "PartitionFilters: [" in plan
+    assert "o_orderpriority" in plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+
+
+def test_range_binned_join_is_equi(spark):
+    plan = plan_of(get_query("join_range_binned").fn(spark, SF_SMALL))
+    # binning must turn the interval join into a hash/sort-merge EQUI join;
+    # a BroadcastNestedLoopJoin would be the O(n^2) cross-product shape
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
