@@ -154,3 +154,64 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "pipeline_outlier_filter",
+    oracle="""
+    WITH med AS (
+      SELECT lang, quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS med
+      FROM documents GROUP BY lang
+    ), mad AS (
+      SELECT d.lang, m.med,
+             quantile_cont(abs(CAST(d.n_chars AS DOUBLE) - m.med), 0.5) AS mad
+      FROM documents d JOIN med m ON d.lang = m.lang
+      GROUP BY d.lang, m.med
+    ), flagged AS (
+      SELECT d.lang, d.n_chars,
+             abs(0.6745 * (CAST(d.n_chars AS DOUBLE) - s.med) / s.mad) > 3.5 AS is_outlier
+      FROM documents d JOIN mad s ON d.lang = s.lang
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN is_outlier THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(SUM(CASE WHEN is_outlier THEN 0 ELSE n_chars END) AS BIGINT) AS kept_chars
+    FROM flagged GROUP BY lang ORDER BY lang
+    """,
+    doc=(
+        "Robust outlier gate (corpus length-quality filter): per-stratum "
+        "median + MAD, modified z-score 0.6745*(x-med)/MAD, drop |z|>3.5 "
+        "(Iglewicz-Hoaglin). Median/MAD are per-group scalars joined back "
+        "broadcast — two tiny aggregates, one fact pass; robust statistics "
+        "because at corpus scale a handful of 100 MB documents drags a "
+        "mean/stddev gate into uselessness."
+    ),
+)
+def pipeline_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].select(
+        "lang", F.col("n_chars").cast("double").alias("x"), "n_chars"
+    )
+    med = docs.groupBy("lang").agg(F.expr("percentile(x, 0.5)").alias("med"))
+    mad = (
+        docs.join(F.broadcast(med), "lang")
+        .groupBy("lang", "med")
+        .agg(F.expr("percentile(abs(x - med), 0.5)").alias("mad"))
+    )
+    flagged = docs.join(F.broadcast(mad), "lang").select(
+        "lang",
+        "n_chars",
+        (F.abs(F.lit(0.6745) * (F.col("x") - F.col("med")) / F.col("mad")) > 3.5).alias(
+            "is_outlier"
+        ),
+    )
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("is_outlier"), 1).otherwise(0)).cast("bigint").alias("n_outliers"),
+            F.sum(F.when(F.col("is_outlier"), 0).otherwise(F.col("n_chars")))
+            .cast("bigint")
+            .alias("kept_chars"),
+        )
+        .orderBy("lang")
+    )
