@@ -351,3 +351,35 @@ def n5_datasource_zprofile(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.format("n5").option("path", container).option("dataset", dataset).load()
     )
     return _zprofile(blocks, "uint8", BLOCK)
+
+
+@register(
+    "n5_template_copy_zprofile",
+    oracle=_DUCK_VOX
+    + """
+    SELECT z, CAST(SUM(val) AS BIGINT) AS zsum, COUNT(*) AS n_vox,
+           'xz' AS codec
+    FROM vox GROUP BY z ORDER BY z
+    """,
+    doc=(
+        "K5 hash-checked: create_from_template clones the base dataset's "
+        "shape/chunking/metadata into a new dataset with the codec swapped "
+        "to xz, the SAME blocks are re-encoded through the cloned "
+        "attributes, and the copy is scanned back for the per-z profile "
+        "(codec name surfaced from the COPY's stored attributes.json). A "
+        "template-propagation or re-encode defect flips the hash."
+    ),
+)
+def n5_template_copy_zprofile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from n5_dask_spark.sources.n5.metadata import read_attributes
+    from n5_dask_spark.sources.n5.reader import decoded_blocks
+    from n5_dask_spark.sources.n5.writer import create_from_template, write_blocks
+
+    container, dataset = _build_container(spark, sf_dir, "template")
+    copy_ds = "vol/copy"
+    attrs = create_from_template(container, dataset, container, copy_ds, compression="xz")
+    write_blocks(decoded_blocks(spark, container, dataset), container, copy_ds, attrs)
+    codec = read_attributes(container, copy_ds).compression["type"]
+    return _zprofile(decoded_blocks(spark, container, copy_ds), "uint8", BLOCK).select(
+        "z", "zsum", "n_vox", F.lit(codec).alias("codec")
+    )
