@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import hashlib
 import shutil
+import tempfile
 from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
@@ -47,7 +48,7 @@ def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     # rather than rmtree into a foreign deployment's warehouse.
     raw = spark.conf.get("spark.sql.warehouse.dir")
     warehouse = urlparse(raw).path or raw
-    tmp_root = __import__("tempfile").gettempdir()
+    tmp_root = tempfile.gettempdir()
     for name in (bo, bl):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         loc = f"{warehouse.rstrip('/')}/{name}"

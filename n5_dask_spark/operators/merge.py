@@ -55,7 +55,7 @@ _DUCK_CHANGES = """
     """,
     doc=(
         "MERGE/upsert emulation (SCD-1): base snapshot FULL OUTER JOIN a "
-        "deterministic change set (10%% of keys updated +10%%, 1%% "
+        "deterministic change set (10% of keys updated +10%, 1% "
         "re-keyed as inserts), COALESCE picks the surviving value and a "
         "null-pattern CASE labels each row updated/inserted/unchanged. "
         "Per-disposition counts + decimal-exact price totals gate it."

@@ -267,12 +267,12 @@ def n5_downsample_zprofile(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ds1 GROUP BY 1, 2, 3
     )
     SELECT * FROM (
-      SELECT 0 AS level, 32 AS dim_x, 32 AS dim_y, 32 AS dim_z, 1.0 AS ds_factor,
+      SELECT 0 AS level, 32 AS dim_x, 32 AS dim_y, 32 AS dim_z, CAST('1.0' AS DOUBLE) AS ds_factor,
              CAST(SUM(val) AS BIGINT) AS total_sum, COUNT(*) AS n_vox FROM vox
       UNION ALL
-      SELECT 1, 16, 16, 16, 2.0, CAST(SUM(val) AS BIGINT), COUNT(*) FROM ds1
+      SELECT 1, 16, 16, 16, CAST('2.0' AS DOUBLE), CAST(SUM(val) AS BIGINT), COUNT(*) FROM ds1
       UNION ALL
-      SELECT 2, 8, 8, 8, 4.0, CAST(SUM(val) AS BIGINT), COUNT(*) FROM ds2
+      SELECT 2, 8, 8, 8, CAST('4.0' AS DOUBLE), CAST(SUM(val) AS BIGINT), COUNT(*) FROM ds2
     ) ORDER BY level
     """,
     doc=(

@@ -163,10 +163,10 @@ def _build_ome_tiff(spark: SparkSession, sf_dir: str) -> str:
     + """
     SELECT * FROM (
       SELECT 0 AS c, z, CAST(SUM(val) AS BIGINT) AS zsum, COUNT(*) AS n_vox,
-             0.5 AS phys_x
+             CAST('0.5' AS DOUBLE) AS phys_x
       FROM vox GROUP BY z
       UNION ALL
-      SELECT 1, z, CAST(SUM(255 - val) AS BIGINT), COUNT(*), 0.5
+      SELECT 1, z, CAST(SUM(255 - val) AS BIGINT), COUNT(*), CAST('0.5' AS DOUBLE)
       FROM vox GROUP BY z
     ) ORDER BY c, z
     """,

@@ -129,6 +129,8 @@ def lz4_block_decompress(src: bytes, dst_size: int) -> bytes:
         lit = token >> 4
         if lit == 15:
             while True:
+                if s >= n:
+                    raise ValueError("corrupt LZ4 block: truncated literal length")
                 b = src[s]
                 s += 1
                 lit += b
@@ -148,6 +150,8 @@ def lz4_block_decompress(src: bytes, dst_size: int) -> bytes:
         if s >= n:
             break  # last sequence has no match
         # match
+        if s + 2 > n:
+            raise ValueError("corrupt LZ4 block: truncated match offset")
         (offset,) = struct.unpack_from("<H", src, s)
         s += 2
         if offset == 0:
@@ -155,6 +159,8 @@ def lz4_block_decompress(src: bytes, dst_size: int) -> bytes:
         mlen = (token & 0x0F) + _MIN_MATCH
         if (token & 0x0F) == 15:
             while True:
+                if s >= n:
+                    raise ValueError("corrupt LZ4 block: truncated match length")
                 b = src[s]
                 s += 1
                 mlen += b
@@ -289,20 +295,37 @@ def numcodecs_compress(payload: bytes) -> bytes:
     return struct.pack("<I", len(payload)) + lz4_block_compress(payload)
 
 
+# largest decompressed chunk we accept from a bare numcodecs size prefix;
+# a corrupted LZ4Block magic reinterpreted as a size would typically spell
+# something enormous, and no sane N5 block approaches 1 GiB
+_NUMCODECS_MAX_DST = 1 << 30
+
+
 def numcodecs_decompress(raw: bytes) -> bytes:
     if len(raw) < 4:
         raise ValueError("numcodecs LZ4 chunk shorter than its size prefix")
     (dst_size,) = struct.unpack_from("<I", raw, 0)
+    if dst_size > _NUMCODECS_MAX_DST:
+        raise ValueError(
+            f"numcodecs LZ4 size prefix {dst_size} exceeds {_NUMCODECS_MAX_DST}; "
+            "stream is corrupt or not lz4 at all"
+        )
     return lz4_block_decompress(raw[4:], dst_size)
 
 
 def frame_decompress(raw: bytes) -> bytes:
     # Sniff the framing: lz4-java streams always start with the 8-byte
     # "LZ4Block" magic; zarr/numcodecs chunks start with a bare LE size.
-    # (A numcodecs chunk whose size prefix spells "LZ4B" would be ~1.1 GB
-    # decompressed — out of range for any sane N5 block.)
     if raw[:8] != MAGIC:
-        return numcodecs_decompress(raw)
+        try:
+            return numcodecs_decompress(raw)
+        except ValueError as exc:
+            # name BOTH framings tried: a one-byte-corrupted LZ4Block magic
+            # otherwise surfaces as a baffling numcodecs complaint
+            raise ValueError(
+                "chunk is neither lz4-java LZ4Block (bad magic in first 8 "
+                f"bytes) nor a valid numcodecs lz4 stream ({exc})"
+            ) from exc
     out = bytearray()
     pos = 0
     n = len(raw)
