@@ -160,6 +160,7 @@ def load_all() -> dict[str, Query]:
         sampling,
         embeddings,
         merge,
+        decontam,
     )
     from n5_dask_spark.streaming import dedup as streaming_dedup  # noqa: F401
     from n5_dask_spark.streaming import static_join  # noqa: F401
