@@ -180,3 +180,28 @@ def run_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
 )
 def streaming_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_user_running_totals(spark, sf_dir)
+
+
+@register(
+    "streaming_foreachbatch_parquet",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc=(
+        "foreachBatch sink: the stream's micro-batches each write their "
+        "per-type counts to a batch=N parquet directory (the arbitrary-"
+        "sink escape hatch every CDC/warehouse loader uses); reading every "
+        "batch partition back and re-summing must reproduce the batch "
+        "aggregate regardless of how the source was micro-batched."
+    ),
+)
+def streaming_foreachbatch_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out_dir, n_batches = run_foreach_batch_sink(spark, sf_dir)
+    assert n_batches >= 1
+    back = spark.read.option("basePath", out_dir).parquet(os.path.join(out_dir, "batch=*"))
+    return (
+        back.groupBy("event_type")
+        .agg(F.sum("n").cast("bigint").alias("n_events"))
+        .orderBy("event_type")
+    )
