@@ -205,3 +205,27 @@ def streaming_foreachbatch_parquet(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.sum("n").cast("bigint").alias("n_events"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "streaming_watermark_append",
+    oracle="""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, COUNT(*) AS n_events
+      FROM events GROUP BY 1
+    ), wm AS (SELECT MAX(ts) - INTERVAL 6 HOUR AS w FROM events)
+    SELECT win_start, n_events FROM b
+    WHERE win_start + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+    ORDER BY win_start
+    """,
+    doc=(
+        "APPEND-mode watermarked window agg: only windows the final "
+        "watermark (max ts - 6h) has closed are ever emitted — the "
+        "late-data semantics that bound state at scale, verified against "
+        "an oracle that reproduces the closed-window cutoff. (Windows "
+        "still open at end-of-stream are withheld BY DESIGN; complete-mode "
+        "twins cover them.)"
+    ),
+)
+def streaming_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_watermark_append(spark, sf_dir)
