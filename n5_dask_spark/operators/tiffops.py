@@ -213,3 +213,33 @@ def ome_channels_zprofile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         per_channel.append(prof)
     return per_channel[0].unionByName(per_channel[1]).orderBy("c", "z")
+
+
+@register(
+    "n5_region_tif_checksum",
+    oracle=_DUCK_VOX
+    + """
+    SELECT CAST(SUM(val) AS BIGINT) AS region_sum, COUNT(*) AS n_pix
+    FROM vox WHERE x >= 4 AND x < 20 AND y >= 8 AND y < 24 AND z = 5
+    """,
+    doc=(
+        "S4+K3 hash-checked: pruned region read (only overlapping blocks "
+        "scan) -> single-slice TIFF export (n5_region_to_tif, the "
+        "reference's n5_to_tif single-block mode) -> decode the written "
+        "file -> checksum. The oracle computes the same region sum from "
+        "voxel coordinates; any region-offset, stitch or TIFF defect "
+        "flips the hash. Driver-side by design: the single-file export is "
+        "the reference's small-region API."
+    ),
+)
+def n5_region_tif_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from n5_dask_spark.operators.n5oracle import _build_container
+    from n5_dask_spark.sources.tiff import n5_region_to_tif, read_tiff
+
+    container, dataset = _build_container(spark, sf_dir, "regiontif")
+    out = _series_root(sf_dir) + "-region.tif"
+    n5_region_to_tif(spark, container, dataset, out, [4, 8, 5], [20, 24, 6])
+    arr = read_tiff(out)  # (y, x) raster
+    return spark.createDataFrame(
+        [(int(arr.sum(dtype="i8")), int(arr.size))], "region_sum bigint, n_pix bigint"
+    )
