@@ -18,7 +18,9 @@ from collections.abc import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from n5_dask_spark.catalog import load_tables
 from n5_dask_spark.operators.multimodal import media_table
 from n5_dask_spark.registry import register
 
@@ -115,3 +117,76 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return images.mapInPandas(
         resize, schema="doc_id long, resized_md5 string, n_bytes_out long"
     ).orderBy("doc_id")
+
+
+AUDIO_SAMPLES = 480  # fake PCM samples per clip
+AUDIO_FRAME = 160  # samples per analysis frame -> 3 frames per clip
+
+
+def _fake_pcm(batches):
+    """Deterministic fake 8-bit PCM synthesis: sample i of clip doc_id is
+    ((doc_id * 31 + i * 17) % 256) - 128. Stands in for an audio decoder
+    (no audio libs in this container); the binary-column plumbing, Arrow
+    batching and frame arithmetic around it are the real thing."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        ids = pdf["doc_id"].to_numpy()
+        i = np.arange(AUDIO_SAMPLES, dtype=np.int64)
+        rows = []
+        for d in ids:
+            pcm = ((int(d) * 31 + i * 17) % 256 - 128).astype(np.int16)
+            rows.append((int(d), pcm.astype(np.int8).tobytes()))
+        yield pd.DataFrame(rows, columns=["doc_id", "pcm"])
+
+
+def _frame_energy(batches):
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for d, pcm in zip(pdf["doc_id"], pdf["pcm"]):
+            x = np.frombuffer(bytes(pcm), dtype=np.int8).astype(np.int64)
+            for f in range(len(x) // AUDIO_FRAME):
+                fr = x[f * AUDIO_FRAME : (f + 1) * AUDIO_FRAME]
+                rows.append((int(d), f, int((fr * fr).sum())))
+        yield pd.DataFrame(rows, columns=["doc_id", "frame", "energy"])
+
+
+@register(
+    "multimodal_audio_frame_energy",
+    oracle=f"""
+    WITH samp AS (
+      SELECT d.doc_id, t.i,
+             ((d.doc_id * 31 + t.i * 17) % 256 - 128) AS x
+      FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d,
+           UNNEST(range(0, {AUDIO_SAMPLES})) AS t(i)
+    )
+    SELECT doc_id, CAST(i // {AUDIO_FRAME} AS INT) AS frame,
+           CAST(SUM(x * x) AS BIGINT) AS energy
+    FROM samp GROUP BY doc_id, frame
+    ORDER BY doc_id, frame
+    """,
+    doc=(
+        "Audio modality: binary PCM payload column -> mapInPandas frame "
+        "split -> per-frame energy (integer sum of squares, exact). The "
+        "synthesis UDF stands in for the decoder (no audio libs in this "
+        "container — same stub discipline as decode_image); payloads "
+        "cross to Python only as Arrow batches. Oracle recomputes every "
+        "sample arithmetically."
+    ),
+)
+def multimodal_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    clips = (
+        docs.filter(F.col("doc_id") < 200)
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(_fake_pcm, schema="doc_id long, pcm binary")
+    )
+    return (
+        clips.mapInPandas(_frame_energy, schema="doc_id long, frame int, energy long")
+        .orderBy("doc_id", "frame")
+    )
