@@ -121,6 +121,9 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 AUDIO_SAMPLES = 480  # fake PCM samples per clip
 AUDIO_FRAME = 160  # samples per analysis frame -> 3 frames per clip
+# the Python side truncates to whole frames while the oracle assigns every
+# sample via i // AUDIO_FRAME; they agree only under exact divisibility
+assert AUDIO_SAMPLES % AUDIO_FRAME == 0
 
 
 def _fake_pcm(batches):
@@ -136,8 +139,8 @@ def _fake_pcm(batches):
         i = np.arange(AUDIO_SAMPLES, dtype=np.int64)
         rows = []
         for d in ids:
-            pcm = ((int(d) * 31 + i * 17) % 256 - 128).astype(np.int16)
-            rows.append((int(d), pcm.astype(np.int8).tobytes()))
+            pcm = ((int(d) * 31 + i * 17) % 256 - 128).astype(np.int8)
+            rows.append((int(d), pcm.tobytes()))
         yield pd.DataFrame(rows, columns=["doc_id", "pcm"])
 
 

@@ -83,13 +83,21 @@ def _voxels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vox.withColumn("h", h).select("i", "x", "y", "z", F.expr(_SPARK_VAL).alias("val"))
 
 
-def _build_container(spark: SparkSession, sf_dir: str, tag: str = "base") -> tuple[str, str]:
+_BUILT: set[tuple[str, str]] = set()
+
+
+def _build_container(
+    spark: SparkSession, sf_dir: str, tag: str = "base", reuse: bool = False
+) -> tuple[str, str]:
     """Assemble the voxel DataFrame into BLOCK^3 chunks and write a fresh
     gzip-compressed N5 container; returns (container, dataset).
 
     ``tag`` (the calling query) keys the container path so concurrent
     invocations of DIFFERENT queries never race one another's
     rmtree/scan; a retry of the SAME query is idempotent (same bytes).
+    ``reuse=True`` skips the rebuild when this process already built the
+    container — ONLY for callers whose container is input staging (the
+    write path itself is their operator under test otherwise).
 
     Distributed end to end: voxels are hash-shuffled to their block cell
     (applyInPandas assembles each chunk exactly once) and each write task
@@ -103,6 +111,8 @@ def _build_container(spark: SparkSession, sf_dir: str, tag: str = "base") -> tup
         f"n5ds-oracle-{tag}-{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}.n5",
     )
     dataset = "vol/s0"
+    if reuse and (tag, sf_dir) in _BUILT and os.path.isdir(os.path.join(container, dataset)):
+        return container, dataset
     shutil.rmtree(container, ignore_errors=True)
     attrs = DatasetAttributes(
         data_type="uint8",
@@ -132,6 +142,7 @@ def _build_container(spark: SparkSession, sf_dir: str, tag: str = "base") -> tup
         .applyInPandas(assemble, schema="gx int, gy int, gz int, shape_zyx array<int>, data binary")
     )
     write_blocks(blocks, container, dataset, attrs)
+    _BUILT.add((tag, sf_dir))
     return container, dataset
 
 

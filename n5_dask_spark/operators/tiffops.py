@@ -164,8 +164,12 @@ def _build_ome_tiff(spark: SparkSession, sf_dir: str) -> str:
         pages.append(vol[z])  # c0
         pages.append(255 - vol[z])  # c1
     buf = encode_tiff_pages(pages, description=_OME_XML.format(z=VOL))
-    with open(path, "wb") as f:
+    # atomic publish: the _STAGED exists() guard must never see a
+    # partially written file from a concurrent stager
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(buf)
+    os.replace(tmp, path)
     _STAGED.add(path)
     return path
 
@@ -236,7 +240,11 @@ def n5_region_tif_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from n5_dask_spark.operators.n5oracle import _build_container
     from n5_dask_spark.sources.tiff import n5_region_to_tif, read_tiff
 
-    container, dataset = _build_container(spark, sf_dir, "regiontif")
+    # the container here is INPUT STAGING (the operator under test is the
+    # pruned region read + TIFF export), so stage it once per process; the
+    # write-path proof lives in n5_roundtrip_zprofile, which rebuilds
+    # every call on purpose
+    container, dataset = _build_container(spark, sf_dir, "regiontif", reuse=True)
     out = _series_root(sf_dir) + "-region.tif"
     n5_region_to_tif(spark, container, dataset, out, [4, 8, 5], [20, 24, 6])
     arr = read_tiff(out)  # (y, x) raster

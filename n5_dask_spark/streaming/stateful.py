@@ -145,8 +145,17 @@ def run_watermark_append(
 
 
 def run_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
-    """Streaming -> foreachBatch -> parquet files; returns (path, batches)."""
-    out_dir = os.path.join(tempfile.gettempdir(), f"n5ds_fb_{uuid.uuid4().hex[:8]}")
+    """Streaming -> foreachBatch -> parquet files; returns (path, batches).
+
+    Content-addressed output dir (cleared per run): repeated invocations
+    reuse one path instead of leaking a uuid directory per call."""
+    import hashlib as _hashlib
+    import shutil as _shutil
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"n5ds_fb_{_hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    )
+    _shutil.rmtree(out_dir, ignore_errors=True)
     batches: list[int] = []
 
     def sink(df: DataFrame, batch_id: int) -> None:
