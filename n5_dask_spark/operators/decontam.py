@@ -64,3 +64,45 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("train_doc_id")
     )
+
+
+_BOILER_MIN_DF = 5
+
+
+@register(
+    "text_boilerplate_shingles",
+    oracle=DUCK_SHINGLES
+    + f"""
+    , n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT sh.shingle,
+           CAST(COUNT(DISTINCT sh.doc_id) AS BIGINT) AS df,
+           ROUND(CAST(COUNT(DISTINCT sh.doc_id) AS DOUBLE) / (SELECT n_docs FROM n), 6)
+             AS pct_docs
+    FROM sh GROUP BY sh.shingle
+    HAVING COUNT(DISTINCT sh.doc_id) >= {_BOILER_MIN_DF}
+    ORDER BY df DESC, shingle
+    """,
+    doc=(
+        "Boilerplate detection: 3-token shingles appearing in >= 5 "
+        "distinct documents, with document-frequency coverage — the "
+        "repeated-segment census behind banner/template removal in corpus "
+        "cleaning. Shingle explode -> groupBy(shingle) with map-side "
+        "partial aggregation; raw text never shuffles, only "
+        "(shingle, doc_id) pairs."
+    ),
+)
+def text_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    n_docs = docs.count()
+    sh = _spark_shingles(docs)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= _BOILER_MIN_DF)
+        .select(
+            "shingle",
+            "df",
+            F.round(F.col("df").cast("double") / n_docs, 6).alias("pct_docs"),
+        )
+        .orderBy(F.col("df").desc(), "shingle")
+    )
