@@ -394,3 +394,41 @@ def n5_template_copy_zprofile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _zprofile(decoded_blocks(spark, container, copy_ds), "uint8", BLOCK).select(
         "z", "zsum", "n_vox", F.lit(codec).alias("codec")
     )
+
+
+@register(
+    "n5_datasource_write_zprofile",
+    oracle=_DUCK_VOX
+    + """
+    SELECT z, CAST(SUM(val) AS BIGINT) AS zsum, COUNT(*) AS n_vox
+    FROM vox GROUP BY z ORDER BY z
+    """,
+    doc=(
+        "K1/K2 via the Spark 4 Python DataSource WRITE path, hash-checked: "
+        "the staged container's blocks are re-written into a fresh dataset "
+        "through df.write.format('n5') (per-task atomic block files, codec "
+        "encode inside the sink), then scanned back through format('n5') "
+        "for the per-z profile. Any sink-side encode/placement defect "
+        "flips the hash."
+    ),
+)
+def n5_datasource_write_zprofile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from n5_dask_spark.sources.n5.datasource import register_n5_source
+    from n5_dask_spark.sources.n5.writer import create_from_template
+
+    container, dataset = _build_container(spark, sf_dir, "dswrite", reuse=True)
+    register_n5_source(spark)
+    out_ds = "vol/dscopy"
+    create_from_template(container, dataset, container, out_ds, compression="gzip")
+    blocks = (
+        spark.read.format("n5").option("path", container).option("dataset", dataset).load()
+    )
+    (
+        blocks.write.format("n5")
+        .option("path", container)
+        .option("dataset", out_ds)
+        .mode("append")
+        .save()
+    )
+    back = spark.read.format("n5").option("path", container).option("dataset", out_ds).load()
+    return _zprofile(back, "uint8", BLOCK)

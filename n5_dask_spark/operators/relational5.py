@@ -147,3 +147,47 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_matches"), dsum("p_retailprice", "sum_price"))
         .orderBy("ivbucket")
     )
+
+
+@register(
+    "scalar_url_funcs",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/' || lang || '/doc-'
+               || CAST(doc_id AS VARCHAR) || '?ref=' || CAST(doc_id % 7 AS VARCHAR) AS url
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id, url,
+           regexp_extract(url, '^https?://([^/]+)/', 1) AS host,
+           regexp_extract(url, '^https?://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, 'ref=([0-9]+)', 1) AS ref_param
+    FROM u ORDER BY doc_id
+    """,
+    doc=(
+        "URL parsing via engine-portable regexp_extract (host, path, "
+        "query param) over deterministically synthesized URLs — the "
+        "log-scrubbing scalar surface. Pure projection, codegen'd; no "
+        "Python, no shuffle beyond the output sort."
+    ),
+)
+def scalar_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/"), F.col("lang"),
+        F.lit("/doc-"), F.col("doc_id").cast("string"),
+        F.lit("?ref="), (F.col("doc_id") % 7).cast("string"),
+    )
+    return (
+        t["documents"]
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", url.alias("url"))
+        .select(
+            "doc_id",
+            "url",
+            F.regexp_extract("url", r"^https?://([^/]+)/", 1).alias("host"),
+            F.regexp_extract("url", r"^https?://[^/]+(/[^?]*)", 1).alias("path"),
+            F.regexp_extract("url", r"ref=([0-9]+)", 1).alias("ref_param"),
+        )
+        .orderBy("doc_id")
+    )
