@@ -90,14 +90,28 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def sample_pergroup_topk_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two-phase exact top-k: a window partitioned ONLY by lang would give
+    # one task per stratum (5 giant partitions at corpus scale). Phase 1
+    # ranks within (lang, salt-of-hash) — 32 sub-partitions per stratum —
+    # and keeps k per sub-partition; the true per-stratum top-k is a
+    # subset of those k*32 survivors, so phase 2's per-lang window ranks
+    # only <= 640 candidate rows per stratum. Output identical to the
+    # single-window formulation (the oracle).
     t = load_tables(spark, sf_dir, ("documents",))
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#res"))), F.col("doc_id")
+    k = 20
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#res")))
+    docs = t["documents"].select(
+        "lang", "doc_id", h.alias("hk"), F.pmod(F.xxhash64(h), F.lit(32)).alias("salt")
     )
+    w1 = Window.partitionBy("lang", "salt").orderBy("hk", "doc_id")
+    survivors = docs.select(
+        "lang", "doc_id", "hk", F.row_number().over(w1).alias("prk")
+    ).filter(F.col("prk") <= k)
+    w2 = Window.partitionBy("lang").orderBy("hk", "doc_id")
     return (
-        t["documents"]
-        .select("lang", "doc_id", F.row_number().over(w).alias("rk"))
-        .filter(F.col("rk") <= 20)
+        survivors.select("lang", "doc_id", "hk", F.row_number().over(w2).alias("rk"))
+        .filter(F.col("rk") <= k)
+        .select("lang", "doc_id", "rk")
         .orderBy("lang", "rk")
     )
 
