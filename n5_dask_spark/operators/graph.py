@@ -53,11 +53,15 @@ def connected_components_star(edges: DataFrame, max_rounds: int = 50) -> DataFra
     """(u, v) undirected edge list -> (node, component) with component =
     min node id of the component. Nodes not on any edge are absent, as in
     the propagation variant."""
-    # canonical directed form: larger -> smaller
+    # canonical directed form: larger -> smaller. Materialized up front:
+    # the bidirectional union below references it twice per round, which
+    # would otherwise re-evaluate the (possibly expensive) upstream edge
+    # computation — e.g. the whole MinHash pipeline — once per branch.
     cur = (
         edges.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint()
     )
     prev = None
     for _ in range(max_rounds):
