@@ -346,7 +346,12 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from n5_dask_spark.registry import REGISTRY
 
-    pairs = REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir).select("doc_a", "doc_b")
+    # materialize the pair list BEFORE the bidirectional union: both union
+    # branches reference it, and without this the whole MinHash pipeline
+    # evaluates once per branch
+    pairs = (
+        REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+    )
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
