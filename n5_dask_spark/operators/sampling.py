@@ -154,3 +154,44 @@ def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "agg_histogram_numeric",
+    oracle="""
+    SELECT CASE WHEN l_extendedprice < 900.0 THEN 0
+                WHEN l_extendedprice >= 2000.0 THEN 23
+                ELSE CAST(FLOOR((l_extendedprice - 900.0) / 50.0) AS INT) + 1 END AS bucket,
+           COUNT(*) AS n_rows,
+           ROUND(MIN(l_extendedprice), 6) AS lo,
+           ROUND(MAX(l_extendedprice), 6) AS hi
+    FROM lineitem GROUP BY bucket ORDER BY bucket
+    """,
+    doc=(
+        "Equi-width histogram (22 buckets of width 50 over [900, 2000), "
+        "SQL:2016 width_bucket semantics spelled out arithmetically: "
+        "below-range -> 0, above -> n+1): one map-side-combined groupBy "
+        "over the fact table, the building block of every distribution "
+        "profile / sketch validation at scale."
+    ),
+)
+def agg_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("lineitem",))
+    return (
+        t["lineitem"]
+        .select(
+            F.expr(
+                "CASE WHEN l_extendedprice < 900.0D THEN 0"
+                " WHEN l_extendedprice >= 2000.0D THEN 23"
+                " ELSE CAST(FLOOR((l_extendedprice - 900.0D) / 50.0D) AS INT) + 1 END"
+            ).alias("bucket"),
+            "l_extendedprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("l_extendedprice"), 6).alias("lo"),
+            F.round(F.max("l_extendedprice"), 6).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
