@@ -215,3 +215,60 @@ def pipeline_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "pipeline_corpus_e2e",
+    oracle="""
+    WITH gated AS (
+      SELECT doc_id, lang, text, n_chars FROM documents
+      WHERE n_chars BETWEEN 120 AND 2000
+    ), deduped AS (
+      SELECT * FROM (
+        SELECT doc_id, lang, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM gated
+      ) WHERE rn = 1
+    ), sampled AS (
+      SELECT doc_id, lang, n_chars FROM deduped
+      WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':e2e'), 1, 1) < 'c'
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM sampled GROUP BY lang ORDER BY lang
+    """,
+    doc=(
+        "End-to-end corpus build as ONE declarative plan: length-quality "
+        "gate (scan-local filter) -> exact content dedup (single hash "
+        "shuffle on md5(text), keep min doc_id) -> deterministic 75% "
+        "hash sample (scan-local) -> per-stratum budget stats. Catalyst "
+        "fuses the gate and sample into the scan and the dedup window "
+        "into one exchange — the whole pipeline is two shuffles "
+        "regardless of corpus size."
+    ),
+)
+def pipeline_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    gated = docs.filter(F.col("n_chars").between(120, 2000))
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        gated.select("doc_id", "lang", "n_chars", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+    )
+    sampled = deduped.filter(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":e2e"))), 1, 1)
+        < F.lit("c")
+    )
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.max("doc_id").cast("bigint").alias("last_doc"),
+        )
+        .orderBy("lang")
+    )
