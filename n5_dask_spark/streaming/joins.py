@@ -86,3 +86,85 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_stream_join(spark, sf_dir)
+
+
+def run_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _event_stream(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_outer",
+    )
+    sink = f"ss_ljoin_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .select(
+            "purchase_id",
+            F.col("p_user").alias("user_id"),
+            "click_id",
+            F.col("p_ts").cast("timestamp_ntz").alias("p_ts"),
+        )
+        .orderBy("purchase_id", "click_id")
+    )
+
+
+@register(
+    "streaming_stream_stream_left_join",
+    # Null (unmatched) rows emit only once the GLOBAL watermark — the MIN
+    # over both inputs' (max event time - delay) — passes the purchase's
+    # state-expiry point. Determined empirically against Spark 4.1 and
+    # encoded in the cutoff below; matched rows emit immediately.
+    oracle="""
+    WITH wm AS (
+      SELECT LEAST((SELECT MAX(ts) FROM events WHERE event_type = 'purchase'),
+                   (SELECT MAX(ts) FROM events WHERE event_type = 'click'))
+             - INTERVAL 2 HOUR AS w
+    )
+    SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
+           p.ts AS p_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+     AND c.ts <= p.ts
+    WHERE c.event_id IS NOT NULL OR p.ts < (SELECT w FROM wm)
+    ORDER BY purchase_id, click_id
+    """,
+    doc=(
+        "Stream-stream LEFT OUTER time-bounded join: watermarked both "
+        "sides, AvailableNow. Unmatched purchases surface with NULL click "
+        "only after the global (min-across-inputs) watermark evicts their "
+        "state — the oracle reproduces that cutoff exactly, hash-checking "
+        "the subtlest emission semantics in Structured Streaming."
+    ),
+)
+def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stream_stream_left_join(spark, sf_dir)
