@@ -21,7 +21,12 @@ from n5_dask_spark.registry import register
 from n5_dask_spark.streaming.stateful import _event_stream
 
 
-def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def run_stream_stream_join(
+    spark: SparkSession, sf_dir: str, how: str = "inner"
+) -> DataFrame:
+    """One definition for both join types: the stream construction,
+    watermarks and time-bound condition are shared (the oracles pin these
+    values), only the join type and output columns differ."""
     ev = _event_stream(spark, sf_dir)
     purchases = (
         ev.filter(F.col("event_type") == "purchase")
@@ -46,7 +51,7 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_user") == F.col("c_user"))
         & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
         & (F.col("c_ts") <= F.col("p_ts")),
-        "inner",
+        how,
     )
     sink = f"ss_join_{uuid.uuid4().hex[:8]}"
     q = (
@@ -57,17 +62,15 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return (
-        spark.table(sink)
-        .select(
-            "purchase_id",
-            F.col("p_user").alias("user_id"),
-            "click_id",
-            F.col("p_ts").cast("timestamp_ntz").alias("p_ts"),
-            F.col("c_ts").cast("timestamp_ntz").alias("c_ts"),
-        )
-        .orderBy("purchase_id", "click_id")
-    )
+    cols = [
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        "click_id",
+        F.col("p_ts").cast("timestamp_ntz").alias("p_ts"),
+    ]
+    if how == "inner":  # c_ts is NULL-prone on the outer side; inner keeps it
+        cols.append(F.col("c_ts").cast("timestamp_ntz").alias("c_ts"))
+    return spark.table(sink).select(*cols).orderBy("purchase_id", "click_id")
 
 
 @register(
@@ -86,54 +89,6 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_stream_join(spark, sf_dir)
-
-
-def run_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _event_stream(spark, sf_dir)
-    purchases = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("p_user"),
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").alias("p_ts"),
-        )
-        .withWatermark("p_ts", "2 hours")
-    )
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .select(
-            F.col("user_id").alias("c_user"),
-            F.col("event_id").alias("click_id"),
-            F.col("ts").alias("c_ts"),
-        )
-        .withWatermark("c_ts", "2 hours")
-    )
-    joined = purchases.join(
-        clicks,
-        (F.col("p_user") == F.col("c_user"))
-        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
-        & (F.col("c_ts") <= F.col("p_ts")),
-        "left_outer",
-    )
-    sink = f"ss_ljoin_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return (
-        spark.table(sink)
-        .select(
-            "purchase_id",
-            F.col("p_user").alias("user_id"),
-            "click_id",
-            F.col("p_ts").cast("timestamp_ntz").alias("p_ts"),
-        )
-        .orderBy("purchase_id", "click_id")
-    )
 
 
 @register(
@@ -167,4 +122,4 @@ def run_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return run_stream_stream_left_join(spark, sf_dir)
+    return run_stream_stream_join(spark, sf_dir, how="left_outer")
