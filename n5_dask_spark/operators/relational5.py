@@ -191,3 +191,48 @@ def scalar_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "join_null_safe_eq",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN NULL ELSE lang END AS k
+      FROM documents WHERE doc_id < 250
+    ), b AS (
+      SELECT doc_id AS b_id, CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS k
+      FROM documents WHERE doc_id < 250
+    )
+    SELECT COALESCE(a.k, '<null>') AS k, COUNT(*) AS n_pairs,
+           CAST(SUM(a.doc_id + b.b_id) AS BIGINT) AS id_sum
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    GROUP BY a.k ORDER BY k
+    """,
+    doc=(
+        "Null-safe equality join (Spark <=> / SQL IS NOT DISTINCT FROM): "
+        "NULL keys match each other instead of silently dropping — the "
+        "semantics CDC/merge pipelines need for nullable business keys. "
+        "Still a hash-partitionable equi-join (NULL is just another key "
+        "value), unlike OR-based null workarounds that degrade to "
+        "nested-loop plans."
+    ),
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    base = t["documents"].filter(F.col("doc_id") < 250)
+    a = base.select(
+        "doc_id", F.when(F.col("doc_id") % 5 == 0, None).otherwise(F.col("lang")).alias("k")
+    )
+    b = base.select(
+        F.col("doc_id").alias("b_id"),
+        F.when(F.col("doc_id") % 7 == 0, None).otherwise(F.col("lang")).alias("k2"),
+    )
+    return (
+        a.join(b, a["k"].eqNullSafe(b["k2"]))
+        .groupBy(F.coalesce(a["k"], F.lit("<null>")).alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("doc_id") + F.col("b_id")).cast("bigint").alias("id_sum"),
+        )
+        .orderBy("k")
+    )
