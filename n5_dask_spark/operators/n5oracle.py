@@ -87,7 +87,11 @@ _BUILT: set[tuple[str, str]] = set()
 
 
 def _build_container(
-    spark: SparkSession, sf_dir: str, tag: str = "base", reuse: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    tag: str = "base",
+    reuse: bool = False,
+    compression: dict | None = None,
 ) -> tuple[str, str]:
     """Assemble the voxel DataFrame into BLOCK^3 chunks and write a fresh
     gzip-compressed N5 container; returns (container, dataset).
@@ -118,7 +122,7 @@ def _build_container(
         data_type="uint8",
         dimensions=[VOL, VOL, VOL],
         block_size=[BLOCK, BLOCK, BLOCK],
-        compression={"type": "gzip"},
+        compression=compression or {"type": "gzip"},
     )
 
     def assemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -335,6 +339,38 @@ def n5_multiscale_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in per_level[1:]:
         out = out.unionByName(df)
     return out.orderBy("level")
+
+
+@register(
+    "n5_roundtrip_lz4",
+    oracle=_DUCK_VOX
+    + """
+    SELECT z, CAST(SUM(val) AS BIGINT) AS zsum, COUNT(*) AS n_vox,
+           'lz4' AS codec
+    FROM vox GROUP BY z ORDER BY z
+    """,
+    doc=(
+        "T10 hash-checked through the lz4-java LZ4Block framing "
+        "(sources/n5/lz4.py, the pure-Python twin of the reference's "
+        "numcodecs lz4 entry, tif_to_n5.py:82): same write->scan->profile "
+        "pipeline as n5_roundtrip_zprofile but every block encodes and "
+        "decodes through the lz4 codec; the codec name is surfaced from "
+        "the container's stored attributes.json. Any framing/checksum "
+        "defect flips the hash — gzip is no longer the only "
+        "driver-verified codec."
+    ),
+)
+def n5_roundtrip_lz4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from n5_dask_spark.sources.n5.metadata import read_attributes
+    from n5_dask_spark.sources.n5.reader import decoded_blocks
+
+    container, dataset = _build_container(
+        spark, sf_dir, "lz4", compression={"type": "lz4", "blockSize": 65536}
+    )
+    codec = read_attributes(container, dataset).compression["type"]
+    return _zprofile(decoded_blocks(spark, container, dataset), "uint8", BLOCK).select(
+        "z", "zsum", "n_vox", F.lit(codec).alias("codec")
+    )
 
 
 @register(

@@ -48,67 +48,66 @@ REGISTRY: dict[str, Query] = {}
 # Everything not listed keeps registration order after these; previously
 # driver-verified queries (CORRECTNESS_r01 green) are the ones demoted.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- round 3: every query never hash-verified by a driver round (40) ---
-    # §2.A fixture-bound N5 queries, now with literal-VALUES oracles
-    # (rows-only in r02; the fixture is immutable so outputs are constants)
-    "n5_block_inventory",
-    "n5_block_stats",
-    "n5_region_read",
-    "n5_rechunk_stats",
-    "n5_intensity_histogram",
-    "n5_zprofile",
-    "n5_downsample_stats",
-    # changed output this round: tolerance booleans replace raw HLL values
-    "agg_approx_distinct",
-    # new this round: full TIFF series -> N5 -> TIFF series round trip
-    "tiff_roundtrip_zprofile",
-    # TPC-H remainder (never inside a window before)
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_value",
-    "q12_late_shipment",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_part_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
-    "q19_discounted_revenue",
-    "q20_potential_promotion",
-    "q21_suppliers_kept_waiting",
-    "q22_global_sales_opportunity",
-    # events / windows / aggs
-    "events_cohort_retention",
-    "window_distribution_funcs",
-    "agg_argminmax_bool",
-    # text
-    "text_fingerprint",
-    "text_tf_top_terms",
-    "text_bigram_lm_score",
-    # formats
-    "formats_csv_roundtrip",
-    "formats_json_roundtrip",
-    # joins / scalar / embeddings
-    "join_bucketed_colocated",
-    "scalar_bitwise_funcs",
-    "embedding_dimension_stats",
-    # multimodal
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    # streaming
-    "streaming_dedup_events",
-    "streaming_static_dim_join",
-    # --- re-greens: banked-green rows worth re-confirming this round (10) ---
+    # --- round 4: the 27 queries never hash-verified by any driver round
+    # (registered after the r03 window froze, or demoted past position 50)
+    # plus q12 (the r03 red row, oracle type artifact now fixed) and the
+    # new lz4 codec roundtrip. Closes the driver verdict on S3, K3, K5,
+    # T6, T8, T9 — after this window, every SURVEY §2 row has a
+    # driver-green hash row.
+    "q12_late_shipment",  # r03 red: oracle HUGEINT->float64; now CAST AS BIGINT
+    # §2.A closers
+    "ome_channels_zprofile",  # S3/T6: OME-TIFF scan + OME-XML channel split
+    "n5_multiscale_levels",  # T7/T8/T9: pyramid + cutoff + metadata scaling
+    "n5_region_tif_checksum",  # S4+K3: region read -> single-block TIFF sink
+    "n5_template_copy_zprofile",  # K5: create-from-template (xz re-encode)
+    "n5_datasource_zprofile",  # S2 via spark.read.format('n5')
+    "n5_datasource_write_zprofile",  # K1/K2 via df.write.format('n5')
+    "n5_roundtrip_lz4",  # T10: lz4-java framing (new this round)
+    # graph / sampling / aggs
+    "dedup_cc_star",
+    "sample_stratified_hash",
+    "sample_pergroup_topk_hash",
+    "agg_approx_quantiles",
+    "agg_histogram_numeric",
+    # LLM-pipeline surface
+    "decontaminate_ngram_overlap",
+    "text_boilerplate_shingles",
+    "text_bpe_pretokenize",
+    "embedding_quantize_int8",
+    "multimodal_audio_frame_energy",
+    "pipeline_outlier_filter",
+    "pipeline_corpus_e2e",
+    # relational remainder
+    "join_range_binned",
+    "join_null_safe_eq",
+    "scalar_url_funcs",
+    "formats_partitioned_pruning",
+    "upsert_orders_snapshot",
+    # streaming remainder
+    "streaming_session_window",
+    "streaming_foreachbatch_parquet",
+    "streaming_watermark_append",
+    "streaming_stream_stream_left_join",
+    # --- re-greens: banked-green representatives of every family (21) ---
     "q1_pricing_summary",  # flagship
-    "dedup_minhash_lsh",  # plan reshaped this round (output value-identical)
-    "dedup_connected_clusters",  # consumes the reshaped minhash edges
+    "q3_shipping_priority",  # r04 plan under review (bench regressor)
+    "q6_forecast_revenue",  # pushdown representative
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_connected_clusters",
+    "knn_bruteforce_cosine",
+    "knn_signbucket_lsh",
+    "text_tf_top_terms",  # r04 plan under review (bench regressor)
+    "multimodal_feature_extract",  # r04 plan under review (bench regressor)
     "n5_roundtrip_zprofile",  # N5 core write->codec->read path
-    "n5_rechunk_blocksums",
-    "n5_downsample_zprofile",
+    "n5_zprofile",  # fixture scan path
+    "tiff_roundtrip_zprofile",
     "join_asof",
+    "join_bucketed_colocated",
     "udf_pandas_zscore",  # executor package-shipping path
+    "window_row_number",
+    "events_session_window",
     "streaming_tumbling_agg",
     "pipeline_sequence_packing",
 )
