@@ -259,8 +259,10 @@ def unpivot_price_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_approx_distinct",
     # HLL sketch VALUES are engine-specific, so the hashable contract is the
     # sketch's accuracy guarantee: exact counts (computed in both engines)
-    # plus a boolean asserting the Spark sketch landed within 5% of exact
-    # (rsd=0.02 makes 5% a comfortable margin). The oracle asserts TRUE.
+    # plus a boolean asserting the Spark sketch landed within 3x rsd of exact
+    # (rsd=0.02 -> 6%). 3 sigma holds at ANY sf_dir, not just the pinned test
+    # scales: the sketch is deterministic per dataset, and a >3-sigma HLL++
+    # miss is vanishingly rare, so the oracle asserts TRUE unconditionally.
     oracle="""
     SELECT l_returnflag,
            COUNT(DISTINCT l_partkey) AS exact_parts,
@@ -271,7 +273,7 @@ def unpivot_price_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc=(
         "approx_count_distinct (HyperLogLog++) checked against the exact "
-        "distinct counts: emits within-5%-tolerance booleans, which ARE "
+        "distinct counts: emits within-3x-rsd tolerance booleans, which ARE "
         "hash-comparable across engines even though raw sketch values are not."
     ),
 )
@@ -290,10 +292,10 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_returnflag",
             "exact_parts",
             "exact_supps",
-            (F.abs(F.col("approx_parts") - F.col("exact_parts")) / F.col("exact_parts") <= 0.05).alias(
+            (F.abs(F.col("approx_parts") - F.col("exact_parts")) / F.col("exact_parts") <= 0.06).alias(
                 "parts_within_tol"
             ),
-            (F.abs(F.col("approx_supps") - F.col("exact_supps")) / F.col("exact_supps") <= 0.05).alias(
+            (F.abs(F.col("approx_supps") - F.col("exact_supps")) / F.col("exact_supps") <= 0.06).alias(
                 "supps_within_tol"
             ),
         )

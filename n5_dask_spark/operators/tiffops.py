@@ -36,8 +36,11 @@ from n5_dask_spark.registry import register
 def _series_root(sf_dir: str) -> str:
     # query-family-unique path (never shared with n5oracle's containers) so
     # concurrent harness runs of different queries cannot race on rmtree.
+    # The pid keys the path per driver process: the _STAGED memoization is
+    # process-local, so two harness PROCESSES running the SAME query would
+    # otherwise race one side's rmtree against the other's readers.
     h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    return os.path.join(tempfile.gettempdir(), f"n5ds-tifser-{h}")
+    return os.path.join(tempfile.gettempdir(), f"n5ds-tifser-{h}-p{os.getpid()}")
 
 
 # source-fixture memoization: the series/OME file are INPUT STAGING for the
