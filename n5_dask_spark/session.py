@@ -93,6 +93,7 @@ def tune_session(spark: SparkSession) -> SparkSession:
         "spark.sql.execution.arrow.pyspark.enabled",
         "spark.sql.adaptive.enabled",
         "spark.sql.adaptive.coalescePartitions.enabled",
+        "spark.sql.adaptive.skewJoin.enabled",
         "spark.sql.shuffle.partitions",
         "spark.sql.autoBroadcastJoinThreshold",
     ):

@@ -74,3 +74,58 @@ def test_cap_never_inflates_similarity(spark, corpus_dir):
     assert set(capped) <= set(uncapped)
     for pair, jac in capped.items():
         assert jac <= uncapped[pair] + 1e-9
+
+
+def test_tuned_session_enables_aqe_skew_handling(spark):
+    """Conf gate for the scale claims in dedup.py's docstrings: the LSH
+    bucket shuffle and the shingle join lean on AQE skew splitting, so the
+    tuned session (and tune_session on a driver-owned session) must keep
+    adaptive execution + skew-join splitting on."""
+    from n5_dask_spark.session import tune_session
+
+    tune_session(spark)
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true"
+
+
+@pytest.fixture(scope="module")
+def boilerplate_dir(tmp_path_factory):
+    """1000 byte-identical boilerplate docs (one mega-cluster) plus 5
+    distinct docs: the degenerate hot-bucket shape dedup.py's docstring
+    promises survives — every duplicate lands in the SAME (band, band_sig)
+    bucket in all 4 bands."""
+    d = tmp_path_factory.mktemp("hotbucket")
+    boiler = "terms of service apply to all content on this page please read carefully"
+    rows = [(i, boiler, "en", "tpl", len(boiler)) for i in range(1000)]
+    for i in range(1000, 1005):
+        text = " ".join(f"unique{i}tok{j}" for j in range(12))
+        rows.append((i, text, "en", f"src{i}", len(text)))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    pdf.to_parquet(d / "documents.parquet", index=False)
+    return str(d)
+
+
+def test_minhash_lsh_survives_hot_bucket(spark, boilerplate_dir):
+    """One doc duplicated 1000x is the worst LSH case: a single bucket of
+    1000 docs whose in-bucket expansion emits C(1000,2) = 499500 pairs per
+    band. The bucket-groupBy + columnar pair expansion must complete it in
+    bounded time (no per-pair shuffle, no self-join re-computation) and emit
+    exactly the mega-cluster's pairs — the documented escape hatch for even
+    bigger clusters is dedup_exact first, not this path silently dying."""
+    import itertools
+    import time
+
+    from n5_dask_spark.operators.dedup import dedup_minhash_lsh
+
+    t0 = time.monotonic()
+    out = dedup_minhash_lsh(spark, boilerplate_dir)
+    n_pairs = out.count()
+    elapsed = time.monotonic() - t0
+    assert n_pairs == len(list(itertools.combinations(range(1000), 2)))  # 499500
+    # sanity ceiling: ~2M exploded rows through one distinct on local[8];
+    # an accidental self-join or per-pair shuffle blows far past this
+    assert elapsed < 120, f"hot-bucket LSH took {elapsed:.1f}s"
+    # the distinct docs must not pair with the mega-cluster or each other
+    cross = out.filter("doc_a >= 1000 OR doc_b >= 1000").count()
+    assert cross == 0
