@@ -45,17 +45,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects outright. Read nanos as int64 and convert to
-        # microsecond TIMESTAMP_NTZ (same truncation DuckDB applies).
+        # events.ts has shipped as both parquet TIMESTAMP(NANOS) — which
+        # Spark's vectorized reader rejects outright — and TIMESTAMP(MICROS).
+        # Enable nanos-as-int64 fallback, then adapt to whatever the file
+        # actually holds: int64 nanos get truncated to microseconds (the
+        # same truncation DuckDB applies); native timestamps just normalize
+        # to TIMESTAMP_NTZ (identity under the UTC session tz).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
         df = _read_cached(spark, sf_dir, name)
-        return df.withColumn(
-            "ts",
-            F.expr("CAST(timestamp_micros(CAST(ts DIV 1000 AS BIGINT)) AS TIMESTAMP_NTZ)"),
-        )
+        if isinstance(df.schema["ts"].dataType, LongType):
+            return df.withColumn(
+                "ts",
+                F.expr("CAST(timestamp_micros(CAST(ts DIV 1000 AS BIGINT)) AS TIMESTAMP_NTZ)"),
+            )
+        return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return _read_cached(spark, sf_dir, name)
 
 

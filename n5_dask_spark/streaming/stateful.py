@@ -65,11 +65,16 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)  # shuffle partitions / tz for driver-owned sessions
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
-    return (
-        spark.readStream.schema(raw_schema)
-        .parquet(_staged_events_dir(sf_dir))
-        .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
-    )
+    stream = spark.readStream.schema(raw_schema).parquet(_staged_events_dir(sf_dir))
+    # ts has shipped as both TIMESTAMP(NANOS) (read as int64 via the legacy
+    # conf) and TIMESTAMP(MICROS) (read as NTZ): either way watermarks need
+    # a plain TIMESTAMP, which under the UTC session tz preserves the wall
+    # clock exactly.
+    from pyspark.sql.types import LongType
+
+    if isinstance(raw_schema["ts"].dataType, LongType):
+        return stream.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -142,6 +147,85 @@ def run_watermark_append(
         .select(F.col("w.start").cast("timestamp_ntz").alias("win_start"), "n_events")
         .orderBy("win_start")
     )
+
+
+def run_foreach_batch_incremental(
+    spark: SparkSession, source_dir: str, out_dir: str, checkpoint_dir: str
+) -> list[int]:
+    """One AvailableNow pass over ``source_dir`` with a PERSISTENT checkpoint.
+
+    Each invocation is a restart: the file-source offset log in the
+    checkpoint makes it process only files added since the previous pass,
+    and the per-batch-id overwrite keeps replayed batches idempotent — so
+    every source row lands in the sink exactly once across any number of
+    restarts. This is the incremental-loader shape (CDC into a warehouse)
+    that a single-shot AvailableNow run doesn't exercise. Returns the batch
+    ids executed by THIS pass (empty when no new files arrived).
+    """
+    from n5_dask_spark.session import tune_session
+
+    tune_session(spark)
+    schema = spark.read.parquet(source_dir).schema
+
+    batches: list[int] = []
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        batches.append(batch_id)
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch={batch_id}"))
+
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return batches
+
+
+def run_windowed_append_incremental(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    delay: str = "1 hour",
+) -> None:
+    """Checkpointed tumbling agg in APPEND mode to a parquet file sink.
+
+    Run once per trigger; across invocations the checkpoint restores the
+    window state, the watermark advances with new data, and each window is
+    appended to the sink exactly once — when the watermark passes its end.
+    The parquet sink's _spark_metadata commit log is what makes re-reads see
+    exactly the committed files, so a crash between write and commit cannot
+    double-count.
+    """
+    from n5_dask_spark.session import tune_session
+
+    tune_session(spark)
+    schema = spark.read.parquet(source_dir).schema
+    agg = (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        # NTZ sources (e.g. plain timestamp[us] parquet) can't watermark;
+        # under the UTC session tz this cast preserves the wall clock.
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", delay)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").cast("timestamp_ntz").alias("win_start"), "n_events")
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
 
 
 def run_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> tuple[str, int]:

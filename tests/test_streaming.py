@@ -67,3 +67,93 @@ def test_stateful_running_totals_matches_batch(spark):
         .collect()
     }
     assert got == exp
+
+
+# --- two-trigger incremental / restart semantics -------------------------
+# A single AvailableNow pass proves batch-equivalence; these prove the
+# RESTART contract: new files between triggers are processed incrementally
+# from the checkpoint, and output rows land exactly once.
+
+
+def _write_events(path, hours, per_hour=5):
+    """events rows at :00, :12, :24... of each hour, timestamp[us] parquet
+    (pyarrow, NOT pandas-default nanos: this is the normal-source path; the
+    driver's nanos events.parquet exercises the legacy branch separately)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = datetime.datetime(2026, 1, 1)
+    ts, uid, val = [], [], []
+    for h in hours:
+        for i in range(per_hour):
+            ts.append(base + datetime.timedelta(hours=h, minutes=12 * i))
+            uid.append(h * 100 + i)
+            val.append(float(h) + i / 10.0)
+    pq.write_table(
+        pa.table(
+            {
+                "ts": pa.array(ts, type=pa.timestamp("us")),
+                "user_id": pa.array(uid, type=pa.int64()),
+                "value": pa.array(val, type=pa.float64()),
+            }
+        ),
+        path,
+    )
+
+
+def test_foreachbatch_exactly_once_across_restarts(spark, tmp_path):
+    from n5_dask_spark.streaming.stateful import run_foreach_batch_incremental
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _write_events(src / "a.parquet", hours=range(0, 4))
+
+    b1 = run_foreach_batch_incremental(spark, str(src), out, ckpt)
+    assert len(b1) >= 1
+    n1 = spark.read.option("basePath", out).parquet(f"{out}/batch=*").count()
+    assert n1 == 20  # 4 hours x 5 events
+
+    _write_events(src / "b.parquet", hours=range(4, 10))
+    b2 = run_foreach_batch_incremental(spark, str(src), out, ckpt)
+    assert len(b2) >= 1 and min(b2) > max(b1)  # batch ids continue, no replay
+    got = spark.read.option("basePath", out).parquet(f"{out}/batch=*")
+    assert got.count() == 50  # a.parquet NOT reprocessed: 20 + 30, no dupes
+    assert got.select("user_id").distinct().count() == 50
+
+    # restart with nothing new: a no-op, output unchanged
+    run_foreach_batch_incremental(spark, str(src), out, ckpt)
+    assert spark.read.option("basePath", out).parquet(f"{out}/batch=*").count() == 50
+
+
+def test_windowed_append_exactly_once_across_restarts(spark, tmp_path):
+    import datetime
+
+    from n5_dask_spark.streaming.stateful import run_windowed_append_incremental
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    # trigger 1: hours 0-5. watermark = 5:48 - 1h = 4:48 -> windows 0..3
+    # (ends 1:00..4:00) close and append; window 4 (end 5:00 > 4:48) and
+    # window 5 stay in checkpointed state.
+    _write_events(src / "a.parquet", hours=range(0, 6))
+    run_windowed_append_incremental(spark, str(src), out, ckpt)
+    first = {r["win_start"].hour: r["n_events"] for r in spark.read.parquet(out).collect()}
+    assert first == {h: 5 for h in range(0, 4)}
+
+    # trigger 2 (a restart): hours 8-13 arrive. max ts = 13:48, so the
+    # watermark moves to 12:48 and windows 4, 5 — whose counts live ONLY in
+    # the restored state — plus 8..11 close now; 12 and 13 (ends past the
+    # watermark) stay open. Each emitted window appears exactly once.
+    _write_events(src / "b.parquet", hours=range(8, 14))
+    run_windowed_append_incremental(spark, str(src), out, ckpt)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == len({r["win_start"] for r in rows})  # no window twice
+    got = {r["win_start"].hour: r["n_events"] for r in rows}
+    assert got == {h: 5 for h in [*range(0, 6), *range(8, 12)]}
+    base = datetime.datetime(2026, 1, 1)
+    assert all(r["win_start"].date() == base.date() for r in rows)
