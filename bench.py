@@ -72,23 +72,27 @@ def main() -> None:
         sf = float(pathlib.Path(sf_dir).name.replace("sf", ""))
     except ValueError:
         sf = -1.0
-    spark = get_spark("n5_dask_spark-bench", cpus=int(cpus))
+    spark = get_spark(
+        "n5_dask_spark-bench",
+        cpus=int(cpus),
+        # codegen-heavy sweep: ~40 distinct plans compile per pass; the
+        # default 240 MB code cache thrashes (evict -> deopt -> recompile),
+        # which showed up as 3-15x run-to-run swings on individual queries.
+        extra_conf={"spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=1g"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     registry = load_all()
 
-    # Warm up once so per-query numbers measure queries, not first-touch
-    # costs: parquet footers + codegen (q6), the Python worker pool spawning
-    # 32 interpreters with pandas/Arrow (identity mapInPandas), and the
-    # interpreted higher-order-function path (md5-in-transform). Reported
-    # separately as warmup_sec.
+    # Warm pass: spawn the Python worker pool (32 interpreters + pandas /
+    # Arrow import), then run EVERY benched query once untimed. Per-query
+    # synthetic warmups proved insufficient — the first execution of each
+    # heavy kernel floods the C2 compile queue and the *next several*
+    # queries pay for it, so the only stable protocol is: compile
+    # everything, let the JIT drain, then time. Reported as warmup_sec.
     t_warm = time.perf_counter()
-    registry["q6_forecast_revenue"].fn(spark, sf_dir).collect()
     spark.range(256).repartition(int(cpus)).mapInPandas(lambda it: it, "id long").collect()
-    # same nested-HOF shape as the minhash signature kernel, hot enough for C2
-    spark.range(20000).repartition(int(cpus)).selectExpr(
-        "transform(sequence(0, 15), p -> array_min(transform(sequence(0, 9),"
-        " s -> md5(concat(cast(p AS STRING), '|', cast(id + s AS STRING)))))) AS sig"
-    ).selectExpr("max(sig[0]) AS h").collect()
+    for name in HEADLINE + PIPELINES:
+        registry[name].fn(spark, sf_dir).collect()
     warmup_sec = round(time.perf_counter() - t_warm, 3)
 
     # best-of-2 per query: the report is the steady-state cost of each plan,
