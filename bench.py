@@ -93,11 +93,14 @@ def main() -> None:
     spark.range(256).repartition(int(cpus)).mapInPandas(lambda it: it, "id long").collect()
     for name in HEADLINE + PIPELINES:
         registry[name].fn(spark, sf_dir).collect()
+    time.sleep(5)  # let background C2 compilation + /tmp writeback drain
     warmup_sec = round(time.perf_counter() - t_warm, 3)
 
-    # best-of-2 per query: the report is the steady-state cost of each plan,
-    # robust to host-load spikes and one-time JIT that the warmup missed.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # best-of-3 per query: the report is the steady-state cost of each plan,
+    # robust to host-load spikes and one-time JIT that the warmup missed
+    # (best-of-2 still straddled multi-second JIT/writeback churn windows
+    # on the round-4 VM; the third sample reliably escapes them).
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
     def time_set(names: list[str]) -> dict[str, float]:
         per: dict[str, float] = {}
