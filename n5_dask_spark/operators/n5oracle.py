@@ -374,6 +374,41 @@ def n5_roundtrip_lz4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "n5_roundtrip_blosc",
+    oracle=_DUCK_VOX
+    + """
+    SELECT z, CAST(SUM(val) AS BIGINT) AS zsum, COUNT(*) AS n_vox,
+           'blosc' AS codec
+    FROM vox GROUP BY z ORDER BY z
+    """,
+    doc=(
+        "T10 hash-checked through the pure-Python Blosc1 container "
+        "(sources/n5/blosc.py; the reference's numcodecs blosc entry, "
+        "tif_to_n5.py:82): same write->scan->profile pipeline as "
+        "n5_roundtrip_zprofile but every block encodes and decodes "
+        "through blosc with the n5-blosc defaults (cname=lz4, "
+        "byte-shuffle) — lz4 internal blocks reuse the spec-vector-tested "
+        "raw codec in lz4.py. Any header/offset-table/shuffle defect "
+        "flips the hash."
+    ),
+)
+def n5_roundtrip_blosc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from n5_dask_spark.sources.n5.metadata import read_attributes
+    from n5_dask_spark.sources.n5.reader import decoded_blocks
+
+    container, dataset = _build_container(
+        spark,
+        sf_dir,
+        "blosc",
+        compression={"type": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1, "typesize": 1},
+    )
+    codec = read_attributes(container, dataset).compression["type"]
+    return _zprofile(decoded_blocks(spark, container, dataset), "uint8", BLOCK).select(
+        "z", "zsum", "n_vox", F.lit(codec).alias("codec")
+    )
+
+
+@register(
     "n5_datasource_zprofile",
     oracle=_DUCK_VOX
     + """

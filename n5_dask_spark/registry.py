@@ -63,6 +63,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "n5_datasource_zprofile",  # S2 via spark.read.format('n5')
     "n5_datasource_write_zprofile",  # K1/K2 via df.write.format('n5')
     "n5_roundtrip_lz4",  # T10: lz4-java framing (new this round)
+    "n5_roundtrip_blosc",  # T10: pure-Python Blosc1 (closes the last codec gap)
     # graph / sampling / aggs
     "dedup_cc_star",
     "sample_stratified_hash",
@@ -107,7 +108,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "join_bucketed_colocated",
     "udf_pandas_zscore",  # executor package-shipping path
     "window_row_number",
-    "events_session_window",
+    # events_session_window demoted (banked green r1; session-window family
+    # stays covered by streaming_session_window above)
     "streaming_tumbling_agg",
     "pipeline_sequence_packing",
 )

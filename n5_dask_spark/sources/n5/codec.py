@@ -89,11 +89,16 @@ def _compress(payload: bytes, compression: dict[str, Any] | None) -> bytes:
             payload, int((compression or {}).get("blockSize", _lz4.DEFAULT_BLOCK_SIZE))
         )
     if ctype == "blosc":
-        # blosc needs the C library (absent here); a silent fallback would
-        # write unreadable containers, so fail loudly with the alternative
-        raise ImportError(
-            "blosc compression requires the blosc C library, which is not "
-            "available in this environment; use lz4, gzip, bz2, xz or raw"
+        from n5_dask_spark.sources.n5 import blosc as _blosc
+
+        c = compression or {}
+        return _blosc.compress(
+            payload,
+            typesize=int(c.get("typesize", 1)),
+            cname=str(c.get("cname", "lz4")),
+            clevel=int(c.get("clevel", 5)),
+            shuffle=int(c.get("shuffle", 1)),
+            blocksize=int(c.get("blocksize", 0)),
         )
     raise ImportError(f"compression {ctype!r} requires external codecs not installed here")
 
@@ -115,10 +120,9 @@ def _decompress(payload: bytes, compression: dict[str, Any] | None) -> bytes:
 
         return _lz4.frame_decompress(payload)
     if ctype == "blosc":
-        raise ImportError(
-            "blosc decompression requires the blosc C library, which is not "
-            "available in this environment"
-        )
+        from n5_dask_spark.sources.n5 import blosc as _blosc
+
+        return _blosc.decompress(payload)
     raise ImportError(f"compression {ctype!r} requires external codecs not installed here")
 
 
