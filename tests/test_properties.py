@@ -96,3 +96,43 @@ def test_fragment_cover_property(dims, old_bs, new_bs):
             sel = tuple(slice(lo[ax], hi[ax]) for ax in range(2, -1, -1))
             cover[sel] += 1
     assert (cover == 1).all()
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    data=st.binary(min_size=0, max_size=5000),
+    typesize=st.sampled_from([1, 2, 3, 4, 8, 16]),
+    cname=st.sampled_from(["lz4", "zlib"]),
+    shuffle=st.sampled_from([0, 1]),
+    blocksize=st.sampled_from([0, 64, 257, 4096]),
+)
+def test_blosc_roundtrip_property(data, typesize, cname, shuffle, blocksize):
+    """compress->decompress is the identity for ANY payload x parameter
+    combination, and the emitted chunk's header always self-describes
+    (cbytes == len(chunk), nbytes == len(payload))."""
+    import struct
+
+    from n5_dask_spark.sources.n5 import blosc
+
+    chunk = blosc.compress(
+        data, typesize=typesize, cname=cname, shuffle=shuffle, blocksize=blocksize
+    )
+    _, _, _, _, nbytes, _, cbytes = struct.unpack_from("<BBBBiii", chunk)
+    assert nbytes == len(data)
+    assert cbytes == len(chunk)
+    assert blosc.decompress(chunk) == data
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    n_elems=st.integers(0, 1000),
+    typesize=st.sampled_from([2, 4, 8]),
+    extra=st.integers(0, 7),
+    seed=st.integers(0, 2**31),
+)
+def test_blosc_shuffle_is_a_permutation_inverse(n_elems, typesize, extra, seed):
+    from n5_dask_spark.sources.n5 import blosc
+
+    rng = np.random.default_rng(seed)
+    data = rng.bytes(n_elems * typesize + extra)
+    assert blosc._unshuffle(blosc._shuffle(data, typesize), typesize) == data
