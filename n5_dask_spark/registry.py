@@ -91,7 +91,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "streaming_stream_stream_left_join",
     # --- re-greens: banked-green representatives of every family (21) ---
     "q1_pricing_summary",  # flagship
-    "q3_shipping_priority",  # r04 plan under review (bench regressor)
+    "q3_shipping_priority",  # r04: regression was bench-protocol noise (see bench.py)
     "q6_forecast_revenue",  # pushdown representative
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -99,8 +99,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_connected_clusters",
     "knn_bruteforce_cosine",
     "knn_signbucket_lsh",
-    "text_tf_top_terms",  # r04 plan under review (bench regressor)
-    "multimodal_feature_extract",  # r04 plan under review (bench regressor)
+    "text_tf_top_terms",  # r04: regression was bench-protocol noise (see bench.py)
+    "multimodal_feature_extract",  # r04: regression was bench-protocol noise (see bench.py)
     "n5_roundtrip_zprofile",  # N5 core write->codec->read path
     "n5_zprofile",  # fixture scan path
     "tiff_roundtrip_zprofile",
