@@ -214,11 +214,19 @@ def test_cli_lz4_e2e(spark, capsys):
     np.testing.assert_array_equal(read_full(spark, out, "mri/c0/s0"), fixture_volume_xyz())
 
 
-def test_blosc_raises_documented_error():
-    from n5_dask_spark.sources.n5.codec import encode_block
+def test_blosc_now_supported_but_exotic_variants_raise():
+    # blosc gained a pure-Python implementation (sources/n5/blosc.py);
+    # the default (lz4 + byte-shuffle) encodes, unsupported cnames still
+    # fail loudly instead of silently mis-encoding
+    from n5_dask_spark.sources.n5.codec import decode_block, encode_block
 
-    with pytest.raises(ImportError, match="blosc"):
-        encode_block(np.zeros((2, 2, 2), dtype="u1"), "uint8", {"type": "blosc"})
+    arr = np.zeros((2, 2, 2), dtype="u1")
+    spec = {"type": "blosc", "cname": "lz4", "shuffle": 1, "typesize": 1}
+    np.testing.assert_array_equal(
+        decode_block(encode_block(arr, "uint8", spec), "uint8", spec), arr
+    )
+    with pytest.raises(NotImplementedError, match="zstd"):
+        encode_block(arr, "uint8", {"type": "blosc", "cname": "zstd"})
 
 
 # ---------------------------------------------------------------------------
