@@ -89,13 +89,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "streaming_foreachbatch_parquet",
     "streaming_watermark_append",
     "streaming_stream_stream_left_join",
+    "streaming_incremental_restart",  # r04: checkpointed two-trigger restart
     # --- re-greens: banked-green representatives of every family (21) ---
     "q1_pricing_summary",  # flagship
     "q3_shipping_priority",  # r04: regression was bench-protocol noise (see bench.py)
     "q6_forecast_revenue",  # pushdown representative
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_simhash",
+    # dedup_simhash demoted (banked green r2; dedup family keeps 4 window
+    # reps: exact, minhash, connected_clusters, cc_star)
     "dedup_connected_clusters",
     "knn_bruteforce_cosine",
     "knn_signbucket_lsh",

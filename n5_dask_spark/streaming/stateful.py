@@ -322,3 +322,62 @@ def streaming_foreachbatch_parquet(spark: SparkSession, sf_dir: str) -> DataFram
 )
 def streaming_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_watermark_append(spark, sf_dir)
+
+
+@register(
+    "streaming_incremental_restart",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc=(
+        "Checkpointed incremental execution ACROSS A RESTART, hash-checked: "
+        "trigger 1 (one AvailableNow query) sees half the source files, "
+        "trigger 2 — a brand-new query resumed from the same checkpoint's "
+        "file-source offset log — sees only the files added in between; "
+        "per-batch-id idempotent sinks make the union exactly-once, so "
+        "re-aggregating every batch directory must reproduce the plain "
+        "batch aggregate. This is the CDC/incremental-loader contract a "
+        "single-shot streaming run never exercises."
+    ),
+)
+def streaming_incremental_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from n5_dask_spark.catalog import load_table
+
+    # pid-keyed scratch (same discipline as tiffops staging): concurrent
+    # harness processes never race each other's rmtree
+    base = os.path.join(tempfile.gettempdir(), f"n5ds_increstart_p{os.getpid()}")
+    _shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src)
+
+    # input staging (driver-side, small projection): a deterministic split
+    # of events into two files so trigger 2's delta is exactly file b
+    pdf = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "event_type")
+        .toPandas()
+        .sort_values("event_id")
+    )
+    halves = [pdf[pdf["event_id"] % 2 == 0], pdf[pdf["event_id"] % 2 == 1]]
+    pq.write_table(pa.Table.from_pandas(halves[0], preserve_index=False), f"{src}/a.parquet")
+    b1 = run_foreach_batch_incremental(spark, src, out, ckpt)
+
+    pq.write_table(pa.Table.from_pandas(halves[1], preserve_index=False), f"{src}/b.parquet")
+    b2 = run_foreach_batch_incremental(spark, src, out, ckpt)  # the restart
+    if not b1 or not b2 or min(b2) <= max(b1):
+        raise RuntimeError(f"restart did not continue incrementally: {b1} then {b2}")
+
+    back = spark.read.option("basePath", out).parquet(os.path.join(out, "batch=*"))
+    return (
+        back.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .orderBy("event_type")
+    )
