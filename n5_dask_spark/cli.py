@@ -25,7 +25,7 @@ import sys
 
 from n5_dask_spark.session import get_spark
 
-COMPRESSION_IDS = ("raw", "gzip", "bz2", "xz", "lz4", "same")
+COMPRESSION_IDS = ("raw", "gzip", "bz2", "xz", "lz4", "blosc", "same")
 
 
 def _parse_ints(s: str) -> list[int]:
@@ -45,6 +45,10 @@ def _compression(arg: str) -> dict | str:
         return {"type": "xz"}
     if arg == "lz4":
         return {"type": "lz4", "blockSize": 65536}
+    if arg == "blosc":
+        # n5-blosc defaults (cname=lz4, byte-shuffle); typesize is refined
+        # to the dataset dtype at write time by the codec layer
+        return {"type": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1, "typesize": 1}
     raise argparse.ArgumentTypeError(f"unknown compression {arg!r} (known: {COMPRESSION_IDS})")
 
 

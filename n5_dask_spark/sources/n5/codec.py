@@ -163,4 +163,9 @@ def encode_block(arr_zyx: np.ndarray, data_type: str, compression: dict[str, Any
     header = struct.pack(">HH", HEADER_MODE_DEFAULT, arr_zyx.ndim) + struct.pack(
         f">{arr_zyx.ndim}i", *dims
     )
+    if (compression or {}).get("type") == "blosc" and int(compression.get("typesize", 1)) <= 1:
+        # refine the shuffle width to the element width (what n5-blosc's
+        # writer does); typesize is stored in each chunk's own header, so
+        # readers never depend on the attributes.json value
+        compression = {**compression, "typesize": be.itemsize}
     return header + _compress(payload, compression)

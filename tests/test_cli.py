@@ -133,3 +133,31 @@ def test_cli_argument_validation(spark, capsys):
     with pytest.raises(SystemExit):  # 'same' without a template
         main(["tif-to-n5", "-i", "/tmp/none", "-o", "/tmp/o.n5", "--compression", "same"])
     capsys.readouterr()
+
+
+def test_cli_blosc_import(spark, capsys):
+    """--compression blosc (the reference CLI's last codec id,
+    tif_to_n5.py:82) imports and reads back losslessly; typesize in the
+    written chunks is refined to the element width by the codec layer."""
+    import numpy as np
+
+    from n5_dask_spark.cli import main
+    from n5_dask_spark.sources.n5.reader import read_full
+
+    tif_dir = tdir("tifs-blosc")
+    assert main(["n5-to-tif", "-i", FIXTURE, "-d", FIXTURE_DS, "-o", tif_dir]) == 0
+    capsys.readouterr()
+
+    n5_out = os.path.join(tdir("n5-blosc"), "out.n5")
+    assert (
+        main(
+            [
+                "tif-to-n5", "-i", tif_dir, "-o", n5_out, "-d", "/mri/c0/s0",
+                "-c", "64,64,64", "--compression", "blosc",
+            ]
+        )
+        == 0
+    )
+    meta = json.loads(capsys.readouterr().out)["attributes"]
+    assert meta["compression"]["type"] == "blosc"
+    np.testing.assert_array_equal(read_full(spark, n5_out, "mri/c0/s0"), fixture_volume_xyz())
