@@ -14,6 +14,12 @@ batch oracle for it filters on max(ts) - delay the same way.
 
 run_foreach_batch_sink: streaming -> foreachBatch -> parquet, the arbitrary-
 sink escape hatch.
+
+run_foreach_batch_incremental / run_windowed_append_incremental: one
+AvailableNow pass per call against a PERSISTENT checkpoint — each call is a
+restart that processes only files added since the last pass, with
+exactly-once sinks (per-batch-id overwrite; parquet _spark_metadata commit
+log). Driver-verified end to end by ``streaming_incremental_restart``.
 """
 
 from __future__ import annotations
