@@ -386,10 +386,12 @@ def n5_roundtrip_lz4(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(sources/n5/blosc.py; the reference's numcodecs blosc entry, "
         "tif_to_n5.py:82): same write->scan->profile pipeline as "
         "n5_roundtrip_zprofile but every block encodes and decodes "
-        "through blosc with the n5-blosc defaults (cname=lz4, "
-        "byte-shuffle) — lz4 internal blocks reuse the spec-vector-tested "
-        "raw codec in lz4.py. Any header/offset-table/shuffle defect "
-        "flips the hash."
+        "through blosc (cname=lz4; lz4 internal blocks reuse the "
+        "spec-vector-tested raw codec in lz4.py) with typesize=2 so the "
+        "byte-shuffle filter is EXERCISED on the uint8 payload — "
+        "typesize is a filter width, not a dtype claim, and the chunk "
+        "header self-describes it. Any header/offset-table/shuffle "
+        "defect flips the hash."
     ),
 )
 def n5_roundtrip_blosc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -400,7 +402,7 @@ def n5_roundtrip_blosc(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         "blosc",
-        compression={"type": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1, "typesize": 1},
+        compression={"type": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1, "typesize": 2},
     )
     codec = read_attributes(container, dataset).compression["type"]
     return _zprofile(decoded_blocks(spark, container, dataset), "uint8", BLOCK).select(

@@ -112,11 +112,19 @@ def decompress(chunk: bytes) -> bytes:
     if blocksize <= 0:
         raise ValueError(f"corrupt blosc header: blocksize={blocksize}")
     nblocks = -(-nbytes // blocksize)
+    if HEADER_SIZE + 4 * nblocks > len(chunk):
+        raise ValueError("blosc chunk truncated inside its offset table")
     offsets = struct.unpack_from(f"<{nblocks}i", chunk, HEADER_SIZE)
     out = bytearray()
     for i, off in enumerate(offsets):
         neblock = min(blocksize, nbytes - i * blocksize)
+        # bounds-check BEFORE dereferencing: negative/aliasing offsets could
+        # otherwise slice header bytes and decode to silently wrong data
+        if off < HEADER_SIZE + 4 * nblocks or off + 4 > len(chunk):
+            raise ValueError(f"blosc block offset {off} outside chunk bounds")
         (csize,) = struct.unpack_from("<i", chunk, off)
+        if csize < 0 or off + 4 + csize > len(chunk):
+            raise ValueError(f"blosc block at {off} claims {csize} bytes past chunk end")
         payload = chunk[off + 4 : off + 4 + csize]
         if csize == neblock:  # stored block (did not compress)
             block = bytes(payload)
@@ -162,6 +170,13 @@ def compress(
     nbytes = len(payload)
     if nbytes == 0:
         return _HEADER.pack(2, 1, 0, typesize, 0, 0, HEADER_SIZE)
+    if clevel == 0:
+        # blosc semantics: clevel 0 opts out of compression entirely ->
+        # memcpyed chunk (not "compress at the lowest level")
+        return (
+            _HEADER.pack(2, 1, _MEMCPYED, typesize, nbytes, nbytes, nbytes + HEADER_SIZE)
+            + payload
+        )
 
     if blocksize <= 0:
         blocksize = min(nbytes, DEFAULT_BLOCKSIZE)

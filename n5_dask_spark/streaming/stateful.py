@@ -212,13 +212,20 @@ def run_windowed_append_incremental(
 
     tune_session(spark)
     schema = spark.read.parquet(source_dir).schema
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    # Same dual-width guard as _event_stream: with the session-wide
+    # nanosAsLong conf set (by any prior events read), a TIMESTAMP(NANOS)
+    # source arrives as int64 — CAST(long AS timestamp) would read it as
+    # SECONDS since epoch, silently wrecking the watermark. NTZ sources
+    # just cast; under the UTC session tz that preserves the wall clock.
+    from pyspark.sql.types import LongType
+
+    if isinstance(schema["ts"].dataType, LongType):
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    else:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     agg = (
-        spark.readStream.schema(schema)
-        .parquet(source_dir)
-        # NTZ sources (e.g. plain timestamp[us] parquet) can't watermark;
-        # under the UTC session tz this cast preserves the wall clock.
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-        .withWatermark("ts", delay)
+        stream.withWatermark("ts", delay)
         .groupBy(F.window("ts", window).alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("w.start").cast("timestamp_ntz").alias("win_start"), "n_events")

@@ -130,6 +130,26 @@ def test_corrupt_headers_rejected():
         blosc.decompress(bytes(bad))
 
 
+def test_corrupt_block_offsets_rejected():
+    """Out-of-bounds and header-aliasing offsets must raise the module's
+    documented ValueError, never struct.error or silently wrong bytes."""
+    good = blosc.compress(b"z" * 512, typesize=1, cname="zlib", shuffle=0)
+    for evil in (len(good) + 100, -4, 0):  # past end, negative, into header
+        bad = bytearray(good)
+        struct.pack_into("<i", bad, blosc.HEADER_SIZE, evil)
+        with pytest.raises(ValueError, match="offset|bounds|past"):
+            blosc.decompress(bytes(bad))
+
+
+def test_clevel_zero_means_no_compression():
+    # blosc semantics: clevel 0 opts out of compression -> memcpyed chunk
+    payload = b"\x00" * 4096  # maximally compressible, still must memcpy
+    chunk = blosc.compress(payload, typesize=4, cname="lz4", clevel=0, shuffle=1)
+    assert chunk[2] & 0x2  # memcpyed flag
+    assert len(chunk) == blosc.HEADER_SIZE + len(payload)
+    assert blosc.decompress(chunk) == payload
+
+
 # --- N5 codec integration -------------------------------------------------
 
 
@@ -169,3 +189,6 @@ def test_n5_container_roundtrip_blosc(spark, shuffle):
     raw = open(f, "rb").read()
     body = raw[16:]  # N5 block header (mode/ndim/dims) then the chunk
     assert body[0] == 2 and (body[2] >> 5) & 0x7 == 1  # blosc v2, lz4 codec
+    # shuffle=1 with typesize=2 must actually set the filter bit in the
+    # written chunks — the driver query's hash only covers shuffle if so
+    assert bool(body[2] & 0x1) == (shuffle == 1)
