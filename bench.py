@@ -96,24 +96,28 @@ def main() -> None:
     time.sleep(5)  # let background C2 compilation + /tmp writeback drain
     warmup_sec = round(time.perf_counter() - t_warm, 3)
 
-    # best-of-3 per query: the report is the steady-state cost of each plan,
-    # robust to host-load spikes and one-time JIT that the warmup missed
-    # (best-of-2 still straddled multi-second JIT/writeback churn windows
-    # on the round-4 VM; the third sample reliably escapes them).
+    # best-of-N per query, timed in INTERLEAVED round-robin passes: pass 1
+    # runs every query once, pass 2 runs every query once, ...; each query
+    # reports its best across passes. Round 4 proved why: 3 *consecutive*
+    # runs per query let a transient churn window (residual JIT drain,
+    # /tmp writeback) land entirely on whichever query ran first — the
+    # driver VM recorded q1 at 4.42 s vs a 1.21 s steady state with zero
+    # code change. Interleaving spaces each query's samples minutes apart,
+    # so a multi-second churn window can corrupt at most one of its N
+    # samples and best-of-N still reports steady state.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
     def time_set(names: list[str]) -> dict[str, float]:
-        per: dict[str, float] = {}
-        for name in names:
-            best = None
-            for _ in range(runs):
+        best: dict[str, float] = {}
+        for _ in range(runs):
+            for name in names:
                 t0 = time.perf_counter()
                 rows = registry[name].fn(spark, sf_dir).collect()
                 dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
                 assert rows is not None
-            per[name] = round(best, 3)
-        return per
+                if name not in best or dt < best[name]:
+                    best[name] = dt
+        return {name: round(best[name], 3) for name in names}
 
     per = time_set(HEADLINE)
     pipelines = time_set(PIPELINES)

@@ -13,27 +13,42 @@ container in pure Python from the PUBLIC format description (c-blosc's
       8-11: blocksize
       12-15: cbytes  (total compressed size, header included)
     flags: bit 0 = byte-shuffle, bit 1 = memcpyed (raw passthrough),
-           bit 2 = bit-shuffle, bits 5-7 = internal codec id
+           bit 2 = bit-shuffle, bit 4 = chunk is NOT block-split,
+           bits 5-7 = internal codec id
            (0 blosclz, 1 lz4/lz4hc, 2 snappy, 3 zlib, 4 zstd)
     memcpyed chunk: header + nbytes raw bytes.
     compressed chunk: header + int32 offset table (one absolute offset per
-      block) + per block [int32 csize][codec payload]; csize equal to the
-      block's uncompressed size marks a stored (uncompressed) block.
+      block) + per block one or more [int32 csize][codec payload] streams;
+      csize equal to the stream's uncompressed size marks a stored
+      (uncompressed) stream.
+    block splitting (c-blosc ``blosc_d``/``split_block``): unless flag bit
+      4 is set, a block whose uncompressed size equals the header
+      blocksize (i.e. every non-leftover block) is split into ``typesize``
+      independent sub-streams of blocksize/typesize bytes each, provided
+      typesize <= 16 and blocksize/typesize >= 128. The trailing leftover
+      block is never split. c-blosc's FORWARD_COMPAT default emits split
+      chunks for blosclz/lz4, so real-world chunks routinely use this.
     byte-shuffle is applied PER BLOCK over the leading
     (len // typesize) * typesize bytes (all first bytes of each element,
     then all second bytes, ...); trailing remainder bytes stay in place.
+    A split block's streams are exactly its shuffled bytes cut into
+    typesize contiguous pieces (stream j = the j-th bytes of every
+    element), so decode = concatenate streams, then unshuffle.
 
-Supported here — the n5-blosc/zarr DEFAULTS: internal codecs lz4 (reusing
-the spec-vector-tested raw-block codec in ``lz4.py``) and zlib (stdlib),
-byte-shuffle or no shuffle, multi-block chunks, stored-block and
-whole-chunk-memcpy fallbacks. Unsupported variants (blosclz, snappy,
-zstd, bit-shuffle) raise loudly rather than guess.
+Supported here: DECODE of internal codecs lz4 (reusing the
+spec-vector-tested raw-block codec in ``lz4.py``), zlib (stdlib) and
+blosclz (pure-Python FastLZ-descendant decoder below), both split and
+unsplit block layouts, byte-shuffle or no shuffle, multi-block chunks,
+stored-stream and whole-chunk-memcpy fallbacks. ENCODE emits lz4 or
+zlib, always unsplit, with flag bit 4 set so real c-blosc decoders read
+the single-stream layout. Unsupported variants (snappy, zstd,
+bit-shuffle, blosclz *encode*) raise loudly rather than guess.
 
 Validation caveat (documented, deliberate): no blosc implementation
 exists in this container to cross-check against, so conformance rests on
 the published format layout, exhaustive self-roundtrips, hand-computed
-shuffle/header vectors, and the independently spec-validated lz4 block
-codec. The compress side emits conservative, always-legal streams.
+shuffle/header/blosclz vectors, and the independently spec-validated lz4
+block codec. The compress side emits conservative, always-legal streams.
 """
 
 from __future__ import annotations
@@ -49,6 +64,13 @@ from n5_dask_spark.sources.n5.lz4 import lz4_block_compress, lz4_block_decompres
 _SHUFFLE = 0x1
 _MEMCPYED = 0x2
 _BITSHUFFLE = 0x4
+_DONT_SPLIT = 0x10  # c-blosc: chunk blocks are single-stream (not split)
+
+# c-blosc split_block() constants: a block is split into `typesize`
+# sub-streams only when typesize <= MAX_SPLITS and
+# blocksize/typesize >= MIN_BUFFERSIZE (and it is not the leftover block)
+_MAX_SPLITS = 16
+_MIN_BUFFERSIZE = 128
 
 # internal codec ids (flag bits 5-7)
 _CODEC_BLOSCLZ = 0
@@ -83,6 +105,101 @@ def _unshuffle(data: bytes, typesize: int) -> bytes:
     return head.reshape(typesize, n).T.tobytes() + data[n * typesize :]
 
 
+def blosclz_decompress(data: bytes, expected: int) -> bytes:
+    """Decode one blosclz stream (c-blosc's default internal codec).
+
+    Pure-Python port of the public ``blosclz_decompress`` token loop
+    (c-blosc ``blosclz.c``, a FastLZ descendant). Token = control byte:
+    ``ctrl < 32`` is a literal run of ``ctrl + 1`` bytes; otherwise a
+    match of ``(ctrl >> 5) + 2`` bytes (3-bit length 7 = extended by a
+    255-terminated byte chain) at distance ``((ctrl & 31) << 8) + code +
+    1`` where ``code`` is the next byte; ``code == 255`` with the 13-bit
+    offset field saturated (``ofs == 31 << 8``) switches to far mode:
+    distance = big-endian uint16 + 8192 (MAX_DISTANCE + 1). Matches may
+    overlap their output (RLE-style period copy).
+    """
+    n = len(data)
+    if n == 0:
+        if expected:
+            raise ValueError("empty blosclz stream with nonzero expected size")
+        return b""
+    out = bytearray()
+    ip = 1
+    ctrl = data[0] & 31
+    while True:
+        if ctrl >= 32:
+            length = (ctrl >> 5) - 1
+            ofs = (ctrl & 31) << 8
+            if length == 6:  # 3-bit length field saturated: extend
+                while True:
+                    if ip >= n:
+                        raise ValueError("blosclz stream truncated in match length")
+                    code = data[ip]
+                    ip += 1
+                    length += code
+                    if code != 255:
+                        break
+            if ip >= n:
+                raise ValueError("blosclz stream truncated in match offset")
+            code = data[ip]
+            ip += 1
+            length += 3
+            if code == 255 and ofs == (31 << 8):
+                if ip + 1 >= n:
+                    raise ValueError("blosclz stream truncated in far match offset")
+                ofs = (data[ip] << 8) | data[ip + 1]
+                ip += 2
+                src = len(out) - ofs - 8191 - 1  # MAX_DISTANCE
+            else:
+                src = len(out) - ofs - code - 1
+            if src < 0:
+                raise ValueError("blosclz match reaches before the stream start")
+            if len(out) + length > expected:
+                raise ValueError("blosclz stream decodes past its declared size")
+            # overlap-safe period copy: each pass copies the bytes that
+            # already exist, doubling the available window (RLE included)
+            while length > 0:
+                avail = len(out) - src
+                take = min(length, avail)
+                out += out[src : src + take]
+                src += take
+                length -= take
+            if ip >= n:
+                break
+            ctrl = data[ip]
+            ip += 1
+        else:
+            run = ctrl + 1
+            if ip + run > n:
+                raise ValueError("blosclz stream truncated in literal run")
+            if len(out) + run > expected:
+                raise ValueError("blosclz stream decodes past its declared size")
+            out += data[ip : ip + run]
+            ip += run
+            if ip >= n:
+                break
+            ctrl = data[ip]
+            ip += 1
+    if len(out) != expected:
+        raise ValueError(f"blosclz stream decoded to {len(out)} bytes, expected {expected}")
+    return bytes(out)
+
+
+def _nstreams(flags: int, typesize: int, neblock: int, blocksize: int) -> int:
+    """Sub-streams per block, mirroring c-blosc ``blosc_d``: the header's
+    'not split' bit wins; otherwise non-leftover blocks split into
+    ``typesize`` streams when typesize <= 16 and blocksize/typesize >= 128."""
+    if flags & _DONT_SPLIT or typesize <= 1:
+        return 1
+    if (
+        typesize <= _MAX_SPLITS
+        and blocksize // typesize >= _MIN_BUFFERSIZE
+        and neblock == blocksize  # the trailing leftover block never splits
+    ):
+        return typesize
+    return 1
+
+
 def decompress(chunk: bytes) -> bytes:
     if len(chunk) < HEADER_SIZE:
         raise ValueError(f"blosc chunk shorter than its 16-byte header ({len(chunk)})")
@@ -91,6 +208,9 @@ def decompress(chunk: bytes) -> bytes:
         raise ValueError(f"unsupported blosc format version {version}")
     if nbytes < 0 or cbytes < HEADER_SIZE or cbytes > len(chunk):
         raise ValueError(f"corrupt blosc header: nbytes={nbytes} cbytes={cbytes}")
+    # the header is self-describing: cbytes bounds every offset/stream,
+    # so trailing garbage after cbytes can never be dereferenced
+    end = cbytes
     if nbytes == 0:
         return b""
     if flags & _MEMCPYED:
@@ -104,38 +224,54 @@ def decompress(chunk: bytes) -> bytes:
             "re-encode with shuffle=1 (byte) or shuffle=0"
         )
     codec = (flags >> 5) & 0x7
-    if codec not in (_CODEC_LZ4, _CODEC_ZLIB):
+    if codec not in (_CODEC_LZ4, _CODEC_ZLIB, _CODEC_BLOSCLZ):
         raise NotImplementedError(
             f"blosc internal codec {_CODEC_NAMES.get(codec, codec)!r} is not "
-            "supported by the pure-Python codec (lz4 and zlib are)"
+            "supported by the pure-Python codec (blosclz, lz4 and zlib are)"
         )
     if blocksize <= 0:
         raise ValueError(f"corrupt blosc header: blocksize={blocksize}")
     nblocks = -(-nbytes // blocksize)
-    if HEADER_SIZE + 4 * nblocks > len(chunk):
+    if HEADER_SIZE + 4 * nblocks > end:
         raise ValueError("blosc chunk truncated inside its offset table")
     offsets = struct.unpack_from(f"<{nblocks}i", chunk, HEADER_SIZE)
     out = bytearray()
     for i, off in enumerate(offsets):
         neblock = min(blocksize, nbytes - i * blocksize)
+        nstreams = _nstreams(flags, typesize, neblock, blocksize)
+        if neblock % nstreams:
+            raise ValueError(
+                f"split blosc block of {neblock} bytes not divisible into "
+                f"{nstreams} streams (blocksize must be a typesize multiple)"
+            )
+        stream_size = neblock // nstreams
         # bounds-check BEFORE dereferencing: negative/aliasing offsets could
         # otherwise slice header bytes and decode to silently wrong data
-        if off < HEADER_SIZE + 4 * nblocks or off + 4 > len(chunk):
+        if off < HEADER_SIZE + 4 * nblocks or off + 4 > end:
             raise ValueError(f"blosc block offset {off} outside chunk bounds")
-        (csize,) = struct.unpack_from("<i", chunk, off)
-        if csize < 0 or off + 4 + csize > len(chunk):
-            raise ValueError(f"blosc block at {off} claims {csize} bytes past chunk end")
-        payload = chunk[off + 4 : off + 4 + csize]
-        if csize == neblock:  # stored block (did not compress)
-            block = bytes(payload)
-        elif codec == _CODEC_LZ4:
-            block = lz4_block_decompress(bytes(payload), neblock)
-        else:
-            block = _zlib.decompress(bytes(payload))
-            if len(block) != neblock:
-                raise ValueError("blosc zlib block decompressed to the wrong size")
+        pos = off
+        block = bytearray()
+        for _ in range(nstreams):
+            if pos + 4 > end:
+                raise ValueError("blosc chunk truncated inside a block's streams")
+            (csize,) = struct.unpack_from("<i", chunk, pos)
+            if csize < 0 or pos + 4 + csize > end:
+                raise ValueError(f"blosc stream at {pos} claims {csize} bytes past chunk end")
+            payload = chunk[pos + 4 : pos + 4 + csize]
+            pos += 4 + csize
+            if csize == stream_size:  # stored stream (did not compress)
+                block += payload
+            elif codec == _CODEC_LZ4:
+                block += lz4_block_decompress(bytes(payload), stream_size)
+            elif codec == _CODEC_BLOSCLZ:
+                block += blosclz_decompress(bytes(payload), stream_size)
+            else:
+                part = _zlib.decompress(bytes(payload))
+                if len(part) != stream_size:
+                    raise ValueError("blosc zlib stream decompressed to the wrong size")
+                block += part
         if flags & _SHUFFLE:
-            block = _unshuffle(block, typesize)
+            block = bytearray(_unshuffle(bytes(block), typesize))
         out += block
     if len(out) != nbytes:
         raise ValueError(f"blosc chunk decoded to {len(out)} bytes, header says {nbytes}")
@@ -160,8 +296,9 @@ def compress(
         cname = "lz4"  # same stream format, same flag id
     if cname not in ("lz4", "zlib"):
         raise NotImplementedError(
-            f"blosc cname {cname!r} is not supported by the pure-Python codec "
-            "(lz4 and zlib are); or use the lz4/gzip/xz N5 codecs directly"
+            f"blosc cname {cname!r} is not supported for encoding by the "
+            "pure-Python codec (lz4 and zlib are; blosclz is decode-only); "
+            "or use the lz4/gzip/xz N5 codecs directly"
         )
     if shuffle not in (0, 1):
         raise NotImplementedError("only shuffle=0 (none) and shuffle=1 (byte) are supported")
@@ -211,7 +348,10 @@ def compress(
             _HEADER.pack(2, 1, _MEMCPYED, typesize, nbytes, blocksize, nbytes + HEADER_SIZE)
             + payload
         )
-    flags = (codec_id << 5) | (_SHUFFLE if do_shuffle else 0)
+    # bit 4 (not-split) is load-bearing: this encoder emits ONE stream per
+    # block, and real c-blosc decoders otherwise assume typesize streams
+    # whenever typesize>1 and blocksize/typesize >= 128 (split_block())
+    flags = (codec_id << 5) | _DONT_SPLIT | (_SHUFFLE if do_shuffle else 0)
     header = _HEADER.pack(2, 1, flags, typesize, nbytes, blocksize, pos)
     body += struct.pack(f"<{nblocks}i", *offsets)
     for comp in blocks:
