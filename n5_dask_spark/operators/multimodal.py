@@ -53,17 +53,31 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+try:  # optional dep: real decode engages automatically when pillow exists
+    import PIL.Image as _PILImage
+except ImportError:  # this container: deterministic fallback is the oracle path
+    _PILImage = None
+
+
 def decode_image(payload: bytes) -> "object":
-    """Real image decode — stubbed: no imaging libs in this container.
+    """Decode image bytes to an HxWxC uint8 ndarray via pillow when present.
 
     The Spark-side plumbing (binary column -> mapInPandas batches) is real
-    and tested; swap this function for PIL/cv2 in production.
+    and tested either way; without pillow this raises NotImplementedError
+    and the deterministic ``_fake_features`` extractor remains the
+    oracle-checked path.
     """
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError("image decoding requires pillow/cv2 (not installed)") from exc
-    raise NotImplementedError("unreachable in this container")
+    if _PILImage is None:
+        raise NotImplementedError(
+            "image decoding requires pillow (not installed in this container); "
+            "the deterministic feature extractor is the supported fallback"
+        )
+    import io
+
+    import numpy as np
+
+    with _PILImage.open(io.BytesIO(payload)) as im:
+        return np.asarray(im.convert("RGB"))
 
 
 def _fake_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -123,7 +123,25 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkFn]
     def deco(fn: SparkFn) -> SparkFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+
+        def labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # progress surface (SURVEY §2.A X2): every job this query's plan
+            # spawns shows up in the Spark UI / event log under its name
+            try:
+                spark.sparkContext.setJobDescription(f"n5ds:{name}")
+            except Exception:
+                pass  # session without a live context; the query still runs
+            return fn(spark, sf_dir)
+
+        labeled.__name__ = fn.__name__
+        labeled.__qualname__ = fn.__qualname__
+        labeled.__doc__ = fn.__doc__
+        labeled.__module__ = fn.__module__
+        REGISTRY[name] = Query(
+            name=name, fn=labeled, oracle=oracle, doc=doc or (fn.__doc__ or "")
+        )
+        # return the raw fn: in-module composition (pipelines calling other
+        # query fns directly) keeps the caller's job label
         return fn
 
     return deco

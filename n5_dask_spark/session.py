@@ -28,7 +28,10 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
-    "spark.ui.enabled": "false",
+    # progress surface (SURVEY §2.A X2): the Spark UI is opt-in so headless
+    # harness runs stay port-free; SPARK_GRAFT_UI=true enables it, and every
+    # registry query labels its jobs via setJobDescription (registry.py)
+    "spark.ui.enabled": os.environ.get("SPARK_GRAFT_UI", "false"),
     # static conf: bucketed-table tests and any saveAsTable land in /tmp,
     # never in the repo working tree
     "spark.sql.warehouse.dir": os.path.join(

@@ -25,3 +25,12 @@ def test_every_query_has_oracle():
 def test_registered_docs_nonempty():
     undocumented = [n for n, q in load_all().items() if not q.doc.strip()]
     assert undocumented == [], undocumented
+
+
+def test_queries_label_their_jobs(spark):
+    """X2 progress surface: running a registry query stamps the Spark job
+    description, so the UI / event log attributes every job to its query."""
+    q = load_all()["q6_forecast_revenue"]
+    q.fn(spark, "/root/testdata/sf0.001").collect()
+    desc = spark.sparkContext.getLocalProperty("spark.job.description")
+    assert desc == "n5ds:q6_forecast_revenue"

@@ -6,6 +6,7 @@ from __future__ import annotations
 import os
 
 import numpy as np
+import pytest
 
 
 def test_sparse_region_read(spark):
@@ -124,3 +125,33 @@ def test_tiff_with_metadata_tags_decodes():
         out += struct.pack("<HHII", tag, typ, cnt, val)
     out += struct.pack("<I", 0)
     np.testing.assert_array_equal(decode_tiff(bytes(out)), arr)
+
+
+# --- optional-dep image decode (SURVEY §2.B multimodal) -------------------
+
+
+def test_decode_image_with_pillow():
+    """Real decode engages when pillow is installed (skips in the bare
+    container, runs wherever the optional dep exists)."""
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    import numpy as np
+
+    from n5_dask_spark.operators.multimodal import decode_image
+
+    im = PIL.new("RGB", (4, 3), color=(1, 2, 3))
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    arr = decode_image(buf.getvalue())
+    assert arr.shape == (3, 4, 3) and arr.dtype == np.uint8
+    assert (arr == np.array([1, 2, 3], dtype=np.uint8)).all()
+
+
+def test_decode_image_without_pillow_raises():
+    from n5_dask_spark.operators import multimodal
+
+    if multimodal._PILImage is not None:
+        pytest.skip("pillow installed: the loud-stub path is not reachable")
+    with pytest.raises(NotImplementedError, match="pillow"):
+        multimodal.decode_image(b"\x89PNG\r\n")
