@@ -505,3 +505,35 @@ def n5_datasource_write_zprofile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     back = spark.read.format("n5").option("path", container).option("dataset", out_ds).load()
     return _zprofile(back, "uint8", BLOCK)
+
+
+@register(
+    "n5_region_export_zprofile",
+    oracle=_DUCK_VOX
+    + """
+    SELECT z - 3 AS z, CAST(SUM(val) AS BIGINT) AS zsum, COUNT(*) AS n_vox
+    FROM vox
+    WHERE x >= 5 AND x < 27 AND y >= 2 AND y < 30 AND z >= 3 AND z < 21
+    GROUP BY z ORDER BY z
+    """,
+    doc=(
+        "S4/T2 at scale, hash-checked: the region [5,27)x[2,30)x[3,21) is "
+        "exported DISTRIBUTED (export_region: pruned block scan -> one "
+        "fragment shuffle -> per-task block writes; the driver never holds "
+        "the region) into a new origin-rebased 8^3-chunked dataset, then "
+        "the EXPORTED container is scanned back for its per-z profile. The "
+        "oracle filters the same region straight from the parquet-derived "
+        "voxels; any pruning, offset or reassembly defect flips the hash."
+    ),
+)
+def n5_region_export_zprofile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from n5_dask_spark.sources.n5.reader import decoded_blocks
+    from n5_dask_spark.sources.n5.transforms import export_region
+
+    container, dataset = _build_container(spark, sf_dir, "regionexp", reuse=True)
+    out = container[: -len(".n5")] + "-roi.n5"
+    shutil.rmtree(out, ignore_errors=True)
+    export_region(
+        spark, container, dataset, [5, 2, 3], [27, 30, 21], out, "roi/s0", block_size=[8, 8, 8]
+    )
+    return _zprofile(decoded_blocks(spark, out, "roi/s0"), "uint8", 8)

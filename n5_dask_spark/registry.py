@@ -48,72 +48,68 @@ REGISTRY: dict[str, Query] = {}
 # Everything not listed keeps registration order after these; previously
 # driver-verified queries (CORRECTNESS_r01 green) are the ones demoted.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- round 4: the 27 queries never hash-verified by any driver round
-    # (registered after the r03 window froze, or demoted past position 50)
-    # plus q12 (the r03 red row, oracle type artifact now fixed) and the
-    # new lz4 codec roundtrip. Closes the driver verdict on S3, K3, K5,
-    # T6, T8, T9 — after this window, every SURVEY §2 row has a
-    # driver-green hash row.
-    "q12_late_shipment",  # r03 red: oracle HUGEINT->float64; now CAST AS BIGINT
-    # §2.A closers
-    "ome_channels_zprofile",  # S3/T6: OME-TIFF scan + OME-XML channel split
-    "n5_multiscale_levels",  # T7/T8/T9: pyramid + cutoff + metadata scaling
-    "n5_region_tif_checksum",  # S4+K3: region read -> single-block TIFF sink
-    "n5_template_copy_zprofile",  # K5: create-from-template (xz re-encode)
-    "n5_datasource_zprofile",  # S2 via spark.read.format('n5')
-    "n5_datasource_write_zprofile",  # K1/K2 via df.write.format('n5')
-    "n5_roundtrip_lz4",  # T10: lz4-java framing (new this round)
-    "n5_roundtrip_blosc",  # T10: pure-Python Blosc1 (closes the last codec gap)
-    # graph / sampling / aggs
-    "dedup_cc_star",
-    "sample_stratified_hash",
-    "sample_pergroup_topk_hash",
-    "agg_approx_quantiles",
-    "agg_histogram_numeric",
-    # LLM-pipeline surface
-    "decontaminate_ngram_overlap",
-    "text_boilerplate_shingles",
-    "text_bpe_pretokenize",
-    "embedding_quantize_int8",
-    "multimodal_audio_frame_energy",
-    "pipeline_outlier_filter",
-    "pipeline_corpus_e2e",
-    # relational remainder
-    "join_range_binned",
-    "join_null_safe_eq",
-    "scalar_url_funcs",
-    "formats_partitioned_pruning",
-    "upsert_orders_snapshot",
-    # streaming remainder
-    "streaming_session_window",
-    "streaming_foreachbatch_parquet",
-    "streaming_watermark_append",
-    "streaming_stream_stream_left_join",
-    "streaming_incremental_restart",  # r04: checkpointed two-trigger restart
-    # --- re-greens: banked-green representatives of every family (21) ---
-    "q1_pricing_summary",  # flagship
-    "q3_shipping_priority",  # r04: regression was bench-protocol noise (see bench.py)
-    "q6_forecast_revenue",  # pushdown representative
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    # dedup_simhash demoted (banked green r2; dedup family keeps 4 window
-    # reps: exact, minhash, connected_clusters, cc_star)
-    "dedup_connected_clusters",
-    "knn_bruteforce_cosine",
-    "knn_signbucket_lsh",
-    "text_tf_top_terms",  # r04: regression was bench-protocol noise (see bench.py)
-    "multimodal_feature_extract",  # r04: regression was bench-protocol noise (see bench.py)
-    "n5_roundtrip_zprofile",  # N5 core write->codec->read path
-    "n5_zprofile",  # fixture scan path
+    # --- round 5 policy (VERDICT r4 #6): (a) everything NEW or CHANGED
+    # this round, (b) the four bench-flagged queries + the two r4 codec
+    # roundtrips, (c) the three multi-job pipelines under drift watch,
+    # then (d) fill with the OLDEST banked greens — all 38 queries whose
+    # last driver-green row is round 1, plus the oldest r2 query — so the
+    # stalest families re-prove first. After r5, nothing's last green
+    # predates r2.
+    # (a) new/changed in r5
+    "n5_region_export_zprofile",  # NEW: distributed slab export (S4 at scale)
+    "n5_roundtrip_blosc",  # blosc codec gained split-layout + blosclz decode
+    "streaming_incremental_restart",  # restart replay check relaxed (ADVICE)
+    # (b) bench-flagged + r4 codecs
+    "q1_pricing_summary",  # flagship; r4 bench artifact to re-prove
+    "q3_shipping_priority",
+    "text_tf_top_terms",
+    "multimodal_feature_extract",
+    "n5_roundtrip_lz4",
+    # (c) drift-watch pipelines
     "tiff_roundtrip_zprofile",
-    "join_asof",
-    "join_bucketed_colocated",
-    "udf_pandas_zscore",  # executor package-shipping path
-    "window_row_number",
-    # events_session_window demoted (banked green r1; session-window family
-    # stays covered by streaming_session_window above)
-    "streaming_tumbling_agg",
-    "pipeline_sequence_packing",
+    "dedup_connected_clusters",
+    "dedup_cc_star",
+    # (d) oldest banked greens: every last-green-in-r1 query (38)
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "q4_order_priority",
+    "join_inner",
+    "join_left_outer",
+    "join_full_outer",
+    "join_left_semi",
+    "join_left_anti",
+    "join_cross",
+    "join_range_nonequi",
+    "agg_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_stats",
+    "set_union_all",
+    "set_intersect",
+    "set_except",
+    "distinct_pairs",
+    "scalar_string_funcs",
+    "scalar_date_funcs",
+    "scalar_case_when",
+    "orderby_limit_topk",
+    "window_rank_dense",
+    "window_lag_lead",
+    "window_running_sum",
+    "topk_per_group",
+    "window_first_last",
+    "events_json_extract",
+    "events_tumbling_window",
+    "events_sliding_window",
+    "events_session_window",
+    "events_sessionization_funnel",
+    "dedup_subset_key",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "embedding_near_duplicates",
+    "text_token_stats",
+    # ...and the oldest r2 green to round out 50
+    "scalar_math_funcs",
 )
 
 

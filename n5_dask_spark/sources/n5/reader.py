@@ -69,15 +69,30 @@ STATS_SCHEMA = StructType(
 )
 
 
-def scan_block_files(spark: SparkSession, container: str, dataset: str, ndim: int = 3) -> DataFrame:
+def scan_block_files(
+    spark: SparkSession,
+    container: str,
+    dataset: str,
+    ndim: int = 3,
+    paths: list[str] | None = None,
+) -> DataFrame:
     """Raw block-file scan: (gx, gy, gz, length, raw) via binaryFile.
+
+    ``paths`` restricts the scan to an explicit block-file list (region
+    pruning: only overlapping files are ever listed or read); with
+    ignoreMissingFiles a file sparsified between enumeration and read
+    degrades to fill-value instead of failing the job.
 
     A fully-sparse dataset (attributes.json, zero block files) is legal N5
     and scans as an EMPTY DataFrame, not an error."""
     tune_session(spark)
     glob = "/".join(["*"] * ndim)
     try:
-        df = spark.read.format("binaryFile").load(os.path.join(container, dataset, glob))
+        reader = spark.read.format("binaryFile")
+        if paths is not None:
+            df = reader.option("ignoreMissingFiles", "true").load(paths)
+        else:
+            df = reader.load(os.path.join(container, dataset, glob))
     except Exception as exc:  # binaryFile raises when the glob matches nothing
         if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
             raise
@@ -104,10 +119,15 @@ def scan_block_files(spark: SparkSession, container: str, dataset: str, ndim: in
     return df.select(*cols, F.col("length"), F.col("content").alias("raw"), F.col("path"))
 
 
-def decoded_blocks(spark: SparkSession, container: str, dataset: str) -> DataFrame:
+def decoded_blocks(
+    spark: SparkSession,
+    container: str,
+    dataset: str,
+    paths: list[str] | None = None,
+) -> DataFrame:
     """Blocks DataFrame with decoded payloads (shape_zyx + native bytes)."""
     attrs = read_attributes(container, dataset)
-    raw_df = scan_block_files(spark, container, dataset, attrs.ndim)
+    raw_df = scan_block_files(spark, container, dataset, attrs.ndim, paths=paths)
     data_type, compression = attrs.data_type, dict(attrs.compression)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -167,6 +187,11 @@ def overlapping_blocks(
     return list(itertools.product(*ranges))
 
 
+# driver-stitch guard: read_region materializes the region (plus decoded
+# fragments) on the driver, so it is contractually a SMALL-region API
+MAX_REGION_BYTES = 256 * 1024 * 1024
+
+
 def read_region(
     spark: SparkSession,
     container: str,
@@ -180,8 +205,23 @@ def read_region(
     Pruning is driver-side: only overlapping block files are ever listed or
     read. The stitch collects just the overlapping fragments (a region read
     is by contract small enough for the driver; bulk processing stays in
-    DataFrames)."""
+    DataFrames). Regions past the byte guard raise with a pointer to the
+    distributed ``transforms.export_region`` slab path, which never
+    materializes the region anywhere."""
     attrs = read_attributes(container, dataset)
+    req_voxels = 1
+    for s, e in zip(start_xyz, end_xyz):
+        req_voxels *= max(0, e - s)
+    req_bytes = req_voxels * np_dtype(attrs.data_type).itemsize
+    limit = int(os.environ.get("SPARK_GRAFT_MAX_REGION_BYTES", MAX_REGION_BYTES))
+    if req_bytes > limit:
+        raise ValueError(
+            f"region {start_xyz}..{end_xyz} is {req_bytes / 1e6:.0f} MB decoded — "
+            f"past the driver-stitch guard ({limit / 1e6:.0f} MB, env "
+            "SPARK_GRAFT_MAX_REGION_BYTES). Large regions must not collect to "
+            "the driver: use n5_dask_spark.sources.n5.transforms.export_region "
+            "to write the region as a new N5 dataset distributed."
+        )
     hits = overlapping_blocks(attrs, start_xyz, end_xyz)
     if not hits:
         # consistent fill-value contract: out-of-bounds regions return the
@@ -199,19 +239,9 @@ def read_region(
     if not paths:
         out_shape = tuple(e - s for s, e in zip(start_xyz, end_xyz))
         return np.zeros(out_shape, dtype=np_dtype(attrs.data_type))
-    tune_session(spark)
-    # ignoreMissingFiles closes the race between the existence check above
-    # and the read: a block sparsified mid-read degrades to fill-value
-    # instead of failing the job.
-    raw_df = (
-        spark.read.format("binaryFile").option("ignoreMissingFiles", "true").load(paths)
-    )
-    pat = r"/(\d+)" * attrs.ndim + r"$"
-    coord_cols = [
-        F.regexp_extract("path", pat, i + 1).cast("int").alias(c)
-        for i, c in enumerate(("gx", "gy", "gz")[: attrs.ndim])
-    ]
-    rows = raw_df.select(*coord_cols, F.col("content")).collect()
+    raw_df = scan_block_files(spark, container, dataset, attrs.ndim, paths=paths)
+    coords = ("gx", "gy", "gz")[: attrs.ndim]
+    rows = raw_df.select(*coords, F.col("raw").alias("content")).collect()
 
     out_shape_zyx = tuple(e - s for s, e in zip(start_xyz, end_xyz))[::-1]
     out = np.zeros(out_shape_zyx, dtype=np_dtype(attrs.data_type))

@@ -249,3 +249,57 @@ def test_create_from_template(spark):
     assert got.block_size == [128, 128, 128]
     attrs2 = create_from_template(FIXTURE, FIXTURE_DS, out, "raw/s0", compression="raw", data_type="uint16")
     assert attrs2.compression == {"type": "raw"} and attrs2.data_type == "uint16"
+
+
+# ---------------------------------------------------------------------------
+# Region guard + distributed slab export (S4 at scale)
+# ---------------------------------------------------------------------------
+
+
+def test_read_region_guard_rejects_large_regions(spark, monkeypatch):
+    """Past the byte guard, read_region must refuse to stitch on the driver
+    and point at the distributed export path."""
+    from n5_dask_spark.sources.n5.reader import read_region
+
+    monkeypatch.setenv("SPARK_GRAFT_MAX_REGION_BYTES", "1024")
+    with pytest.raises(ValueError, match="export_region"):
+        read_region(spark, FIXTURE, FIXTURE_DS, [0, 0, 0], [64, 64, 1])  # 4096 B
+    # under the guard still works
+    got = read_region(spark, FIXTURE, FIXTURE_DS, [0, 0, 0], [16, 16, 4])
+    assert got.shape == (16, 16, 4)
+
+
+def test_export_region_matches_numpy(spark):
+    """Distributed slab export == numpy slice, across a re-chunk and an
+    origin shift (no driver stitch anywhere in the path)."""
+    from n5_dask_spark.sources.n5.reader import read_full
+    from n5_dask_spark.sources.n5.transforms import export_region
+    from n5_dask_spark.sources.n5.writer import temp_container, write_array
+
+    arr = (np.arange(30 * 22 * 14, dtype=np.uint16) % 911).reshape(30, 22, 14)
+    src = temp_container()
+    write_array(spark, arr, src, "a/s0", [8, 8, 8], compression={"type": "gzip"})
+    out = temp_container()
+    attrs = export_region(
+        spark, src, "a/s0", [3, 5, 2], [19, 20, 13], out, "roi/s0", block_size=[5, 6, 4]
+    )
+    assert attrs.dimensions == [16, 15, 11]
+    np.testing.assert_array_equal(read_full(spark, out, "roi/s0"), arr[3:19, 5:20, 2:13])
+
+
+def test_export_region_out_of_bounds_zero_fill(spark):
+    """Region extending past the source dims exports zeros there (sparse
+    target blocks), mirroring read_region's fill-value contract."""
+    from n5_dask_spark.sources.n5.reader import read_full
+    from n5_dask_spark.sources.n5.transforms import export_region
+    from n5_dask_spark.sources.n5.writer import temp_container, write_array
+
+    arr = (np.arange(30 * 22 * 14, dtype=np.uint8) % 251).reshape(30, 22, 14) + 1
+    src = temp_container()
+    write_array(spark, arr, src, "a/s0", [16, 16, 16])
+    out = temp_container()
+    export_region(spark, src, "a/s0", [20, 10, 5], [40, 30, 20], out, "roi/s0")
+    got = read_full(spark, out, "roi/s0")
+    expect = np.zeros((20, 20, 15), dtype=np.uint8)
+    expect[: 30 - 20, : 22 - 10, : 14 - 5] = arr[20:30, 10:22, 5:14]
+    np.testing.assert_array_equal(got, expect)

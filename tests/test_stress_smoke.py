@@ -1,0 +1,30 @@
+"""Env-gated smoke for the N5 grid stress shape (reduced size).
+
+Gated behind N5DS_STRESS=1 so the default gate stays fast; the full shape
+(8192 blocks through rechunk + multiscale with balance assertions) runs in
+``tools/stress.py`` per round.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import pytest
+
+
+def _stress_module():
+    path = os.path.join(os.path.dirname(__file__), "..", "tools", "stress.py")
+    spec = importlib.util.spec_from_file_location("n5ds_stress", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.skipif(not os.environ.get("N5DS_STRESS"), reason="set N5DS_STRESS=1 to run")
+def test_n5_grid_stress_smoke(spark, tmp_path):
+    stress = _stress_module()
+    out = stress.n5_grid_stress(spark, str(tmp_path), dims=(256, 256, 128), bs=(32, 32, 32))
+    assert out["n5_grid_blocks"] == 8 * 8 * 4
+    assert out["n5_grid_partition_max_over_median"] <= 10
+    assert out["n5_grid_levels"] >= 3  # 256 -> 128 -> 64 -> 32 with 32^3 thumb

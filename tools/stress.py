@@ -171,7 +171,96 @@ def main(rows: int = 20_000_000) -> None:
     out["n5_multiscale_134mb"] = round(time.perf_counter() - t0, 2)
     out["n5_levels"] = len(levels)
 
+    # --- N5 grid stress: ~10x the block count of the shape above, built
+    # DISTRIBUTED (per-task block synthesis — the driver never holds the
+    # volume), then through the fragment-shuffle rechunk and the full
+    # multiscale loop. This is the 100x shuffle evidence for the N5 path:
+    # completion + balanced shuffle (no hot target cell / partition).
+    grid_out = n5_grid_stress(spark, base, dims=(1024, 1024, 256), bs=(32, 32, 32))
+    out.update(grid_out)
+
     print(json.dumps({"rows": rows, "shapes": out}))
+
+
+def n5_grid_stress(
+    spark, base: str, dims=(1024, 1024, 256), bs=(32, 32, 32)
+) -> dict[str, float]:
+    """Write dims/bs blocks distributed, rechunk to a non-divisible grid,
+    build the pyramid; report wall times + shuffle-balance ratios."""
+    import numpy as np
+
+    from n5_dask_spark.sources.n5.metadata import DatasetAttributes, read_attributes
+    from n5_dask_spark.sources.n5.reader import decoded_blocks
+    from n5_dask_spark.sources.n5.transforms import build_multiscale, rechunk
+    from n5_dask_spark.sources.n5.writer import grid_df, write_blocks
+
+    out: dict[str, float] = {}
+    container = os.path.join(base, "grid.n5")
+    attrs = DatasetAttributes(
+        data_type="uint8",
+        dimensions=list(dims),
+        block_size=list(bs),
+        compression={"type": "gzip"},
+    )
+    n_blocks = attrs.n_blocks
+    out["n5_grid_blocks"] = n_blocks
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows_ = []
+            for gx, gy, gz in zip(pdf["gx"], pdf["gy"], pdf["gz"]):
+                shape_xyz = attrs.block_dims((int(gx), int(gy), int(gz)))
+                shape_zyx = tuple(reversed(shape_xyz))
+                n = int(np.prod(shape_zyx))
+                seed = (int(gx) * 73 + int(gy) * 31 + int(gz) * 17) % 251
+                a = ((np.arange(n, dtype=np.int64) + seed) % 251).astype("u1").reshape(shape_zyx)
+                rows_.append((int(gx), int(gy), int(gz), list(a.shape), a.tobytes()))
+            yield pd.DataFrame(rows_, columns=["gx", "gy", "gz", "shape_zyx", "data"])
+
+    t0 = time.perf_counter()
+    if not os.path.exists(os.path.join(container, "img/s0/attributes.json")):
+        blocks = grid_df(spark, attrs).mapInPandas(
+            synth, schema="gx int, gy int, gz int, shape_zyx array<int>, data binary"
+        )
+        write_blocks(blocks, container, "img/s0", attrs)
+    out["n5_grid_write"] = round(time.perf_counter() - t0, 2)
+
+    # fragment-shuffle rechunk to a NON-divisible grid (every target block
+    # gathers fragments from up to 8 source blocks)
+    t0 = time.perf_counter()
+    re_blocks, re_attrs = rechunk(
+        decoded_blocks(spark, container, "img/s0"),
+        read_attributes(container, "img/s0"),
+        [48, 48, 48],
+    )
+    write_blocks(re_blocks, os.path.join(base, "grid48.n5"), "img/s0", re_attrs)
+    out["n5_grid_rechunk"] = round(time.perf_counter() - t0, 2)
+
+    # shuffle-balance evidence: blocks per shuffle partition of the
+    # reassembled output — a hot partition here is what would stall a
+    # 1000-executor rechunk. (Second pass over the same plan, unmaterialized.)
+    t0 = time.perf_counter()
+    pc = [
+        r["n"]
+        for r in re_blocks.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    med = sorted(pc)[len(pc) // 2]
+    out["n5_grid_partition_max_over_median"] = round(max(pc) / max(1, med), 2)
+    out["n5_grid_balance_check"] = round(time.perf_counter() - t0, 2)
+    if max(pc) > 10 * max(1, med):
+        raise SystemExit(
+            f"rechunk shuffle is skewed: partition block counts max={max(pc)} median={med}"
+        )
+
+    t0 = time.perf_counter()
+    levels = build_multiscale(spark, container, "img")
+    out["n5_grid_multiscale"] = round(time.perf_counter() - t0, 2)
+    out["n5_grid_levels"] = len(levels)
+    return out
 
 
 if __name__ == "__main__":
