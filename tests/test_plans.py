@@ -185,3 +185,29 @@ def test_cc_star_round_has_no_join(spark):
     plan = plan_of(_star_round(edges, _LARGE_STAR))
     assert "Join" not in plan
     assert plan.count("Exchange") >= 1  # the one groupBy shuffle
+
+
+def test_fragment_shuffle_is_single_exchange(spark):
+    """Rechunk and export_region share one shape: decode+fragment
+    (mapInPandas, shuffle-free) -> ONE exchange on the target grid cell ->
+    reassemble (applyInPandas). Exactly one Exchange means every byte of
+    the volume moves once — a second exchange would double the shuffle
+    volume of every regrid/export at scale."""
+    import numpy as np
+
+    from n5_dask_spark.sources.n5.metadata import read_attributes
+    from n5_dask_spark.sources.n5.reader import decoded_blocks
+    from n5_dask_spark.sources.n5.transforms import rechunk
+    from n5_dask_spark.sources.n5.writer import temp_container, write_array
+
+    arr = (np.arange(24 * 24 * 24, dtype=np.uint8) % 200).reshape(24, 24, 24)
+    src = temp_container()
+    write_array(spark, arr, src, "a/s0", [8, 8, 8])
+    blocks = decoded_blocks(spark, src, "a/s0")
+    plan = plan_of(blocks)
+    assert "Exchange" not in plan  # the block scan itself never shuffles
+    re_blocks, _ = rechunk(blocks, read_attributes(src, "a/s0"), [5, 5, 5])
+    re_plan = plan_of(re_blocks)
+    # formatted plans list each node twice (tree + detail): count tree rows
+    assert re_plan.count("+- Exchange") == 1
+    assert "FlatMapGroupsInPandas" in re_plan  # reassembly rides THAT exchange
