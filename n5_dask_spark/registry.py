@@ -40,13 +40,14 @@ class Query:
 REGISTRY: dict[str, Query] = {}
 
 # The external driver grades only the FIRST 50 entries of ``queries()``
-# (round-1 CORRECTNESS stopped at position 50, leaving every family past
-# that point unverified). This list pins the window explicitly: at least
-# one representative of EVERY SURVEY §2 family — all N5 array queries, all
-# real streaming runs, UDF/UDAF/UDTF surface, text, multimodal, pipelines,
-# dedup/similarity — plus the flagship and any query changed this round.
-# Everything not listed keeps registration order after these; previously
-# driver-verified queries (CORRECTNESS_r01 green) are the ones demoted.
+# (round-1 CORRECTNESS stopped at position 50). This list pins the window
+# explicitly; everything not listed keeps registration order after it.
+# Rotation policy since every query went green (r4): each round the window
+# takes (a) queries NEW or CHANGED that round, (b) anything the bench
+# flagged, (c) multi-job pipelines under drift watch, then fills with the
+# queries whose last driver-green row is OLDEST, so no family's proof goes
+# stale. Build the next rotation from CORRECTNESS_r*.json last-green ages,
+# not from family coverage — cumulative coverage is already total.
 DRIVER_WINDOW: tuple[str, ...] = (
     # --- round 5 policy (VERDICT r4 #6): (a) everything NEW or CHANGED
     # this round, (b) the four bench-flagged queries + the two r4 codec

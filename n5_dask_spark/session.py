@@ -29,9 +29,15 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     # progress surface (SURVEY §2.A X2): the Spark UI is opt-in so headless
-    # harness runs stay port-free; SPARK_GRAFT_UI=true enables it, and every
-    # registry query labels its jobs via setJobDescription (registry.py)
-    "spark.ui.enabled": os.environ.get("SPARK_GRAFT_UI", "false"),
+    # harness runs stay port-free; SPARK_GRAFT_UI=1/true/yes/on enables it,
+    # and every registry query labels its jobs via setJobDescription
+    # (registry.py). Normalized here — Spark's boolean conf parser throws
+    # on anything other than literal true/false.
+    "spark.ui.enabled": (
+        "true"
+        if os.environ.get("SPARK_GRAFT_UI", "").strip().lower() in ("1", "true", "yes", "on")
+        else "false"
+    ),
     # static conf: bucketed-table tests and any saveAsTable land in /tmp,
     # never in the repo working tree
     "spark.sql.warehouse.dir": os.path.join(

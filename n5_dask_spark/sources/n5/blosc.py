@@ -188,7 +188,15 @@ def blosclz_decompress(data: bytes, expected: int) -> bytes:
 def _nstreams(flags: int, typesize: int, neblock: int, blocksize: int) -> int:
     """Sub-streams per block, mirroring c-blosc ``blosc_d``: the header's
     'not split' bit wins; otherwise non-leftover blocks split into
-    ``typesize`` streams when typesize <= 16 and blocksize/typesize >= 128."""
+    ``typesize`` streams when typesize <= 16 and blocksize/typesize >= 128.
+
+    The typesize/blocksize conditions are deliberately kept alongside the
+    flag: pre-1.14 c-blosc never wrote bit 4 (always clear) and split only
+    under these conditions, so a flag-only decoder would mis-parse every
+    old no-split chunk (e.g. zlib with typesize > 16); post-1.14 encoders
+    only leave the flag clear when the conditions hold anyway
+    (``split_block`` applies them in every split mode), so the conjunction
+    is exact for both generations."""
     if flags & _DONT_SPLIT or typesize <= 1:
         return 1
     if (

@@ -87,15 +87,8 @@ def scan_block_files(
     and scans as an EMPTY DataFrame, not an error."""
     tune_session(spark)
     glob = "/".join(["*"] * ndim)
-    try:
-        reader = spark.read.format("binaryFile")
-        if paths is not None:
-            df = reader.option("ignoreMissingFiles", "true").load(paths)
-        else:
-            df = reader.load(os.path.join(container, dataset, glob))
-    except Exception as exc:  # binaryFile raises when the glob matches nothing
-        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
-            raise
+
+    def _empty() -> DataFrame:
         from pyspark.sql.types import (
             BinaryType as _B,
             IntegerType as _I,
@@ -105,11 +98,38 @@ def scan_block_files(
             StructType as _T,
         )
 
-        empty = _T(
+        schema = _T(
             [_F(c, _I()) for c in ("gx", "gy", "gz")[:ndim]]
             + [_F("length", _L()), _F("raw", _B()), _F("path", _S())]
         )
-        return spark.createDataFrame([], empty)
+        return spark.createDataFrame([], schema)
+
+    def _is_missing_path(exc: Exception) -> bool:
+        return "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc)
+
+    if paths is not None:
+        reader = spark.read.format("binaryFile").option("ignoreMissingFiles", "true")
+        try:
+            df = reader.load(paths)
+        except Exception as exc:
+            if not _is_missing_path(exc):
+                raise
+            # A block file vanished between enumeration and load()
+            # RESOLUTION (ignoreMissingFiles only covers disappearance
+            # after listing). Retry with the survivors — degrading the
+            # whole list to an empty scan here would read a populated
+            # region as silent zeros.
+            alive = [p for p in paths if os.path.exists(p)]
+            if not alive:
+                return _empty()  # fully sparsified: legal fill-value read
+            df = reader.load(alive)  # a second racing delete fails loudly
+    else:
+        try:
+            df = spark.read.format("binaryFile").load(os.path.join(container, dataset, glob))
+        except Exception as exc:  # binaryFile raises when the glob matches nothing
+            if not _is_missing_path(exc):
+                raise
+            return _empty()
     # grid coords are the last `ndim` path segments: .../gx/gy/gz
     pat = r"/(\d+)" * ndim + r"$"
     cols = [
@@ -209,20 +229,30 @@ def read_region(
     distributed ``transforms.export_region`` slab path, which never
     materializes the region anywhere."""
     attrs = read_attributes(container, dataset)
+    itemsize = np_dtype(attrs.data_type).itemsize
     req_voxels = 1
     for s, e in zip(start_xyz, end_xyz):
         req_voxels *= max(0, e - s)
-    req_bytes = req_voxels * np_dtype(attrs.data_type).itemsize
+    hits = overlapping_blocks(attrs, start_xyz, end_xyz)
+    # The driver materializes BOTH the output region and every overlapping
+    # block's decoded payload (collect + decode below), so the guard bounds
+    # the larger of the two: a thin 100 KB slice crossing two hundred 512^3
+    # blocks is a driver OOM even though the region itself is tiny.
+    block_voxels = 1
+    for b in attrs.block_size:
+        block_voxels *= b
+    req_bytes = max(req_voxels, len(hits) * block_voxels) * itemsize
     limit = int(os.environ.get("SPARK_GRAFT_MAX_REGION_BYTES", MAX_REGION_BYTES))
     if req_bytes > limit:
         raise ValueError(
-            f"region {start_xyz}..{end_xyz} is {req_bytes / 1e6:.0f} MB decoded — "
-            f"past the driver-stitch guard ({limit / 1e6:.0f} MB, env "
-            "SPARK_GRAFT_MAX_REGION_BYTES). Large regions must not collect to "
-            "the driver: use n5_dask_spark.sources.n5.transforms.export_region "
-            "to write the region as a new N5 dataset distributed."
+            f"region {start_xyz}..{end_xyz} needs {req_bytes / 1e6:.0f} MB on the "
+            f"driver ({req_voxels * itemsize / 1e6:.0f} MB region, {len(hits)} "
+            f"overlapping blocks to decode) — past the driver-stitch guard "
+            f"({limit / 1e6:.0f} MB, env SPARK_GRAFT_MAX_REGION_BYTES). Large "
+            "regions must not collect to the driver: use "
+            "n5_dask_spark.sources.n5.transforms.export_region to write the "
+            "region as a new N5 dataset distributed."
         )
-    hits = overlapping_blocks(attrs, start_xyz, end_xyz)
     if not hits:
         # consistent fill-value contract: out-of-bounds regions return the
         # REQUESTED shape of zeros, same as regions over absent blocks

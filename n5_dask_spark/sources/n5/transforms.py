@@ -46,6 +46,67 @@ FRAGMENT_SCHEMA = (
 BLOCK_SCHEMA_DDL = "gx int, gy int, gz int, shape_zyx array<int>, data binary"
 
 
+def _fragment_fn(
+    dt: np.dtype,
+    ndim: int,
+    old_bs: list[int],
+    start: list[int],
+    end: list[int],
+    out_bs: list[int],
+):
+    """mapInPandas kernel shared by rechunk and export_region: slice each
+    decoded source block into fragments keyed by the target grid cell of
+    the output dataset, whose origin is ``start`` and whose extent is
+    ``[start, end)`` in source coordinates. Rechunk is the origin-0
+    full-extent special case; blocks only grazing the region emit nothing."""
+
+    def fragment(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import itertools
+
+        for pdf in batches:
+            rows = []
+            for gx, gy, gz, shape, data in zip(
+                pdf["gx"], pdf["gy"], pdf["gz"], pdf["shape_zyx"], pdf["data"]
+            ):
+                grid = (int(gx), int(gy), int(gz))[:ndim]
+                arr = np.frombuffer(bytes(data), dtype=dt).reshape(list(shape))
+                # global span of this block, xyz
+                b0 = [g * b for g, b in zip(grid, old_bs)]
+                b1 = [s + d for s, d in zip(b0, reversed(arr.shape))]
+                # intersect with the exported region
+                lo = [max(a, s) for a, s in zip(b0, start)]
+                hi = [min(a, e) for a, e in zip(b1, end)]
+                if any(lo_ >= hi_ for lo_, hi_ in zip(lo, hi)):
+                    continue
+                # overlapped target cells per axis (region coordinates)
+                cells = [
+                    range((lo_ - s) // nb, (hi_ - s - 1) // nb + 1)
+                    for lo_, hi_, s, nb in zip(lo, hi, start, out_bs)
+                ]
+                for tcell in itertools.product(*cells):
+                    t0 = [s + c * nb for c, nb, s in zip(tcell, out_bs, start)]
+                    t1 = [
+                        min(s + (c + 1) * nb, e)
+                        for c, nb, s, e in zip(tcell, out_bs, start, end)
+                    ]
+                    flo = [max(a, b) for a, b in zip(lo, t0)]
+                    fhi = [min(a, b) for a, b in zip(hi, t1)]
+                    sel = tuple(
+                        slice(flo[ax] - b0[ax], fhi[ax] - b0[ax])
+                        for ax in range(ndim - 1, -1, -1)
+                    )
+                    frag = np.ascontiguousarray(arr[sel])
+                    off_zyx = [flo[ax] - t0[ax] for ax in range(ndim - 1, -1, -1)]
+                    rows.append(
+                        (*(list(tcell) + [0] * (3 - ndim)), off_zyx, list(frag.shape), frag.tobytes())
+                    )
+            yield pd.DataFrame(
+                rows, columns=["tgx", "tgy", "tgz", "off_zyx", "shape_zyx", "data"]
+            )
+
+    return fragment
+
+
 def rechunk(
     blocks: DataFrame, attrs: DatasetAttributes, new_block_size: list[int]
 ) -> tuple[DataFrame, DatasetAttributes]:
@@ -57,41 +118,7 @@ def rechunk(
     old_bs, new_bs = list(attrs.block_size), list(new_block_size)
     dt = np_dtype(attrs.data_type)
     ndim = attrs.ndim
-
-    def fragment(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for gx, gy, gz, shape, data in zip(
-                pdf["gx"], pdf["gy"], pdf["gz"], pdf["shape_zyx"], pdf["data"]
-            ):
-                grid = (int(gx), int(gy), int(gz))[:ndim]
-                arr = np.frombuffer(bytes(data), dtype=dt).reshape(list(shape))
-                # global start of this block, xyz
-                b0 = [g * b for g, b in zip(grid, old_bs)]
-                b1 = [s + d for s, d in zip(b0, reversed(arr.shape))]
-                # overlapped target cells per axis (xyz)
-                cells = [
-                    range(s // nb, (e - 1) // nb + 1) for s, e, nb in zip(b0, b1, new_bs)
-                ]
-                import itertools
-
-                for tcell in itertools.product(*cells):
-                    t0 = [c * nb for c, nb in zip(tcell, new_bs)]
-                    t1 = [min((c + 1) * nb, d) for c, nb, d in zip(tcell, new_bs, dims_xyz)]
-                    lo = [max(a, b) for a, b in zip(b0, t0)]
-                    hi = [min(a, b) for a, b in zip(b1, t1)]
-                    sel = tuple(
-                        slice(lo[ax] - b0[ax], hi[ax] - b0[ax])
-                        for ax in range(ndim - 1, -1, -1)
-                    )
-                    frag = np.ascontiguousarray(arr[sel])
-                    off_zyx = [lo[ax] - t0[ax] for ax in range(ndim - 1, -1, -1)]
-                    rows.append(
-                        (*(list(tcell) + [0] * (3 - ndim)), off_zyx, list(frag.shape), frag.tobytes())
-                    )
-            yield pd.DataFrame(
-                rows, columns=["tgx", "tgy", "tgz", "off_zyx", "shape_zyx", "data"]
-            )
+    fragment = _fragment_fn(dt, ndim, old_bs, [0] * ndim, dims_xyz, new_bs)
 
     new_attrs = DatasetAttributes(
         data_type=attrs.data_type,
@@ -171,47 +198,7 @@ def export_region(
     )
     dt = np_dtype(attrs.data_type)
     old_bs, out_bs = list(attrs.block_size), list(out_attrs.block_size)
-
-    def fragment(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import itertools
-
-        for pdf in batches:
-            rows = []
-            for gx, gy, gz, shape, data in zip(
-                pdf["gx"], pdf["gy"], pdf["gz"], pdf["shape_zyx"], pdf["data"]
-            ):
-                grid = (int(gx), int(gy), int(gz))[:ndim]
-                arr = np.frombuffer(bytes(data), dtype=dt).reshape(list(shape))
-                b0 = [g * b for g, b in zip(grid, old_bs)]
-                b1 = [s + d for s, d in zip(b0, reversed(arr.shape))]
-                lo = [max(a, s) for a, s in zip(b0, start)]
-                hi = [min(a, e) for a, e in zip(b1, end)]
-                if any(lo_ >= hi_ for lo_, hi_ in zip(lo, hi)):
-                    continue  # block only grazes the region bounding grid
-                cells = [
-                    range((lo_ - s) // nb, (hi_ - s - 1) // nb + 1)
-                    for lo_, hi_, s, nb in zip(lo, hi, start, out_bs)
-                ]
-                for tcell in itertools.product(*cells):
-                    t0 = [s + c * nb for c, nb, s in zip(tcell, out_bs, start)]
-                    t1 = [
-                        min(s + (c + 1) * nb, e)
-                        for c, nb, s, e in zip(tcell, out_bs, start, end)
-                    ]
-                    flo = [max(a, b) for a, b in zip(lo, t0)]
-                    fhi = [min(a, b) for a, b in zip(hi, t1)]
-                    sel = tuple(
-                        slice(flo[ax] - b0[ax], fhi[ax] - b0[ax])
-                        for ax in range(ndim - 1, -1, -1)
-                    )
-                    frag = np.ascontiguousarray(arr[sel])
-                    off_zyx = [flo[ax] - t0[ax] for ax in range(ndim - 1, -1, -1)]
-                    rows.append(
-                        (*(list(tcell) + [0] * (3 - ndim)), off_zyx, list(frag.shape), frag.tobytes())
-                    )
-            yield pd.DataFrame(
-                rows, columns=["tgx", "tgy", "tgz", "off_zyx", "shape_zyx", "data"]
-            )
+    fragment = _fragment_fn(dt, ndim, old_bs, start, end, out_bs)
 
     hits = overlapping_blocks(attrs, start, end)
     import os as _os

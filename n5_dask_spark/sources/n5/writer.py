@@ -170,32 +170,36 @@ def write_region(
     """Write an xyz-ordered array into an existing dataset at start_xyz.
 
     Correct replacement for the reference's no-op write_n5_block
-    (src/n5_utils.py:21-33). Requires block-aligned start for untouched
-    neighbors to stay valid; partially covered blocks are read-modify-write."""
+    (src/n5_utils.py:21-33). Blocks fully covered by the region are sliced
+    straight from it; partially covered edge blocks are read-modify-written
+    ONE BLOCK AT A TIME, so each read stays under ``read_region``'s driver
+    guard and peak driver memory is the caller's region plus one block."""
     from n5_dask_spark.sources.n5.reader import read_region
 
     attrs = read_attributes(container, dataset)
     end_xyz = [s + d for s, d in zip(start_xyz, region_xyz.shape)]
-    # read-modify-write the covered span, block-aligned
     bs = attrs.block_size
-    a_start = [s - s % b for s, b in zip(start_xyz, bs)]
-    a_end = [min(d, ((e + b - 1) // b) * b) for e, b, d in zip(end_xyz, bs, attrs.dimensions)]
-    span = read_region(spark, container, dataset, a_start, a_end)
-    sel = tuple(slice(s - a, e - a) for s, e, a in zip(start_xyz, end_xyz, a_start))
-    span[sel] = region_xyz
-    # re-write only the touched blocks
-    span_zyx = np.ascontiguousarray(span.transpose(tuple(range(span.ndim - 1, -1, -1))))
     dt = np_dtype(attrs.data_type)
+    ndim = attrs.ndim
     rows = []
     for grid in itertools.product(
-        *[range(s // b, (e - 1) // b + 1) for s, e, b in zip(a_start, a_end, bs)]
+        *[range(s // b, (e - 1) // b + 1) for s, e, b in zip(start_xyz, end_xyz, bs)]
     ):
-        gsel = tuple(
-            slice(g * b - a, min((g + 1) * b, d) - a)
-            for g, b, a, d in zip(grid[::-1], bs[::-1], a_start[::-1], attrs.dimensions[::-1])
-        )
-        block = np.ascontiguousarray(span_zyx[gsel]).astype(dt)
-        rows.append((*grid, list(block.shape), block.tobytes()))
+        b0 = [g * b for g, b in zip(grid, bs)]
+        b1 = [min((g + 1) * b, d) for g, b, d in zip(grid, bs, attrs.dimensions)]
+        lo = [max(a, s) for a, s in zip(b0, start_xyz)]
+        hi = [min(a, e) for a, e in zip(b1, end_xyz)]
+        region_sel = tuple(slice(l - s, h - s) for l, h, s in zip(lo, hi, start_xyz))
+        if lo == b0 and hi == b1:  # fully covered: no read needed
+            block_xyz = np.ascontiguousarray(region_xyz[region_sel])
+        else:  # edge block: read-modify-write just this block
+            block_xyz = read_region(spark, container, dataset, b0, b1)
+            block_sel = tuple(slice(l - a, h - a) for l, h, a in zip(lo, hi, b0))
+            block_xyz[block_sel] = region_xyz[region_sel]
+        block = np.ascontiguousarray(
+            block_xyz.transpose(tuple(range(block_xyz.ndim - 1, -1, -1)))
+        ).astype(dt)
+        rows.append((*(list(grid) + [0] * (3 - ndim)), list(block.shape), block.tobytes()))
     pdf = pd.DataFrame(rows, columns=["gx", "gy", "gz", "shape_zyx", "data"])
     blocks = spark.createDataFrame(pdf, schema="gx int, gy int, gz int, shape_zyx array<int>, data binary")
     write_blocks(blocks, container, dataset, attrs)

@@ -261,10 +261,14 @@ def test_read_region_guard_rejects_large_regions(spark, monkeypatch):
     and point at the distributed export path."""
     from n5_dask_spark.sources.n5.reader import read_region
 
-    monkeypatch.setenv("SPARK_GRAFT_MAX_REGION_BYTES", "1024")
+    # 3 MB guard: one decoded 128^3 uint8 block (2 MB) fits, but a region
+    # crossing all four fixture blocks (8 MB decoded on the driver) must
+    # refuse — the guard bounds what the driver MATERIALIZES (blocks +
+    # region), not just the requested region size
+    monkeypatch.setenv("SPARK_GRAFT_MAX_REGION_BYTES", str(3 * 1024 * 1024))
     with pytest.raises(ValueError, match="export_region"):
-        read_region(spark, FIXTURE, FIXTURE_DS, [0, 0, 0], [64, 64, 1])  # 4096 B
-    # under the guard still works
+        read_region(spark, FIXTURE, FIXTURE_DS, [0, 0, 0], [186, 226, 2])  # thin, 4 blocks
+    # under the guard (single-block) still works
     got = read_region(spark, FIXTURE, FIXTURE_DS, [0, 0, 0], [16, 16, 4])
     assert got.shape == (16, 16, 4)
 
@@ -303,3 +307,24 @@ def test_export_region_out_of_bounds_zero_fill(spark):
     expect = np.zeros((20, 20, 15), dtype=np.uint8)
     expect[: 30 - 20, : 22 - 10, : 14 - 5] = arr[20:30, 10:22, 5:14]
     np.testing.assert_array_equal(got, expect)
+
+
+def test_write_region_large_region_under_tight_guard(spark, monkeypatch):
+    """write_region must work for regions larger than read_region's guard:
+    edge blocks read-modify-write ONE block at a time, so only single-block
+    reads ever hit the guard."""
+    from n5_dask_spark.sources.n5.reader import read_full
+    from n5_dask_spark.sources.n5.writer import temp_container, write_array, write_region
+
+    arr = np.ones((24, 24, 12), dtype="u1")
+    c = temp_container()
+    write_array(spark, arr, c, "a/s0", [8, 8, 8])
+    # guard of one block (512 B < patch's 2.6 KB span): the old whole-span
+    # read-modify-write would raise; per-block RMW must succeed
+    monkeypatch.setenv("SPARK_GRAFT_MAX_REGION_BYTES", str(8 * 8 * 8))
+    patch = np.full((18, 14, 9), 7, dtype="u1")
+    write_region(spark, c, "a/s0", patch, [3, 5, 2])
+    monkeypatch.delenv("SPARK_GRAFT_MAX_REGION_BYTES")
+    expect = arr.copy()
+    expect[3:21, 5:19, 2:11] = 7
+    np.testing.assert_array_equal(read_full(spark, c, "a/s0"), expect)
