@@ -62,6 +62,32 @@ PIPELINES = [
     "dedup_cc_star",  # iterative large-star/small-star contraction
 ]
 
+# Fixed-cost JVM-side calibration probe: a pure whole-stage-codegen scan
+# with no IO, no shuffle and no Python, so its wall time measures only how
+# fast this VM runs JVM compute *right now*. Timed once at the start of
+# every pass; a uniformly slow harness VM (the round-5 open question: 14
+# of 18 queries drifted 1.3-1.76x on untouched plans) shows up directly as
+# a slow calibration, turning "the VM was slow" from inference into
+# measurement.
+_CAL_SQL = "sum((id * 2654435761L) % 1000) AS s"
+# 2e9 rows: ~0.55 s steady-state on the build VM. Smaller probes (2e8)
+# finish in ~0.23 s of which most is task-launch overhead, so they barely
+# respond to CPU slowness; at 2e9 the probe cost is dominated by codegen'd
+# compute in the same cost regime as the median headline query.
+_CAL_ROWS = 2_000_000_000
+# Steady-state probe median on the round-6 build VM (local[32], post-
+# warmup, 6 samples 0.508-0.609 s). Normalized per-query time =
+# raw * (ref / its pass's calibration), so cross-round comparisons can
+# strip uniform VM drift: on a uniformly 1.4x-slow harness window the
+# probes read ~1.4x ref and normalization divides the drift back out.
+CAL_REFERENCE_SEC = 0.55
+
+
+def _calibration(spark) -> float:
+    t0 = time.perf_counter()
+    spark.range(_CAL_ROWS).selectExpr(_CAL_SQL).collect()
+    return time.perf_counter() - t0
+
 
 def main() -> None:
     from n5_dask_spark.catalog import DEFAULT_SF_DIR
@@ -91,6 +117,7 @@ def main() -> None:
     # everything, let the JIT drain, then time. Reported as warmup_sec.
     t_warm = time.perf_counter()
     spark.range(256).repartition(int(cpus)).mapInPandas(lambda it: it, "id long").collect()
+    _calibration(spark)  # compile the probe plan too
     for name in HEADLINE + PIPELINES:
         registry[name].fn(spark, sf_dir).collect()
     time.sleep(5)  # let background C2 compilation + /tmp writeback drain
@@ -109,21 +136,36 @@ def main() -> None:
     # whole-VM churn episodes observed on the harness VM — a uniformly
     # slow pass then costs nothing because some other pass lands clean.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4"))
+    calibration_secs: list[float] = []
 
-    def time_set(names: list[str]) -> dict[str, float]:
+    def time_set(names: list[str]) -> tuple[dict[str, float], dict[str, float]]:
+        """Per-query (best raw sec, best calibration-normalized sec).
+
+        Each pass opens with the calibration probe; every sample taken in
+        that pass is scaled by ref/probe before taking the normalized
+        best, so a pass run during a whole-VM slow window contributes its
+        samples at their drift-corrected value instead of being discarded.
+        """
         best: dict[str, float] = {}
+        best_norm: dict[str, float] = {}
         for _ in range(runs):
+            cal = _calibration(spark)
+            calibration_secs.append(round(cal, 3))
+            scale = CAL_REFERENCE_SEC / cal
             for name in names:
                 t0 = time.perf_counter()
                 rows = registry[name].fn(spark, sf_dir).collect()
                 dt = time.perf_counter() - t0
                 assert rows is not None
-                if name not in best or dt < best[name]:
-                    best[name] = dt
-        return {name: round(best[name], 3) for name in names}
+                best[name] = min(dt, best.get(name, dt))
+                best_norm[name] = min(dt * scale, best_norm.get(name, dt * scale))
+        return (
+            {name: round(best[name], 3) for name in names},
+            {name: round(best_norm[name], 3) for name in names},
+        )
 
-    per = time_set(HEADLINE)
-    pipelines = time_set(PIPELINES)
+    per, per_norm = time_set(HEADLINE)
+    pipelines, pipelines_norm = time_set(PIPELINES)
     print(
         json.dumps(
             {
@@ -131,12 +173,17 @@ def main() -> None:
                 "value": round(sum(per.values()), 3),
                 "unit": "sec",
                 "queries": per,
+                "queries_normalized": per_norm,
+                "value_normalized": round(sum(per_norm.values()), 3),
                 "pipelines": pipelines,
+                "pipelines_normalized": pipelines_norm,
                 "pipelines_total": round(sum(pipelines.values()), 3),
                 "sf": sf,
                 "cpus": int(cpus),
                 "warmup_sec": warmup_sec,
                 "runs_per_query": runs,
+                "calibration_sec": calibration_secs,
+                "calibration_ref_sec": CAL_REFERENCE_SEC,
             }
         )
     )

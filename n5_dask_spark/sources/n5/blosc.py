@@ -38,11 +38,13 @@ container in pure Python from the PUBLIC format description (c-blosc's
 Supported here: DECODE of internal codecs lz4 (reusing the
 spec-vector-tested raw-block codec in ``lz4.py``), zlib (stdlib) and
 blosclz (pure-Python FastLZ-descendant decoder below), both split and
-unsplit block layouts, byte-shuffle or no shuffle, multi-block chunks,
-stored-stream and whole-chunk-memcpy fallbacks. ENCODE emits lz4 or
-zlib, always unsplit, with flag bit 4 set so real c-blosc decoders read
-the single-stream layout. Unsupported variants (snappy, zstd,
-bit-shuffle, blosclz *encode*) raise loudly rather than guess.
+unsplit block layouts, byte-shuffle, bit-shuffle or no shuffle,
+multi-block chunks, stored-stream and whole-chunk-memcpy fallbacks.
+ENCODE emits lz4 or zlib, always unsplit, with flag bit 4 set so real
+c-blosc decoders read the single-stream layout. Unsupported variants
+(snappy, zstd, blosclz *encode*) raise loudly rather than guess — the
+refusal boundary is pinned by recorded chunk vectors in
+``tests/test_blosc.py``.
 
 Validation caveat (documented, deliberate): no blosc implementation
 exists in this container to cross-check against, so conformance rests on
@@ -103,6 +105,39 @@ def _unshuffle(data: bytes, typesize: int) -> bytes:
     n = len(data) // typesize
     head = np.frombuffer(data[: n * typesize], np.uint8)
     return head.reshape(typesize, n).T.tobytes() + data[n * typesize :]
+
+
+def _bitshuffle(data: bytes, typesize: int) -> bytes:
+    """Bit-shuffle (bitshuffle library semantics, as c-blosc's wrapper
+    applies it per block): view the leading multiple-of-8-elements slice as
+    a (n_elems, typesize*8) bit matrix and transpose it to bit planes.
+
+    Plane order and packing derived from the public scalar/AVX2 kernels
+    (``bshuf_trans_bit_elem``): output row ``j*8 + k`` is bit ``7-k`` of
+    byte ``j`` of every element (unpackbits' MSB-first column order), and
+    within a plane element ``i`` lands at bit ``i % 8`` of packed byte
+    ``i // 8`` (movemask packs element 0 into the LSB). The c-blosc
+    wrapper (``shuffle.c:bitshuffle``) truncates to a multiple of 8
+    elements and memcpys the leftover bytes — mirrored here so both
+    generations of chunks parse.
+    """
+    nelem = (len(data) // typesize) & ~7
+    head = nelem * typesize
+    if nelem == 0:
+        return data
+    a = np.frombuffer(data[:head], np.uint8).reshape(nelem, typesize)
+    planes = np.unpackbits(a, axis=1).T
+    return np.packbits(planes, axis=1, bitorder="little").tobytes() + data[head:]
+
+
+def _bitunshuffle(data: bytes, typesize: int) -> bytes:
+    nelem = (len(data) // typesize) & ~7
+    head = nelem * typesize
+    if nelem == 0:
+        return data
+    planes = np.frombuffer(data[:head], np.uint8).reshape(typesize * 8, nelem // 8)
+    bits = np.unpackbits(planes, axis=1, bitorder="little")
+    return np.packbits(bits.T, axis=1).tobytes() + data[head:]
 
 
 def blosclz_decompress(data: bytes, expected: int) -> bytes:
@@ -226,11 +261,6 @@ def decompress(chunk: bytes) -> bytes:
         if cbytes != nbytes + HEADER_SIZE:
             raise ValueError("memcpyed blosc chunk with inconsistent cbytes")
         return bytes(chunk[HEADER_SIZE : HEADER_SIZE + nbytes])
-    if flags & _BITSHUFFLE:
-        raise NotImplementedError(
-            "blosc bit-shuffle is not supported by the pure-Python codec; "
-            "re-encode with shuffle=1 (byte) or shuffle=0"
-        )
     codec = (flags >> 5) & 0x7
     if codec not in (_CODEC_LZ4, _CODEC_ZLIB, _CODEC_BLOSCLZ):
         raise NotImplementedError(
@@ -278,8 +308,13 @@ def decompress(chunk: bytes) -> bytes:
                 if len(part) != stream_size:
                     raise ValueError("blosc zlib stream decompressed to the wrong size")
                 block += part
-        if flags & _SHUFFLE:
+        # filter dispatch mirrors blosc_d: byte-shuffle wins when flagged
+        # with typesize > 1, else bit-shuffle; both flags set is a chunk
+        # only pre-1.8 c-blosc could emit and is resolved the same way
+        if flags & _SHUFFLE and typesize > 1:
             block = bytearray(_unshuffle(bytes(block), typesize))
+        elif flags & _BITSHUFFLE:
+            block = bytearray(_bitunshuffle(bytes(block), typesize))
         out += block
     if len(out) != nbytes:
         raise ValueError(f"blosc chunk decoded to {len(out)} bytes, header says {nbytes}")
@@ -296,9 +331,10 @@ def compress(
 ) -> bytes:
     """Encode a conformant Blosc1 chunk.
 
-    ``shuffle``: 0 none, 1 byte-shuffle (2 = bit-shuffle is rejected).
+    ``shuffle``: 0 none, 1 byte-shuffle, 2 bit-shuffle.
     ``blocksize`` 0 picks a default; it is rounded down to a multiple of
-    ``typesize`` as the format requires for shuffled chunks.
+    ``typesize`` (``typesize * 8`` for bit-shuffle, matching c-blosc's
+    ``compute_blocksize``) as the format requires for shuffled chunks.
     """
     if cname == "lz4hc":
         cname = "lz4"  # same stream format, same flag id
@@ -308,8 +344,8 @@ def compress(
             "pure-Python codec (lz4 and zlib are; blosclz is decode-only); "
             "or use the lz4/gzip/xz N5 codecs directly"
         )
-    if shuffle not in (0, 1):
-        raise NotImplementedError("only shuffle=0 (none) and shuffle=1 (byte) are supported")
+    if shuffle not in (0, 1, 2):
+        raise ValueError(f"shuffle must be 0 (none), 1 (byte) or 2 (bit), got {shuffle}")
     if typesize < 1 or typesize > 255:
         raise ValueError(f"typesize must be in [1, 255], got {typesize}")
     nbytes = len(payload)
@@ -325,9 +361,11 @@ def compress(
 
     if blocksize <= 0:
         blocksize = min(nbytes, DEFAULT_BLOCKSIZE)
-    blocksize = max(blocksize - blocksize % typesize, typesize)
+    grain = typesize * 8 if shuffle == 2 else typesize
+    blocksize = max(blocksize - blocksize % grain, grain)
     blocksize = min(blocksize, nbytes) if nbytes >= typesize else nbytes
     do_shuffle = shuffle == 1 and typesize > 1 and blocksize >= typesize
+    do_bitshuffle = shuffle == 2 and blocksize >= typesize
 
     codec_id = _CODEC_LZ4 if cname == "lz4" else _CODEC_ZLIB
     nblocks = -(-nbytes // blocksize)
@@ -337,6 +375,8 @@ def compress(
         block = payload[i * blocksize : (i + 1) * blocksize]
         if do_shuffle:
             block = _shuffle(block, typesize)
+        elif do_bitshuffle:
+            block = _bitshuffle(block, typesize)
         if cname == "lz4":
             comp = lz4_block_compress(block)
         else:
@@ -360,6 +400,8 @@ def compress(
     # block, and real c-blosc decoders otherwise assume typesize streams
     # whenever typesize>1 and blocksize/typesize >= 128 (split_block())
     flags = (codec_id << 5) | _DONT_SPLIT | (_SHUFFLE if do_shuffle else 0)
+    if do_bitshuffle:
+        flags |= _BITSHUFFLE
     header = _HEADER.pack(2, 1, flags, typesize, nbytes, blocksize, pos)
     body += struct.pack(f"<{nblocks}i", *offsets)
     for comp in blocks:

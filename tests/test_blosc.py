@@ -112,14 +112,91 @@ def test_unsupported_internal_codec_raises():
         blosc.compress(payload, cname="blosclz")
 
 
-def test_bitshuffle_rejected():
-    payload = b"x" * 64
-    chunk = bytearray(blosc.compress(payload, typesize=1, cname="zlib", shuffle=0))
-    chunk[2] |= 0x4
-    with pytest.raises(NotImplementedError, match="bit-shuffle"):
-        blosc.decompress(bytes(chunk))
-    with pytest.raises(NotImplementedError, match="shuffle"):
-        blosc.compress(payload, shuffle=2)
+# Recorded refusal vectors: byte-literal chunks with the zstd / snappy
+# internal codec ids (flag bits 5-7 = 4 / 2). The pure-Python codec has no
+# implementation of either stream format, so these exact inputs must keep
+# raising the documented NotImplementedError — this is the support
+# boundary for third-party N5 containers written with non-default
+# ``numcodecs.Blosc(cname=...)`` settings (the reference accepts any,
+# /root/reference/src/tif_to_n5.py:89-92).
+_ZSTD_CHUNK = (
+    # version=2 versionlz=1 flags=0x90 (codec 4=zstd | not-split) typesize=1
+    b"\x02\x01\x90\x01"
+    + struct.pack("<iii", 4, 4, 27)  # nbytes=4 blocksize=4 cbytes=27
+    + struct.pack("<i", 20)  # offset table: one block at 20
+    + struct.pack("<i", 3)
+    + b"\x28\xb5\x2f"  # 3-byte fake zstd stream (magic prefix)
+)
+_SNAPPY_CHUNK = (
+    # version=2 versionlz=1 flags=0x50 (codec 2=snappy | not-split) typesize=1
+    b"\x02\x01\x50\x01"
+    + struct.pack("<iii", 4, 4, 27)
+    + struct.pack("<i", 20)
+    + struct.pack("<i", 3)
+    + b"\x04\x00\x61"  # 3-byte fake snappy stream
+)
+
+
+def test_zstd_refusal_vector():
+    with pytest.raises(NotImplementedError, match="zstd"):
+        blosc.decompress(_ZSTD_CHUNK)
+
+
+def test_snappy_refusal_vector():
+    with pytest.raises(NotImplementedError, match="snappy"):
+        blosc.decompress(_SNAPPY_CHUNK)
+
+
+# --- bit-shuffle ----------------------------------------------------------
+
+
+def test_bitshuffle_hand_vectors():
+    # typesize 1, 8 elements: planes are emitted MSB-first (row k = bit
+    # 7-k), and within a plane element i packs into bit i%8 of byte i//8
+    # (movemask packs element 0 at the LSB — see _bitshuffle docstring)
+    assert blosc._bitshuffle(b"\x80" + b"\x00" * 7, 1) == b"\x01" + b"\x00" * 7
+    assert blosc._bitshuffle(b"\x01" * 8, 1) == b"\x00" * 7 + b"\xff"
+    # typesize 2: rows 0-7 = byte 0's planes, rows 8-15 = byte 1's
+    v = blosc._bitshuffle(b"\x01\x80" + b"\x00" * 14, 2)
+    expect = bytearray(16)
+    expect[7] = 0x01  # byte0 bit0 plane
+    expect[8] = 0x01  # byte1 bit7 plane
+    assert v == bytes(expect)
+    # leftover elements (not a multiple of 8) are copied unshuffled,
+    # mirroring c-blosc's wrapper (shuffle.c:bitshuffle truncate+memcpy)
+    data = bytes(range(8)) + b"\xaa\xbb"
+    shuffled = blosc._bitshuffle(data, 1)
+    assert shuffled[8:] == b"\xaa\xbb"
+    assert blosc._bitunshuffle(shuffled, 1) == data
+
+
+@pytest.mark.parametrize("cname", ["lz4", "zlib"])
+@pytest.mark.parametrize("typesize", [1, 2, 4, 8])
+def test_bitshuffle_roundtrip(cname, typesize):
+    rng = np.random.default_rng(typesize)
+    for n in (1, 7, 8, 1000, 4097):
+        payload = np.sort(rng.integers(0, 5, n).astype(np.uint8)).tobytes()
+        chunk = blosc.compress(payload, typesize=typesize, cname=cname, shuffle=2)
+        assert blosc.decompress(chunk) == payload
+    # multi-block with a non-aligned leftover block
+    data = (np.arange(100_003, dtype=np.uint8) % 11).tobytes()
+    chunk = blosc.compress(data, typesize=typesize, cname=cname, shuffle=2, blocksize=16_384)
+    if not chunk[2] & 0x2:  # compression engaged
+        assert chunk[2] & 0x4  # bit-shuffle flag recorded
+    assert blosc.decompress(chunk) == data
+
+
+def test_bitshuffle_split_block_decode():
+    # a real c-blosc chunk can carry bit-shuffle WITH the split layout
+    # (split_block() is independent of the filter); build one by hand
+    payload = (np.arange(281, dtype=np.uint32) % 97).astype(np.uint32).tobytes()[: 2 * 512 + 100]
+    bitshuffled = b"".join(
+        blosc._bitshuffle(payload[i : i + 512], 4) for i in range(0, len(payload), 512)
+    )
+    chunk = bytearray(
+        _build_split_chunk_raw(bitshuffled, payload, typesize=4, blocksize=512)
+    )
+    assert blosc.decompress(bytes(chunk)) == payload
 
 
 def test_corrupt_headers_rejected():
@@ -202,6 +279,43 @@ def _build_split_chunk(payload, typesize, blocksize, cname="zlib", shuffle=True)
     out = bytearray(
         struct.pack("<BBBBiii", 2, 1, flags, typesize, nbytes, blocksize, pos)
     )
+    out += struct.pack(f"<{nblocks}i", *offsets)
+    for streams in per_block:
+        for s in streams:
+            out += struct.pack("<i", len(s)) + s
+    return bytes(out)
+
+
+def _build_split_chunk_raw(filtered, payload, typesize, blocksize):
+    """Like _build_split_chunk but from PRE-FILTERED block bytes (the
+    caller applied bit-shuffle per block), flagged bit-shuffle + zlib,
+    with the not-split bit deliberately clear."""
+    import zlib as _zlib
+
+    nbytes = len(payload)
+    nblocks = -(-nbytes // blocksize)
+    per_block = []
+    for i in range(nblocks):
+        block = filtered[i * blocksize : (i + 1) * blocksize]
+        neblock = len(block)
+        split = 1 < typesize <= 16 and blocksize // typesize >= 128 and neblock == blocksize
+        nstreams = typesize if split else 1
+        ssize = neblock // nstreams
+        streams = []
+        for j in range(nstreams):
+            s = block[j * ssize : (j + 1) * ssize]
+            comp = _zlib.compress(s)
+            if len(comp) >= len(s):
+                comp = s
+            streams.append(comp)
+        per_block.append(streams)
+    table_end = blosc.HEADER_SIZE + 4 * nblocks
+    offsets, pos = [], table_end
+    for streams in per_block:
+        offsets.append(pos)
+        pos += sum(4 + len(s) for s in streams)
+    flags = (3 << 5) | 0x4  # zlib | bit-shuffle; bit 4 (not-split) clear
+    out = bytearray(struct.pack("<BBBBiii", 2, 1, flags, typesize, nbytes, blocksize, pos))
     out += struct.pack(f"<{nblocks}i", *offsets)
     for streams in per_block:
         for s in streams:
@@ -336,7 +450,7 @@ def test_n5_codec_dispatch_roundtrip():
     assert _decompress(_compress(payload, spec), spec) == payload
 
 
-@pytest.mark.parametrize("shuffle", [0, 1])
+@pytest.mark.parametrize("shuffle", [0, 1, 2])
 def test_n5_container_roundtrip_blosc(spark, shuffle):
     """Full distributed write->read through the blosc codec — the same
     pipeline the gzip/lz4 roundtrips run, with blosc/lz4/byte-shuffle."""
@@ -364,9 +478,10 @@ def test_n5_container_roundtrip_blosc(spark, shuffle):
     raw = open(f, "rb").read()
     body = raw[16:]  # N5 block header (mode/ndim/dims) then the chunk
     assert body[0] == 2 and (body[2] >> 5) & 0x7 == 1  # blosc v2, lz4 codec
-    # shuffle=1 with typesize=2 must actually set the filter bit in the
-    # written chunks — the driver query's hash only covers shuffle if so
+    # the requested filter must actually be recorded in the written
+    # chunks — the driver query's hash only covers the filter if so
     assert bool(body[2] & 0x1) == (shuffle == 1)
+    assert bool(body[2] & 0x4) == (shuffle == 2)
 
 
 # --- decoder totality (executor safety) -----------------------------------
