@@ -60,24 +60,38 @@ except ImportError:  # this container: deterministic fallback is the oracle path
 
 
 def decode_image(payload: bytes) -> "object":
-    """Decode image bytes to an HxWxC uint8 ndarray via pillow when present.
+    """Decode image bytes to an HxWx3 uint8 RGB ndarray.
 
-    The Spark-side plumbing (binary column -> mapInPandas batches) is real
-    and tested either way; without pillow this raises NotImplementedError
-    and the deterministic ``_fake_features`` extractor remains the
-    oracle-checked path.
+    Pillow handles every format when present; without it, PNG decodes via
+    the stdlib-only codec (``sources/png.py`` — zlib + unfilter, no
+    dependencies), so the image path is REAL in this container. Non-PNG
+    payloads without pillow still raise NotImplementedError and the
+    deterministic ``_fake_features`` extractor remains the oracle path.
     """
-    if _PILImage is None:
-        raise NotImplementedError(
-            "image decoding requires pillow (not installed in this container); "
-            "the deterministic feature extractor is the supported fallback"
-        )
-    import io
-
     import numpy as np
 
-    with _PILImage.open(io.BytesIO(payload)) as im:
-        return np.asarray(im.convert("RGB"))
+    if _PILImage is not None:
+        import io
+
+        with _PILImage.open(io.BytesIO(payload)) as im:
+            return np.asarray(im.convert("RGB"))
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from n5_dask_spark.sources.png import png_decode
+
+        img = png_decode(payload)
+        c = img.shape[2]
+        if c == 1:  # gray -> RGB
+            return np.repeat(img, 3, axis=2)
+        if c == 2:  # gray+alpha -> RGB (alpha dropped, like convert("RGB"))
+            return np.repeat(img[:, :, :1], 3, axis=2)
+        if c == 4:  # RGBA -> RGB
+            return np.ascontiguousarray(img[:, :, :3])
+        return img
+    raise NotImplementedError(
+        "non-PNG image decoding requires pillow (not installed in this "
+        "container); PNG decodes via the stdlib codec, and the "
+        "deterministic feature extractor is the fallback for the rest"
+    )
 
 
 def _fake_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -135,6 +149,82 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = media_table(spark, sf_dir)
     feats = media.mapInPandas(_fake_features, schema=FEATURE_SCHEMA)
     return feats.orderBy("doc_id")
+
+
+PNG_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("decoded_md5", StringType()),
+    ]
+)
+
+
+def _png_roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Render each doc's leading text bytes as a real PNG (16px-wide
+    grayscale), then DECODE it with the stdlib codec and fingerprint the
+    reconstructed pixels. The encoder cycles all five scanline filters per
+    row, so the md5 only matches the oracle if every unfilter path is
+    byte-exact."""
+    import hashlib as _hashlib
+
+    import numpy as np
+
+    from n5_dask_spark.sources.png import png_decode, png_encode
+
+    for pdf in batches:
+        ids, ws, hs, cs, md5s = [], [], [], [], []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            data = text.encode("utf-8")[:256]
+            h = len(data) // 16
+            if h < 1:
+                continue  # mirrored by the oracle's length(text) >= 16
+            arr = np.frombuffer(data[: h * 16], np.uint8).reshape(h, 16)
+            dec = png_decode(png_encode(arr))
+            ids.append(doc_id)
+            ws.append(dec.shape[1])
+            hs.append(dec.shape[0])
+            cs.append(dec.shape[2])
+            md5s.append(_hashlib.md5(dec.tobytes()).hexdigest())
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+                "channels": pd.Series(cs, dtype="int32"),
+                "decoded_md5": pd.Series(md5s, dtype="object"),
+            }
+        )
+
+
+@register(
+    "multimodal_png_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(16 AS INT) AS width,
+           CAST(least(length(text), 256) // 16 AS INT) AS height,
+           CAST(1 AS INT) AS channels,
+           md5(substr(text, 1, (least(length(text), 256) // 16) * 16)) AS decoded_md5
+    FROM documents
+    WHERE length(text) >= 16
+    ORDER BY doc_id
+    """,
+    doc=(
+        "REAL image decode with zero native deps: text bytes -> PNG encode "
+        "(filters cycling 0-4 per row) -> stdlib PNG decode -> pixel md5, "
+        "all inside mapInPandas. The oracle recomputes the md5 from the "
+        "same text slice (ASCII, so characters == bytes), pinning the "
+        "decoder byte-exactly. VERDICT r5 item 4."
+    ),
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    docs = t["documents"].repartition(spark.sparkContext.defaultParallelism).select(
+        "doc_id", "text"
+    )
+    return docs.mapInPandas(_png_roundtrip, schema=PNG_SCHEMA).orderBy("doc_id")
 
 
 @register(
