@@ -123,7 +123,14 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkFn]
 
         def labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
             # progress surface (SURVEY §2.A X2): every job this query's plan
-            # spawns shows up in the Spark UI / event log under its name
+            # spawns shows up in the Spark UI / event log under its name.
+            # The description is thread-local and deliberately NOT restored
+            # after construction: Spark attaches it at job SUBMISSION (the
+            # caller's collect()), which happens after this returns, so
+            # clearing here would unlabel the very jobs being named. The
+            # contract is therefore construction-adjacent execution (what the
+            # driver, bench and tests all do); a caller that builds several
+            # query DataFrames before collecting any sees the last label win.
             try:
                 spark.sparkContext.setJobDescription(f"n5ds:{name}")
             except Exception:

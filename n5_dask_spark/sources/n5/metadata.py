@@ -69,10 +69,30 @@ class DatasetAttributes:
             for k, v in obj.items()
             if k not in ("dataType", "dimensions", "blockSize", "compression")
         }
+        dims = list(obj["dimensions"])
+        block = list(obj["blockSize"])
+        if len(block) != len(dims):
+            raise ValueError(
+                f"attributes.json dimensions ({len(dims)}-d) and blockSize "
+                f"({len(block)}-d) disagree"
+            )
+        # The engine's blocks schema carries three grid coordinates
+        # (gx, gy, gz — reader.py/transforms.py), which covers every layout
+        # the reference emits: it splits channels/time into per-channel 3-D
+        # datasets c{c}/s{l} (/root/reference/src/ometif_to_n5.py:110-118)
+        # rather than writing 4-D arrays. N5 legally allows ndim > 3, so a
+        # foreign container must be refused loudly here instead of failing
+        # with an obscure coordinate error deep in the scan.
+        if len(dims) > 3:
+            raise NotImplementedError(
+                f"{len(dims)}-dimensional N5 datasets are not supported "
+                "(ndim <= 3); split channel/time axes into per-channel "
+                "3-D datasets (the reference's c{c}/s{level} layout)"
+            )
         return cls(
             data_type=obj["dataType"],
-            dimensions=list(obj["dimensions"]),
-            block_size=list(obj["blockSize"]),
+            dimensions=dims,
+            block_size=block,
             compression=obj.get("compression", {"type": "raw"}),
             extra=extra,
         )

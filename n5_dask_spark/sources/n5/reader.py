@@ -55,6 +55,33 @@ BLOCK_SCHEMA = StructType(
     ]
 )
 
+def _is_missing_path(exc: Exception) -> bool:
+    """True when ``exc`` is Spark's missing-input-path failure.
+
+    Prefers the structured error class on AnalysisException
+    (``getCondition`` in Spark 4, ``getErrorClass`` before it) — stable
+    across releases and locales — and falls back to message sniffing only
+    when the running Spark doesn't expose one."""
+    try:
+        from pyspark.errors import AnalysisException
+
+        if isinstance(exc, AnalysisException):
+            get = getattr(exc, "getCondition", None) or getattr(exc, "getErrorClass", None)
+            cond = get() if get is not None else None
+            if cond is not None:
+                return cond == "PATH_NOT_FOUND"
+    except ImportError:  # very old PySpark without pyspark.errors
+        pass
+    return "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc)
+
+
+def _has_uri_scheme(path: str) -> bool:
+    """True for hdfs://... s3a://... file:... etc — paths the driver cannot
+    meaningfully os.path.exists."""
+    head = path.split("/", 1)[0]
+    return head.endswith(":") and len(head) > 1
+
+
 STATS_SCHEMA = StructType(
     [
         StructField("gx", IntegerType()),
@@ -104,9 +131,6 @@ def scan_block_files(
         )
         return spark.createDataFrame([], schema)
 
-    def _is_missing_path(exc: Exception) -> bool:
-        return "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc)
-
     if paths is not None:
         reader = spark.read.format("binaryFile").option("ignoreMissingFiles", "true")
         try:
@@ -119,6 +143,11 @@ def scan_block_files(
             # after listing). Retry with the survivors — degrading the
             # whole list to an empty scan here would read a populated
             # region as silent zeros.
+            if any(_has_uri_scheme(p) for p in paths):
+                # the driver can only stat LOCAL paths; filtering URI paths
+                # with os.path.exists would test everything False and read
+                # a populated region as silent zeros — fail loudly instead
+                raise
             alive = [p for p in paths if os.path.exists(p)]
             if not alive:
                 return _empty()  # fully sparsified: legal fill-value read

@@ -172,9 +172,13 @@ def write_region(
     Correct replacement for the reference's no-op write_n5_block
     (src/n5_utils.py:21-33). Blocks fully covered by the region are sliced
     straight from it; partially covered edge blocks are read-modify-written
-    ONE BLOCK AT A TIME, so each read stays under ``read_region``'s driver
-    guard and peak driver memory is the caller's region plus one block."""
-    from n5_dask_spark.sources.n5.reader import read_region
+    in BATCHES: one pruned scan job per guard-bounded group of edge blocks
+    (SPARK_GRAFT_MAX_REGION_BYTES of decoded payload per group), so a large
+    unaligned region pays O(perimeter_bytes / guard) Spark jobs — normally
+    one — instead of one job per edge block, while peak driver memory stays
+    bounded by the caller's region plus one group."""
+    from n5_dask_spark.sources.n5.reader import MAX_REGION_BYTES, scan_block_files
+    from n5_dask_spark.sources.n5.codec import decode_block
 
     attrs = read_attributes(container, dataset)
     end_xyz = [s + d for s, d in zip(start_xyz, region_xyz.shape)]
@@ -182,6 +186,7 @@ def write_region(
     dt = np_dtype(attrs.data_type)
     ndim = attrs.ndim
     rows = []
+    edges = []  # (grid, b0, b1, region_sel, block_sel)
     for grid in itertools.product(
         *[range(s // b, (e - 1) // b + 1) for s, e, b in zip(start_xyz, end_xyz, bs)]
     ):
@@ -192,14 +197,58 @@ def write_region(
         region_sel = tuple(slice(l - s, h - s) for l, h, s in zip(lo, hi, start_xyz))
         if lo == b0 and hi == b1:  # fully covered: no read needed
             block_xyz = np.ascontiguousarray(region_xyz[region_sel])
-        else:  # edge block: read-modify-write just this block
-            block_xyz = read_region(spark, container, dataset, b0, b1)
+            block = np.ascontiguousarray(
+                block_xyz.transpose(tuple(range(block_xyz.ndim - 1, -1, -1)))
+            ).astype(dt)
+            rows.append((*(list(grid) + [0] * (3 - ndim)), list(block.shape), block.tobytes()))
+        else:  # edge block: needs the stored bytes merged in
             block_sel = tuple(slice(l - a, h - a) for l, h, a in zip(lo, hi, b0))
+            edges.append((grid, b0, b1, region_sel, block_sel))
+
+    limit = int(os.environ.get("SPARK_GRAFT_MAX_REGION_BYTES", MAX_REGION_BYTES))
+    groups: list[list[tuple]] = []
+    cur: list[tuple] = []
+    cur_bytes = 0
+    for e in edges:
+        _, b0, b1, _, _ = e
+        nbytes = dt.itemsize
+        for l, h in zip(b0, b1):
+            nbytes *= h - l
+        if cur and cur_bytes + nbytes > limit:
+            groups.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(e)
+        cur_bytes += nbytes
+    if cur:
+        groups.append(cur)
+
+    coords = ("gx", "gy", "gz")[:ndim]
+    for group in groups:
+        paths = [
+            p
+            for (grid, *_rest) in group
+            if os.path.exists(p := os.path.join(container, dataset, *map(str, grid)))
+        ]
+        got: dict[tuple, np.ndarray] = {}
+        if paths:
+            raw_df = scan_block_files(spark, container, dataset, ndim, paths=paths)
+            for r in raw_df.select(*coords, "raw").collect():
+                g = tuple(int(r[c]) for c in coords)
+                got[g] = decode_block(bytes(r["raw"]), attrs.data_type, attrs.compression)
+        for grid, b0, b1, region_sel, block_sel in group:
+            arr_zyx = got.get(tuple(grid))
+            if arr_zyx is None:  # sparse: absent block file means zeros
+                block_xyz = np.zeros([h - l for l, h in zip(b0, b1)], dtype=dt)
+            else:
+                block_xyz = np.array(
+                    arr_zyx.transpose(tuple(range(arr_zyx.ndim - 1, -1, -1))), dtype=dt
+                )
             block_xyz[block_sel] = region_xyz[region_sel]
-        block = np.ascontiguousarray(
-            block_xyz.transpose(tuple(range(block_xyz.ndim - 1, -1, -1)))
-        ).astype(dt)
-        rows.append((*(list(grid) + [0] * (3 - ndim)), list(block.shape), block.tobytes()))
+            block = np.ascontiguousarray(
+                block_xyz.transpose(tuple(range(block_xyz.ndim - 1, -1, -1)))
+            ).astype(dt)
+            rows.append((*(list(grid) + [0] * (3 - ndim)), list(block.shape), block.tobytes()))
+
     pdf = pd.DataFrame(rows, columns=["gx", "gy", "gz", "shape_zyx", "data"])
     blocks = spark.createDataFrame(pdf, schema="gx int, gy int, gz int, shape_zyx array<int>, data binary")
     write_blocks(blocks, container, dataset, attrs)

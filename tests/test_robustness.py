@@ -94,6 +94,64 @@ def test_fully_sparse_dataset_scans_empty(spark):
     assert reg.shape == (10, 10, 4) and (reg == 0).all()
 
 
+def test_missing_path_classified_by_error_class(spark):
+    """_is_missing_path prefers AnalysisException's structured error class
+    (getCondition) over message sniffing; unrelated analysis errors and
+    generic failures must NOT classify as a missing path."""
+    from pyspark.errors import AnalysisException
+
+    from n5_dask_spark.sources.n5 import reader as rd
+
+    with pytest.raises(AnalysisException) as ei:
+        spark.read.format("binaryFile").load("/nonexistent_n5ds_xyz/*").collect()
+    exc = ei.value
+    # the running Spark exposes the structured class for this failure
+    get = getattr(exc, "getCondition", None) or getattr(exc, "getErrorClass", None)
+    assert get is not None and get() == "PATH_NOT_FOUND"
+    assert rd._is_missing_path(exc)
+    # an unrelated AnalysisException (unresolved column) must not match,
+    # even though its message could drift across versions
+    with pytest.raises(AnalysisException) as ei2:
+        spark.sql("SELECT definitely_not_a_column FROM range(1)").collect()
+    assert not rd._is_missing_path(ei2.value)
+    assert not rd._is_missing_path(RuntimeError("executor lost"))
+
+
+def test_scan_reraises_non_path_failures(spark, monkeypatch):
+    """A paths-mode load failing for a NON-missing-path reason must
+    re-raise, not silently degrade to the survivor retry / empty scan."""
+    import pyspark.sql.readwriter as rw
+
+    from n5_dask_spark.sources.n5 import reader as rd
+
+    def boom(self, *a, **k):
+        raise RuntimeError("executor lost")
+
+    monkeypatch.setattr(rw.DataFrameReader, "load", boom)
+    with pytest.raises(RuntimeError, match="executor lost"):
+        rd.scan_block_files(spark, "/tmp/x.n5", "ds", paths=["/tmp/x.n5/ds/0/0/0"])
+
+
+def test_scan_uri_paths_refuse_local_stat_retry(spark, monkeypatch):
+    """The survivor retry filters with driver-local os.path.exists; on URI
+    paths (hdfs://, s3a://) every path would test False and a populated
+    region would read as silent zeros — it must re-raise instead."""
+    import pyspark.sql.readwriter as rw
+
+    from pyspark.errors import AnalysisException
+
+    from n5_dask_spark.sources.n5 import reader as rd
+
+    def missing(self, *a, **k):
+        raise AnalysisException("[PATH_NOT_FOUND] Path does not exist: s3a://bucket/ds/0/0/0")
+
+    monkeypatch.setattr(rw.DataFrameReader, "load", missing)
+    with pytest.raises(AnalysisException, match="PATH_NOT_FOUND"):
+        rd.scan_block_files(
+            spark, "s3a://bucket", "ds", paths=["s3a://bucket/ds/0/0/0"]
+        )
+
+
 def test_tiff_with_metadata_tags_decodes():
     """Real-world writers add ASCII/RATIONAL tags; the decoder must skip
     them, not crash."""
