@@ -49,68 +49,67 @@ REGISTRY: dict[str, Query] = {}
 # stale. Build the next rotation from CORRECTNESS_r*.json last-green ages,
 # not from family coverage — cumulative coverage is already total.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- round 5 policy (VERDICT r4 #6): (a) everything NEW or CHANGED
-    # this round, (b) the four bench-flagged queries + the two r4 codec
-    # roundtrips, (c) the three multi-job pipelines under drift watch,
-    # then (d) fill with the OLDEST banked greens — all 38 queries whose
-    # last driver-green row is round 1, plus the oldest r2 query — so the
-    # stalest families re-prove first. After r5, nothing's last green
-    # predates r2.
-    # (a) new/changed in r5
-    "n5_region_export_zprofile",  # NEW: distributed slab export (S4 at scale)
-    "n5_roundtrip_blosc",  # blosc codec gained split-layout + blosclz decode
-    "streaming_incremental_restart",  # restart replay check relaxed (ADVICE)
-    # (b) bench-flagged + r4 codecs
-    "q1_pricing_summary",  # flagship; r4 bench artifact to re-prove
-    "q3_shipping_priority",
-    "text_tf_top_terms",
-    "multimodal_feature_extract",
-    "n5_roundtrip_lz4",
-    # (c) drift-watch pipelines
-    "tiff_roundtrip_zprofile",
-    "dedup_connected_clusters",
-    "dedup_cc_star",
-    # (d) oldest banked greens: every last-green-in-r1 query (38)
-    "q5_local_supplier_volume",
-    "q10_returned_items",
-    "q4_order_priority",
-    "join_inner",
-    "join_left_outer",
-    "join_full_outer",
-    "join_left_semi",
-    "join_left_anti",
-    "join_cross",
-    "join_range_nonequi",
-    "agg_distinct",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_stats",
-    "set_union_all",
-    "set_intersect",
-    "set_except",
-    "distinct_pairs",
-    "scalar_string_funcs",
-    "scalar_date_funcs",
-    "scalar_case_when",
-    "orderby_limit_topk",
-    "window_rank_dense",
-    "window_lag_lead",
-    "window_running_sum",
-    "topk_per_group",
-    "window_first_last",
-    "events_json_extract",
-    "events_tumbling_window",
-    "events_sliding_window",
-    "events_session_window",
-    "events_sessionization_funnel",
-    "dedup_subset_key",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "embedding_near_duplicates",
-    "text_token_stats",
-    # ...and the oldest r2 green to round out 50
-    "scalar_math_funcs",
+    # --- round 6 policy (VERDICT r5 #2): (a) everything NEW or CHANGED
+    # this round, (b) every query whose last driver-green row is round 2
+    # (all 31), then (c) fill with round-3-stale greens, taking first the
+    # queries whose code paths this round's reader/writer hardening
+    # touched (the n5_* scan/region family), then the stalest streaming/
+    # multimodal/TPC-H rows. After r6, no query's last green predates r3.
+    # (a) new/changed in r6
+    "multimodal_png_decode",  # NEW: stdlib PNG decode, hash-pinned
+    "n5_roundtrip_blosc",  # blosc codec gained bit-shuffle this round
+    # (b) all 31 round-2-stale greens
+    "agg_corr_covar",
+    "agg_filter_clause",
+    "agg_median_percentile",
+    "array_funcs",
+    "array_label_centroids",
+    "correlated_scalar_subquery",
+    "formats_orc_roundtrip",
+    "fuzzy_match_levenshtein",
+    "join_salted",
+    "join_sort_merge_largelarge",
+    "knn_ivf_probe",
+    "listagg_nations_per_region",
+    "multimodal_metadata_stats",
+    "pipeline_clean_corpus",
+    "pipeline_train_val_split",
+    "pivot_segment_by_year",
+    "scalar_map_funcs",
+    "set_except_all",
+    "set_intersect_all",
+    "streaming_stateful_running_totals",
+    "streaming_stream_stream_join",
+    "text_langid",
+    "text_pii_scrub",
+    "text_quality_score",
+    "text_tfidf_top_terms",
+    "udaf_applyinpandas_minmax_scale",
+    "udf_sql_registered",
+    "udtf_fee_schedule",
+    "unpivot_price_metrics",
+    "window_ntile",
+    "window_range_between",
+    # (c) round-3-stale fill: the N5 scan/region family first (reader.py
+    # error-class + writer.py edge-batch changes land this round) ...
+    "n5_block_inventory",
+    "n5_block_stats",
+    "n5_downsample_stats",
+    "n5_downsample_zprofile",
+    "n5_intensity_histogram",
+    "n5_rechunk_blocksums",
+    "n5_rechunk_stats",
+    "n5_region_read",
+    # ... then the stalest streaming/multimodal/TPC-H rows
+    "streaming_dedup_events",
+    "streaming_static_dim_join",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_value",
 )
 
 

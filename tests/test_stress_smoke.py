@@ -28,3 +28,11 @@ def test_n5_grid_stress_smoke(spark, tmp_path):
     assert out["n5_grid_blocks"] == 8 * 8 * 4
     assert out["n5_grid_partition_max_over_median"] <= 10
     assert out["n5_grid_levels"] >= 3  # 256 -> 128 -> 64 -> 32 with 32^3 thumb
+
+
+@pytest.mark.skipif(not os.environ.get("N5DS_STRESS"), reason="set N5DS_STRESS=1 to run")
+def test_streaming_stress_smoke(spark, tmp_path):
+    stress = _stress_module()
+    out = stress.streaming_stress(spark, str(tmp_path), rows=200_000)
+    assert out["streaming_20m_batches"] >= 2
+    assert out["streaming_20m_t1"] > 0 and out["streaming_20m_t2"] > 0

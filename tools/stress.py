@@ -179,6 +179,10 @@ def main(rows: int = 20_000_000) -> None:
     grid_out = n5_grid_stress(spark, base, dims=(1024, 1024, 256), bs=(32, 32, 32))
     out.update(grid_out)
 
+    # --- streaming at scale: checkpointed incremental run over `rows`
+    # events with a mid-stream restart (VERDICT r5 item 6)
+    out.update(streaming_stress(spark, base, rows))
+
     print(json.dumps({"rows": rows, "shapes": out}))
 
 
@@ -260,6 +264,56 @@ def n5_grid_stress(
     levels = build_multiscale(spark, container, "img")
     out["n5_grid_multiscale"] = round(time.perf_counter() - t0, 2)
     out["n5_grid_levels"] = len(levels)
+    return out
+
+
+def streaming_stress(spark, base: str, rows: int) -> dict[str, float]:
+    """Checkpointed incremental streaming at `rows` events with a restart
+    mid-stream: trigger 1 (one AvailableNow query) sees the first half of
+    the source files; trigger 2 — a NEW query resumed from the same
+    checkpoint's file-source offset log — sees only the files added in
+    between. Exactly-once evidence at scale: the union of every batch
+    directory must equal the plain batch aggregate, and trigger 2 must not
+    reprocess trigger 1's batches (which at 100 TB would mean re-ingesting
+    the whole history on every restart)."""
+    import shutil
+
+    from n5_dask_spark.streaming.stateful import run_foreach_batch_incremental
+
+    out: dict[str, float] = {}
+    sbase = os.path.join(base, "stream")
+    shutil.rmtree(sbase, ignore_errors=True)
+    src, sink, ckpt = (os.path.join(sbase, d) for d in ("src", "out", "ckpt"))
+
+    def events(lo: int, hi: int):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("event_id"),
+            F.concat(F.lit("t"), (F.col("id") % 8).cast("string")).alias("event_type"),
+            (F.pmod(F.xxhash64("id"), F.lit(100000)) / 100.0).alias("value"),
+        )
+
+    events(0, rows // 2).write.mode("append").parquet(src)
+    t0 = time.perf_counter()
+    b1 = run_foreach_batch_incremental(spark, src, sink, ckpt)
+    out["streaming_20m_t1"] = round(time.perf_counter() - t0, 2)
+
+    events(rows // 2, rows).write.mode("append").parquet(src)
+    t0 = time.perf_counter()
+    b2 = run_foreach_batch_incremental(spark, src, sink, ckpt)  # the restart
+    out["streaming_20m_t2"] = round(time.perf_counter() - t0, 2)
+    if not b1 or not b2 or min(b2) < max(b1):
+        raise SystemExit(f"streaming restart not incremental: {b1} then {b2}")
+    out["streaming_20m_batches"] = len(b1) + len(b2)
+
+    got = (
+        spark.read.option("basePath", sink)
+        .parquet(os.path.join(sink, "batch=*"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    expect = spark.read.parquet(src).groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    if got.exceptAll(expect).union(expect.exceptAll(got)).count():
+        raise SystemExit("streaming restart output != batch aggregate")
     return out
 
 
