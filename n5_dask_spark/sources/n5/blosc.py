@@ -36,15 +36,16 @@ container in pure Python from the PUBLIC format description (c-blosc's
     element), so decode = concatenate streams, then unshuffle.
 
 Supported here: DECODE of internal codecs lz4 (reusing the
-spec-vector-tested raw-block codec in ``lz4.py``), zlib (stdlib) and
-blosclz (pure-Python FastLZ-descendant decoder below), both split and
-unsplit block layouts, byte-shuffle, bit-shuffle or no shuffle,
-multi-block chunks, stored-stream and whole-chunk-memcpy fallbacks.
-ENCODE emits lz4 or zlib, always unsplit, with flag bit 4 set so real
-c-blosc decoders read the single-stream layout. Unsupported variants
-(snappy, zstd, blosclz *encode*) raise loudly rather than guess — the
-refusal boundary is pinned by recorded chunk vectors in
-``tests/test_blosc.py``.
+spec-vector-tested raw-block codec in ``lz4.py``), zlib (stdlib),
+blosclz (pure-Python FastLZ-descendant decoder below) and snappy
+(pure-Python raw-format decoder below), both split and unsplit block
+layouts, byte-shuffle, bit-shuffle or no shuffle, multi-block chunks,
+stored-stream and whole-chunk-memcpy fallbacks. ENCODE emits lz4 or
+zlib, always unsplit, with flag bit 4 set so real c-blosc decoders read
+the single-stream layout. Unsupported variants (zstd either direction —
+its FSE/Huffman entropy stages are not pure-Python-feasible —
+snappy/blosclz *encode*) raise loudly rather than guess; the refusal
+boundary is pinned by recorded chunk vectors in ``tests/test_blosc.py``.
 
 Validation caveat (documented, deliberate): no blosc implementation
 exists in this container to cross-check against, so conformance rests on
@@ -220,6 +221,88 @@ def blosclz_decompress(data: bytes, expected: int) -> bytes:
     return bytes(out)
 
 
+def snappy_decompress(data: bytes, expected: int) -> bytes:
+    """Decode one raw-format snappy stream (c-blosc internal codec id 2).
+
+    Pure-Python implementation of the PUBLIC snappy byte-stream format
+    (google/snappy ``format_description.txt``; c-blosc's wrapper calls the
+    raw ``snappy_uncompress``, not the framing format): a little-endian
+    base-128 varint uncompressed length, then tagged elements. Tag low 2
+    bits select: 0 = literal with 6-bit length-1 (values 60..63 escape to
+    a 1-4 byte little-endian length-1); 1 = copy with 3-bit length-4 and
+    an 11-bit offset (tag bits 5-7 high | next byte low); 2/3 = copy with
+    6-bit length-1 and a 2/4-byte little-endian offset. Copies may
+    overlap their output (RLE-style period copy); offset 0 is illegal.
+    """
+    n = len(data)
+    ip = 0
+    length = 0
+    shift = 0
+    while True:
+        if ip >= n:
+            raise ValueError("snappy stream truncated in its length varint")
+        b = data[ip]
+        ip += 1
+        length |= (b & 0x7F) << shift
+        shift += 7
+        if not b & 0x80:
+            break
+        if shift > 32:
+            raise ValueError("snappy length varint overlong")
+    if length != expected:
+        raise ValueError(
+            f"snappy stream declares {length} bytes, blosc block expects {expected}"
+        )
+    out = bytearray()
+    while ip < n:
+        tag = data[ip]
+        ip += 1
+        kind = tag & 3
+        if kind == 0:  # literal run
+            ln = tag >> 2
+            if ln >= 60:  # escaped length in the next 1-4 bytes
+                nb = ln - 59
+                if ip + nb > n:
+                    raise ValueError("snappy stream truncated in a literal length")
+                ln = int.from_bytes(data[ip : ip + nb], "little")
+                ip += nb
+            ln += 1
+            if ip + ln > n:
+                raise ValueError("snappy stream truncated in a literal run")
+            if len(out) + ln > expected:
+                raise ValueError("snappy stream decodes past its declared size")
+            out += data[ip : ip + ln]
+            ip += ln
+            continue
+        if kind == 1:  # copy, 11-bit offset
+            if ip >= n:
+                raise ValueError("snappy stream truncated in a copy offset")
+            ln = ((tag >> 2) & 0x7) + 4
+            off = ((tag >> 5) << 8) | data[ip]
+            ip += 1
+        else:  # copy, 2- or 4-byte little-endian offset
+            nb = 2 if kind == 2 else 4
+            if ip + nb > n:
+                raise ValueError("snappy stream truncated in a copy offset")
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(data[ip : ip + nb], "little")
+            ip += nb
+        if off == 0 or off > len(out):
+            raise ValueError("snappy copy reaches before the stream start")
+        if len(out) + ln > expected:
+            raise ValueError("snappy stream decodes past its declared size")
+        src = len(out) - off
+        # overlap-safe period copy (same doubling loop as blosclz above)
+        while ln > 0:
+            take = min(ln, len(out) - src)
+            out += out[src : src + take]
+            src += take
+            ln -= take
+    if len(out) != expected:
+        raise ValueError(f"snappy stream decoded to {len(out)} bytes, expected {expected}")
+    return bytes(out)
+
+
 def _nstreams(flags: int, typesize: int, neblock: int, blocksize: int) -> int:
     """Sub-streams per block, mirroring c-blosc ``blosc_d``: the header's
     'not split' bit wins; otherwise non-leftover blocks split into
@@ -262,10 +345,10 @@ def decompress(chunk: bytes) -> bytes:
             raise ValueError("memcpyed blosc chunk with inconsistent cbytes")
         return bytes(chunk[HEADER_SIZE : HEADER_SIZE + nbytes])
     codec = (flags >> 5) & 0x7
-    if codec not in (_CODEC_LZ4, _CODEC_ZLIB, _CODEC_BLOSCLZ):
+    if codec not in (_CODEC_LZ4, _CODEC_ZLIB, _CODEC_BLOSCLZ, _CODEC_SNAPPY):
         raise NotImplementedError(
             f"blosc internal codec {_CODEC_NAMES.get(codec, codec)!r} is not "
-            "supported by the pure-Python codec (blosclz, lz4 and zlib are)"
+            "supported by the pure-Python codec (blosclz, lz4, snappy and zlib are)"
         )
     if blocksize <= 0:
         raise ValueError(f"corrupt blosc header: blocksize={blocksize}")
@@ -303,6 +386,8 @@ def decompress(chunk: bytes) -> bytes:
                 block += lz4_block_decompress(bytes(payload), stream_size)
             elif codec == _CODEC_BLOSCLZ:
                 block += blosclz_decompress(bytes(payload), stream_size)
+            elif codec == _CODEC_SNAPPY:
+                block += snappy_decompress(bytes(payload), stream_size)
             else:
                 part = _zlib.decompress(bytes(payload))
                 if len(part) != stream_size:
@@ -341,8 +426,8 @@ def compress(
     if cname not in ("lz4", "zlib"):
         raise NotImplementedError(
             f"blosc cname {cname!r} is not supported for encoding by the "
-            "pure-Python codec (lz4 and zlib are; blosclz is decode-only); "
-            "or use the lz4/gzip/xz N5 codecs directly"
+            "pure-Python codec (lz4 and zlib are; blosclz and snappy are "
+            "decode-only); or use the lz4/gzip/xz N5 codecs directly"
         )
     if shuffle not in (0, 1, 2):
         raise ValueError(f"shuffle must be 0 (none), 1 (byte) or 2 (bit), got {shuffle}")

@@ -103,22 +103,24 @@ def test_lz4hc_aliases_lz4_format():
 def test_unsupported_internal_codec_raises():
     payload = b"x" * 64
     chunk = bytearray(blosc.compress(payload, typesize=1, cname="zlib", shuffle=0))
-    chunk[2] = (chunk[2] & 0x1F) | (2 << 5)  # flip codec id to snappy
-    with pytest.raises(NotImplementedError, match="snappy"):
+    chunk[2] = (chunk[2] & 0x1F) | (4 << 5)  # flip codec id to zstd
+    with pytest.raises(NotImplementedError, match="zstd"):
         blosc.decompress(bytes(chunk))
     with pytest.raises(NotImplementedError, match="cname"):
         blosc.compress(payload, cname="zstd")
     with pytest.raises(NotImplementedError, match="decode-only"):
         blosc.compress(payload, cname="blosclz")
+    with pytest.raises(NotImplementedError, match="decode-only"):
+        blosc.compress(payload, cname="snappy")
 
 
-# Recorded refusal vectors: byte-literal chunks with the zstd / snappy
-# internal codec ids (flag bits 5-7 = 4 / 2). The pure-Python codec has no
-# implementation of either stream format, so these exact inputs must keep
-# raising the documented NotImplementedError — this is the support
-# boundary for third-party N5 containers written with non-default
-# ``numcodecs.Blosc(cname=...)`` settings (the reference accepts any,
-# /root/reference/src/tif_to_n5.py:89-92).
+# Recorded refusal vector: a byte-literal chunk with the zstd internal
+# codec id (flag bits 5-7 = 4). The pure-Python codec has no zstd stream
+# implementation (its FSE/Huffman entropy stages are out of pure-Python
+# reach), so this exact input must keep raising the documented
+# NotImplementedError — the support boundary for third-party N5
+# containers written with non-default ``numcodecs.Blosc(cname=...)``
+# settings (the reference accepts any, /root/reference/src/tif_to_n5.py:89-92).
 _ZSTD_CHUNK = (
     # version=2 versionlz=1 flags=0x90 (codec 4=zstd | not-split) typesize=1
     b"\x02\x01\x90\x01"
@@ -127,14 +129,6 @@ _ZSTD_CHUNK = (
     + struct.pack("<i", 3)
     + b"\x28\xb5\x2f"  # 3-byte fake zstd stream (magic prefix)
 )
-_SNAPPY_CHUNK = (
-    # version=2 versionlz=1 flags=0x50 (codec 2=snappy | not-split) typesize=1
-    b"\x02\x01\x50\x01"
-    + struct.pack("<iii", 4, 4, 27)
-    + struct.pack("<i", 20)
-    + struct.pack("<i", 3)
-    + b"\x04\x00\x61"  # 3-byte fake snappy stream
-)
 
 
 def test_zstd_refusal_vector():
@@ -142,9 +136,93 @@ def test_zstd_refusal_vector():
         blosc.decompress(_ZSTD_CHUNK)
 
 
-def test_snappy_refusal_vector():
-    with pytest.raises(NotImplementedError, match="snappy"):
-        blosc.decompress(_SNAPPY_CHUNK)
+# --- snappy internal codec ------------------------------------------------
+#
+# Hand-computed vectors straight from the public snappy format description
+# (google/snappy format_description.txt): varint preamble, literal tags
+# (inline + escaped lengths), all three copy-tag widths, overlap/RLE.
+
+
+def test_snappy_literal_only():
+    # varint(5), literal tag (5-1)<<2, "hello"
+    assert blosc.snappy_decompress(b"\x05\x10hello", 5) == b"hello"
+
+
+def test_snappy_copy1_overlap():
+    # "abcd" literal + copy-1 (len 8, offset 4): tag (8-4)<<2|1, offset byte
+    data = b"\x0c" + b"\x0c" + b"abcd" + b"\x11\x04"
+    assert blosc.snappy_decompress(data, 12) == b"abcdabcdabcd"
+
+
+def test_snappy_copy2_and_copy4():
+    lit = b"\x1c" + b"01234567"  # literal tag (8-1)<<2
+    # copy-2: tag (8-1)<<2|2, 2-byte LE offset 8
+    d2 = b"\x10" + lit + b"\x1e\x08\x00"
+    assert blosc.snappy_decompress(d2, 16) == b"0123456701234567"
+    # copy-4: tag (8-1)<<2|3, 4-byte LE offset 8
+    d4 = b"\x10" + lit + b"\x1f\x08\x00\x00\x00"
+    assert blosc.snappy_decompress(d4, 16) == b"0123456701234567"
+
+
+def test_snappy_rle_period_one():
+    # 1-byte literal then a 19-byte copy-2 at offset 1: classic RLE overlap
+    data = b"\x14" + b"\x00a" + b"\x4a\x01\x00"
+    assert blosc.snappy_decompress(data, 20) == b"a" * 20
+
+
+def test_snappy_escaped_literal_lengths():
+    # 60-escape: 1-byte length-1 = 99 -> 100 literal bytes
+    d1 = b"\x64" + b"\xf0\x63" + b"a" * 100
+    assert blosc.snappy_decompress(d1, 100) == b"a" * 100
+    # 61-escape + 2-byte varint preamble: 300 = varint AC 02; 299 = 2B 01 LE
+    d2 = b"\xac\x02" + b"\xf4\x2b\x01" + b"z" * 300
+    assert blosc.snappy_decompress(d2, 300) == b"z" * 300
+
+
+def test_snappy_malformed_streams_raise():
+    with pytest.raises(ValueError, match="before the stream start"):
+        blosc.snappy_decompress(b"\x08\x00a\x11\x00", 8)  # offset 0
+    with pytest.raises(ValueError, match="declares"):
+        blosc.snappy_decompress(b"\x07\x10hello", 5)  # preamble != expected
+    with pytest.raises(ValueError, match="truncated in a literal run"):
+        blosc.snappy_decompress(b"\x05\x10hel", 5)
+    with pytest.raises(ValueError, match="truncated in its length varint"):
+        blosc.snappy_decompress(b"\xff", 5)
+    with pytest.raises(ValueError, match="past its declared size"):
+        blosc.snappy_decompress(b"\x02\x10hello", 2)
+
+
+def test_snappy_blosc_chunk_decodes():
+    # Whole-container vector: one snappy block ("abcd" literal + overlap
+    # copy) framed in a Blosc1 chunk with codec id 2 | not-split.
+    stream = b"\x0c\x0cabcd\x11\x04"
+    chunk = (
+        b"\x02\x01\x50\x01"  # version=2 versionlz=1 flags=0x50 typesize=1
+        + struct.pack("<iii", 12, 12, 16 + 4 + 4 + len(stream))
+        + struct.pack("<i", 20)  # offset table: one block at 20
+        + struct.pack("<i", len(stream))
+        + stream
+    )
+    assert blosc.decompress(chunk) == b"abcdabcdabcd"
+
+
+def test_snappy_blosc_chunk_with_shuffle():
+    # Same container path with byte-shuffle flagged (typesize 2): the
+    # snappy payload holds the SHUFFLED bytes; decode must unshuffle.
+    shuffled = bytes(b"\x00\x01" * 8)  # 16 bytes: 8 uint16 elements
+    # literal-only stream: varint(16), tag (16-1)<<2
+    stream = b"\x10" + bytes([15 << 2]) + shuffled
+    chunk = (
+        b"\x02\x01\x51\x02"  # flags = snappy<<5 | not-split | shuffle
+        + struct.pack("<iii", 16, 16, 16 + 4 + 4 + len(stream))
+        + struct.pack("<i", 20)
+        + struct.pack("<i", len(stream))
+        + stream
+    )
+    out = blosc.decompress(chunk)
+    # unshuffle of (2, 8) layout: element i = (byte0[i], byte1[i])
+    expected = np.frombuffer(shuffled, np.uint8).reshape(2, 8).T.tobytes()
+    assert out == expected
 
 
 # --- bit-shuffle ----------------------------------------------------------
@@ -500,6 +578,23 @@ def test_blosclz_fuzz_never_crashes():
         expected = rng.randrange(0, 256)
         try:
             out = blosc.blosclz_decompress(data, expected)
+            assert len(out) == expected
+        except ValueError:
+            pass  # the only legal failure mode
+
+
+def test_snappy_fuzz_never_crashes():
+    """Same totality contract for the snappy decoder: garbage in ->
+    ValueError (or a decode of exactly the expected size), nothing else."""
+    import random
+
+    rng = random.Random(4321)
+    for trial in range(500):
+        n = rng.randrange(0, 64)
+        data = bytes(rng.randrange(256) for _ in range(n))
+        expected = rng.randrange(0, 256)
+        try:
+            out = blosc.snappy_decompress(data, expected)
             assert len(out) == expected
         except ValueError:
             pass  # the only legal failure mode
