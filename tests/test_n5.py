@@ -82,6 +82,70 @@ def test_foreign_4d_container_refused_loudly(tmp_path):
         read_attributes(str(tmp_path / "c.n5"), "vol4d")
 
 
+def test_foreign_snappy_blosc_container_reads(tmp_path, spark):
+    """A third-party N5 container written with numcodecs.Blosc(cname='snappy')
+    must read through the full Spark path. Block files are hand-assembled:
+    N5 mode-0 header + a Blosc1 chunk whose single block is a literal-only
+    snappy stream (pure literals are legal snappy output for any input, so
+    this is spec-constructible without a snappy encoder)."""
+    import struct
+
+    from n5_dask_spark.sources.n5.reader import read_full
+
+    def snappy_literals(p: bytes) -> bytes:
+        n = len(p)
+        varint = b""
+        while True:
+            b, n = n & 0x7F, n >> 7
+            varint += bytes([b | (0x80 if n else 0)])
+            if not n:
+                break
+        out = bytearray(varint)
+        for i in range(0, len(p), 60):
+            c = p[i : i + 60]
+            out += bytes([(len(c) - 1) << 2]) + c
+        return bytes(out)
+
+    def blosc_snappy_chunk(p: bytes) -> bytes:
+        stream = snappy_literals(p)
+        cbytes = 16 + 4 + 4 + len(stream)
+        return (
+            # version=2 versionlz=1 flags = snappy<<5 | not-split, typesize=1
+            b"\x02\x01\x50\x01"
+            + struct.pack("<iii", len(p), len(p), cbytes)
+            + struct.pack("<i", 20)  # one block at offset 20
+            + struct.pack("<i", len(stream))
+            + stream
+        )
+
+    rng = np.random.default_rng(11)
+    vol_zyx = rng.integers(0, 255, (8, 8, 16), dtype=np.uint8)  # 2 blocks in x
+    ds = tmp_path / "c.n5" / "vol"
+    (tmp_path / "c.n5").mkdir()
+    ds.mkdir()
+    (tmp_path / "c.n5" / "attributes.json").write_text('{"n5":"2.5.1"}')
+    (ds / "attributes.json").write_text(
+        json.dumps(
+            {
+                "dataType": "uint8",
+                "dimensions": [16, 8, 8],  # x, y, z
+                "blockSize": [8, 8, 8],
+                "compression": {"type": "blosc", "cname": "snappy", "shuffle": 0},
+            }
+        )
+    )
+    for gx in range(2):
+        block = vol_zyx[:, :, gx * 8 : (gx + 1) * 8]
+        raw = struct.pack(">HH3i", 0, 3, 8, 8, 8) + blosc_snappy_chunk(
+            np.ascontiguousarray(block).tobytes()
+        )
+        bdir = ds / str(gx) / "0"
+        bdir.mkdir(parents=True)
+        (bdir / "0").write_bytes(raw)
+    out_xyz = read_full(spark, str(tmp_path / "c.n5"), "vol")
+    np.testing.assert_array_equal(out_xyz, vol_zyx.transpose(2, 1, 0))
+
+
 def test_codec_roundtrip_all_compressions():
     from n5_dask_spark.sources.n5.codec import decode_block, encode_block
 
