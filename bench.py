@@ -84,9 +84,18 @@ CAL_REFERENCE_SEC = 0.55
 
 
 def _calibration(spark) -> float:
-    t0 = time.perf_counter()
-    spark.range(_CAL_ROWS).selectExpr(_CAL_SQL).collect()
-    return time.perf_counter() - t0
+    """Best of two probe runs. A GC/C2 hiccup can only make a probe
+    SLOWER, never faster, and a slow probe inflates scale = ref/cal —
+    which would deflate every normalized sample in its pass and then win
+    the cross-pass min. Taking the min of two runs means a single hiccup
+    cannot distort a pass's normalization; genuine whole-VM slowness
+    (the thing the probe exists to measure) slows both runs alike."""
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        spark.range(_CAL_ROWS).selectExpr(_CAL_SQL).collect()
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def main() -> None:

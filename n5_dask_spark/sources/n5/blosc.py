@@ -113,21 +113,24 @@ def _bitshuffle(data: bytes, typesize: int) -> bytes:
     applies it per block): view the leading multiple-of-8-elements slice as
     a (n_elems, typesize*8) bit matrix and transpose it to bit planes.
 
-    Plane order and packing derived from the public scalar/AVX2 kernels
-    (``bshuf_trans_bit_elem``): output row ``j*8 + k`` is bit ``7-k`` of
-    byte ``j`` of every element (unpackbits' MSB-first column order), and
-    within a plane element ``i`` lands at bit ``i % 8`` of packed byte
-    ``i // 8`` (movemask packs element 0 into the LSB). The c-blosc
-    wrapper (``shuffle.c:bitshuffle``) truncates to a multiple of 8
-    elements and memcpys the leftover bytes — mirrored here so both
-    generations of chunks parse.
+    Plane order and packing derived from the public scalar kernels
+    (``bshuf_trans_bit_elem``): ``TRANS_BIT_8X8`` is the standard 8x8
+    bit-matrix transpose with byte i as row i and bit j (LSB = 0) as
+    column j, so new byte k bit j = old byte j bit k — plane order is
+    **LSB-first** (output row ``j*8 + k`` is bit ``k`` of byte ``j`` of
+    every element, ``bshuf_trans_bitrow_eight``'s byte-major row layout),
+    and within a plane element ``i`` lands at bit ``i % 8`` of packed
+    byte ``i // 8`` (element 0 in the LSB). The c-blosc wrapper
+    (``shuffle.c:bitshuffle``) truncates to a multiple of 8 elements and
+    memcpys the leftover bytes — mirrored here so both generations of
+    chunks parse.
     """
     nelem = (len(data) // typesize) & ~7
     head = nelem * typesize
     if nelem == 0:
         return data
     a = np.frombuffer(data[:head], np.uint8).reshape(nelem, typesize)
-    planes = np.unpackbits(a, axis=1).T
+    planes = np.unpackbits(a, axis=1, bitorder="little").T
     return np.packbits(planes, axis=1, bitorder="little").tobytes() + data[head:]
 
 
@@ -138,7 +141,7 @@ def _bitunshuffle(data: bytes, typesize: int) -> bytes:
         return data
     planes = np.frombuffer(data[:head], np.uint8).reshape(typesize * 8, nelem // 8)
     bits = np.unpackbits(planes, axis=1, bitorder="little")
-    return np.packbits(bits.T, axis=1).tobytes() + data[head:]
+    return np.packbits(bits.T, axis=1, bitorder="little").tobytes() + data[head:]
 
 
 def blosclz_decompress(data: bytes, expected: int) -> bytes:

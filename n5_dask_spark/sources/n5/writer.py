@@ -186,6 +186,13 @@ def write_region(
     dt = np_dtype(attrs.data_type)
     ndim = attrs.ndim
     rows = []
+
+    def emit(grid: tuple, block_xyz: np.ndarray) -> None:
+        block = np.ascontiguousarray(
+            block_xyz.transpose(tuple(range(block_xyz.ndim - 1, -1, -1)))
+        ).astype(dt)
+        rows.append((*(list(grid) + [0] * (3 - ndim)), list(block.shape), block.tobytes()))
+
     edges = []  # (grid, b0, b1, region_sel, block_sel)
     for grid in itertools.product(
         *[range(s // b, (e - 1) // b + 1) for s, e, b in zip(start_xyz, end_xyz, bs)]
@@ -196,11 +203,7 @@ def write_region(
         hi = [min(a, e) for a, e in zip(b1, end_xyz)]
         region_sel = tuple(slice(l - s, h - s) for l, h, s in zip(lo, hi, start_xyz))
         if lo == b0 and hi == b1:  # fully covered: no read needed
-            block_xyz = np.ascontiguousarray(region_xyz[region_sel])
-            block = np.ascontiguousarray(
-                block_xyz.transpose(tuple(range(block_xyz.ndim - 1, -1, -1)))
-            ).astype(dt)
-            rows.append((*(list(grid) + [0] * (3 - ndim)), list(block.shape), block.tobytes()))
+            emit(grid, np.ascontiguousarray(region_xyz[region_sel]))
         else:  # edge block: needs the stored bytes merged in
             block_sel = tuple(slice(l - a, h - a) for l, h, a in zip(lo, hi, b0))
             edges.append((grid, b0, b1, region_sel, block_sel))
@@ -224,11 +227,14 @@ def write_region(
 
     coords = ("gx", "gy", "gz")[:ndim]
     for group in groups:
-        paths = [
-            p
-            for (grid, *_rest) in group
-            if os.path.exists(p := os.path.join(container, dataset, *map(str, grid)))
-        ]
+        # Pass EVERY candidate edge path to the scan — no driver-local
+        # os.path.exists pre-filter. Sparse (absent) blocks are resolved by
+        # scan_block_files' missing-path handling: survivor retry for local
+        # paths, loud refusal for URI-scheme paths the driver cannot stat
+        # (a driver-side exists() filter would test those all False and
+        # silently zero stored data outside the region — the exact failure
+        # reader.py:146-150 guards against).
+        paths = [os.path.join(container, dataset, *map(str, grid)) for (grid, *_rest) in group]
         got: dict[tuple, np.ndarray] = {}
         if paths:
             raw_df = scan_block_files(spark, container, dataset, ndim, paths=paths)
@@ -244,10 +250,7 @@ def write_region(
                     arr_zyx.transpose(tuple(range(arr_zyx.ndim - 1, -1, -1))), dtype=dt
                 )
             block_xyz[block_sel] = region_xyz[region_sel]
-            block = np.ascontiguousarray(
-                block_xyz.transpose(tuple(range(block_xyz.ndim - 1, -1, -1)))
-            ).astype(dt)
-            rows.append((*(list(grid) + [0] * (3 - ndim)), list(block.shape), block.tobytes()))
+            emit(tuple(grid), block_xyz)
 
     pdf = pd.DataFrame(rows, columns=["gx", "gy", "gz", "shape_zyx", "data"])
     blocks = spark.createDataFrame(pdf, schema="gx int, gy int, gz int, shape_zyx array<int>, data binary")

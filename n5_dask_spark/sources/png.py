@@ -140,14 +140,16 @@ def png_decode(payload: bytes) -> np.ndarray:
     while pos + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
         tag = payload[pos + 4 : pos + 8]
-        body = payload[pos + 8 : pos + 8 + length]
-        if len(body) != length:
+        if pos + 12 + length > len(payload):  # body or its 4-byte CRC cut off
             raise ValueError(f"PNG chunk {tag!r} truncated")
+        body = payload[pos + 8 : pos + 8 + length]
         crc_expect = struct.unpack_from(">I", payload, pos + 8 + length)[0]
         if zlib.crc32(tag + body) & 0xFFFFFFFF != crc_expect:
             raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
         pos += 12 + length
         if tag == b"IHDR":
+            if len(body) != 13:
+                raise ValueError(f"PNG IHDR is {len(body)} bytes, spec says 13")
             ihdr = struct.unpack(">IIBBBBB", body)
         elif tag == b"PLTE":
             plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
@@ -171,11 +173,21 @@ def png_decode(payload: bytes) -> np.ndarray:
         raise ValueError("palette PNG without a PLTE chunk")
     c = _CHANNELS[color_type]
     stride = w * c
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (stride + 1):
+    expected = h * (stride + 1)
+    if expected > 1 << 31:
+        # executor safety: a crafted IHDR can claim 2^32 x 2^32 pixels;
+        # refuse before allocating rather than OOMing the worker
+        raise ValueError(f"PNG claims implausible {w}x{h}x{c} pixel data")
+    try:
+        # decompressobj + max_length caps a deflate bomb at the declared
+        # size instead of letting it expand unbounded before the check
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), expected + 1)
+    except zlib.error as exc:
+        raise ValueError(f"PNG IDAT stream is corrupt: {exc}") from exc
+    if len(raw) != expected or not d.eof and d.decompress(b"", 1):
         raise ValueError(
-            f"PNG pixel data is {len(raw)} bytes, expected {h * (stride + 1)} "
-            f"for {w}x{h}x{c}"
+            f"PNG pixel data is not the expected {expected} bytes for {w}x{h}x{c}"
         )
     out = np.empty((h, stride), np.uint8)
     prev = bytes(stride)
@@ -187,5 +199,7 @@ def png_decode(payload: bytes) -> np.ndarray:
         out[i] = np.frombuffer(prev, np.uint8)
     img = out.reshape(h, w, c)
     if color_type == 3:
+        if int(img[:, :, 0].max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index out of range for its PLTE chunk")
         img = plte[img[:, :, 0]]
     return img

@@ -229,16 +229,21 @@ def test_snappy_blosc_chunk_with_shuffle():
 
 
 def test_bitshuffle_hand_vectors():
-    # typesize 1, 8 elements: planes are emitted MSB-first (row k = bit
-    # 7-k), and within a plane element i packs into bit i%8 of byte i//8
-    # (movemask packs element 0 at the LSB — see _bitshuffle docstring)
-    assert blosc._bitshuffle(b"\x80" + b"\x00" * 7, 1) == b"\x01" + b"\x00" * 7
-    assert blosc._bitshuffle(b"\x01" * 8, 1) == b"\x00" * 7 + b"\xff"
+    # typesize 1, 8 elements: planes are emitted LSB-first (row k = bit k,
+    # per TRANS_BIT_8X8: new byte k bit j = old byte j bit k), and within
+    # a plane element i packs into bit i%8 of byte i//8 (element 0 at the
+    # LSB — see _bitshuffle docstring). Vectors are hand-executions of
+    # the published bshuf scalar kernel, NOT round-trips of this code:
+    # element0 = 0x80 -> only plane 7 (its MSB) is populated, with
+    # element 0 at that plane's LSB.
+    assert blosc._bitshuffle(b"\x80" + b"\x00" * 7, 1) == b"\x00" * 7 + b"\x01"
+    assert blosc._bitshuffle(b"\x01" * 8, 1) == b"\xff" + b"\x00" * 7
     # typesize 2: rows 0-7 = byte 0's planes, rows 8-15 = byte 1's
+    # (bshuf_trans_bitrow_eight's byte-major final row order)
     v = blosc._bitshuffle(b"\x01\x80" + b"\x00" * 14, 2)
     expect = bytearray(16)
-    expect[7] = 0x01  # byte0 bit0 plane
-    expect[8] = 0x01  # byte1 bit7 plane
+    expect[0] = 0x01  # byte0 bit0 plane (element 0 has byte0 = 0x01)
+    expect[15] = 0x01  # byte1 bit7 plane (element 0 has byte1 = 0x80)
     assert v == bytes(expect)
     # leftover elements (not a multiple of 8) are copied unshuffled,
     # mirroring c-blosc's wrapper (shuffle.c:bitshuffle truncate+memcpy)
@@ -246,6 +251,52 @@ def test_bitshuffle_hand_vectors():
     shuffled = blosc._bitshuffle(data, 1)
     assert shuffled[8:] == b"\xaa\xbb"
     assert blosc._bitunshuffle(shuffled, 1) == data
+
+
+def test_bitshuffle_matches_published_scalar_kernel():
+    """Non-circular witness: transcribe the published bshuf scalar kernel
+    pipeline (TRANS_BIT_8X8 -> trans_byte_elem -> trans_bit_byte ->
+    trans_bitrow_eight, from bitshuffle's bitshuffle_core.c, which c-blosc
+    vendors) as literal per-byte loops, structurally unrelated to the
+    numpy implementation, and require bit-identical output. This is the
+    test that caught the round-6 plane-order reversal (unpackbits'
+    MSB-first default vs the kernel's LSB-first planes)."""
+    import random
+
+    def trans_bit_8x8(x):
+        t = (x ^ (x >> 7)) & 0x00AA00AA00AA00AA
+        x = (x ^ t ^ (t << 7)) & 0xFFFFFFFFFFFFFFFF
+        t = (x ^ (x >> 14)) & 0x0000CCCC0000CCCC
+        x = (x ^ t ^ (t << 14)) & 0xFFFFFFFFFFFFFFFF
+        t = (x ^ (x >> 28)) & 0x00000000F0F0F0F0
+        x = (x ^ t ^ (t << 28)) & 0xFFFFFFFFFFFFFFFF
+        return x
+
+    def bshuf_scalar(data, tsize):
+        nelem = len(data) // tsize
+        nbyte = nelem * tsize
+        # bshuf_trans_byte_elem: byte j of element i -> j*nelem + i
+        a = np.frombuffer(data, np.uint8).reshape(nelem, tsize).T.copy().reshape(-1)
+        mid = bytearray(nbyte)
+        # bshuf_trans_bit_byte: per 8-byte group, out[ii/8 + kk*nbyte/8]
+        for ii in range(0, nbyte, 8):
+            x = trans_bit_8x8(int.from_bytes(bytes(a[ii : ii + 8]), "little"))
+            for kk in range(8):
+                mid[ii // 8 + kk * (nbyte // 8)] = (x >> (kk * 8)) & 0xFF
+        # bshuf_trans_bitrow_eight: row ii <- bit-row ii%8 of byte-row ii/8
+        nbyte_row = nelem // 8
+        fin = bytearray(nbyte)
+        for ii in range(8 * tsize):
+            src = (ii % 8) * tsize * nbyte_row + (ii // 8) * nbyte_row
+            fin[ii * nbyte_row : (ii + 1) * nbyte_row] = mid[src : src + nbyte_row]
+        return bytes(fin)
+
+    rng = random.Random(5)
+    for tsize in (1, 2, 4, 8):
+        for nelem in (8, 64, 256):
+            data = bytes(rng.randrange(256) for _ in range(nelem * tsize))
+            assert blosc._bitshuffle(data, tsize) == bshuf_scalar(data, tsize)
+            assert blosc._bitunshuffle(bshuf_scalar(data, tsize), tsize) == data
 
 
 @pytest.mark.parametrize("cname", ["lz4", "zlib"])

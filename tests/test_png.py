@@ -157,3 +157,85 @@ def test_decode_image_runs_in_this_container():
     except ImportError:
         with pytest.raises(NotImplementedError, match="pillow"):
             decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
+
+
+# --- decoder totality (executor safety) ------------------------------------
+
+
+def test_png_decode_totality_on_malformed_inputs():
+    """decode paths that previously leaked struct.error / zlib.error /
+    IndexError must raise ValueError (or the documented
+    NotImplementedError) — the same executor-safety contract the blosc
+    decoders pin with fuzz tests."""
+    good = png_encode(np.arange(36, dtype=np.uint8).reshape(6, 6))
+    # truncated 2 bytes into the final chunk's CRC (struct.error before
+    # the fix; a cut that removes a whole trailing chunk is tolerated)
+    with pytest.raises(ValueError, match="truncated"):
+        png_decode(good[: len(good) - 2])
+    # bit-flipped IDAT payload with its CRC recomputed (zlib.error before)
+    sig, rest = good[:8], bytearray(good[8:])
+    pos = 0
+    while pos < len(rest):
+        (length,) = struct.unpack_from(">I", rest, pos)
+        tag = bytes(rest[pos + 4 : pos + 8])
+        if tag == b"IDAT":
+            rest[pos + 8 + 2] ^= 0xFF
+            body = bytes(rest[pos + 8 : pos + 8 + length])
+            struct.pack_into(">I", rest, pos + 8 + length, zlib.crc32(tag + body) & 0xFFFFFFFF)
+        pos += 12 + length
+    with pytest.raises(ValueError, match="IDAT|pixel data"):
+        png_decode(sig + bytes(rest))
+    # short IHDR body (struct.error before)
+    bad_ihdr = b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 4) + b"IHDR" + b"\x00" * 4
+    bad_ihdr += struct.pack(">I", zlib.crc32(b"IHDR" + b"\x00" * 4) & 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="IHDR"):
+        png_decode(bad_ihdr)
+
+
+def test_png_palette_index_out_of_range_rejected():
+    # palette image with a 1-entry PLTE but a pixel indexing entry 5
+    raw = b"\x00\x05"  # one row: filter 0, index 5
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+        + struct.pack(">I", 3) + b"PLTE" + b"\x10\x20\x30"
+        + struct.pack(">I", zlib.crc32(b"PLTE" + b"\x10\x20\x30") & 0xFFFFFFFF)
+    )
+    idat = zlib.compress(raw)
+    png += struct.pack(">I", len(idat)) + b"IDAT" + idat
+    png += struct.pack(">I", zlib.crc32(b"IDAT" + idat) & 0xFFFFFFFF)
+    png += struct.pack(">I", 0) + b"IEND" + struct.pack(">I", zlib.crc32(b"IEND") & 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="palette index"):
+        png_decode(png)
+
+
+def test_png_implausible_dimensions_refused_before_allocation():
+    ihdr = struct.pack(">IIBBBBB", 0xFFFFFFFF, 0xFFFFFFFF, 8, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    idat = zlib.compress(b"\x00" * 10)
+    png += struct.pack(">I", len(idat)) + b"IDAT" + idat
+    png += struct.pack(">I", zlib.crc32(b"IDAT" + idat) & 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="implausible"):
+        png_decode(png)
+
+
+def test_png_decode_fuzz_never_crashes():
+    """Mutated real PNGs: ValueError / NotImplementedError only."""
+    import random
+
+    rng = random.Random(77)
+    base = bytearray(png_encode(np.arange(240, dtype=np.uint8).reshape(10, 8, 3)))
+    for trial in range(300):
+        bad = bytearray(base)
+        for _ in range(rng.randrange(1, 6)):
+            bad[rng.randrange(len(bad))] = rng.randrange(256)
+        try:
+            png_decode(bytes(bad))
+        except (ValueError, NotImplementedError):
+            pass  # legal refusals
