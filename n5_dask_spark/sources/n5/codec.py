@@ -22,9 +22,10 @@ that array IS the x-fastest payload.
 
 Compression ids: raw, gzip (useZlib:false = gzip member framing,
 useZlib:true = raw zlib stream), bz2, xz, lz4 (pure-Python lz4-java
-LZ4Block framing — see lz4.py), blosc (pure-Python Blosc1 chunks with
-lz4/zlib internal codecs + byte-shuffle — see blosc.py; exotic variants
-raise NotImplementedError rather than failing silently).
+LZ4Block framing — see lz4.py), blosc (pure-Python Blosc1 chunks:
+blosclz/lz4/snappy/zlib decode, lz4/zlib encode, byte- and bit-shuffle —
+see blosc.py; zstd raises NotImplementedError rather than failing
+silently).
 """
 
 from __future__ import annotations
