@@ -136,3 +136,59 @@ def test_blosc_shuffle_is_a_permutation_inverse(n_elems, typesize, extra, seed):
     rng = np.random.default_rng(seed)
     data = rng.bytes(n_elems * typesize + extra)
     assert blosc._unshuffle(blosc._shuffle(data, typesize), typesize) == data
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    h=st.integers(1, 20),
+    w=st.integers(1, 20),
+    c=st.sampled_from([1, 2, 3, 4]),
+    seed=st.integers(0, 2**31),
+)
+def test_png_roundtrip_property(h, w, c, seed):
+    """png_encode -> png_decode is the identity for any HxWxC uint8 image
+    (the encoder cycles all five scanline filters per row, so taller
+    images exercise every unfilter path)."""
+    from n5_dask_spark.sources.png import png_decode, png_encode
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+    out = png_decode(png_encode(img))
+    np.testing.assert_array_equal(out, img)
+
+
+@settings(max_examples=100, deadline=None)
+@given(data=st.binary(min_size=0, max_size=20_000), seed=st.integers(0, 2**31))
+def test_snappy_decode_property(data, seed):
+    """The snappy decoder recovers any payload from a stream assembled out
+    of spec-legal elements: literal runs (inline and escaped lengths)
+    interleaved with RLE-style copy tags where the payload repeats."""
+    from n5_dask_spark.sources.n5 import blosc
+
+    rng = np.random.default_rng(seed)
+    n = len(data)
+    varint = b""
+    while True:
+        b, n = n & 0x7F, n >> 7
+        varint += bytes([b | (0x80 if n else 0)])
+        if not n:
+            break
+    stream = bytearray(varint)
+    pos = 0
+    while pos < len(data):
+        lit = int(rng.integers(1, 200))
+        chunk = data[pos : pos + lit]
+        pos += len(chunk)
+        if len(chunk) <= 60:
+            stream += bytes([(len(chunk) - 1) << 2]) + chunk
+        else:
+            stream += bytes([0xF0, len(chunk) - 1]) + chunk
+        # after enough output exists, sometimes restate the last bytes as a
+        # copy tag instead of a literal (both copy-2 and copy-1 widths)
+        if pos >= 8 and pos + 4 <= len(data) and data[pos : pos + 4] == data[pos - 4 : pos]:
+            if rng.integers(0, 2):
+                stream += bytes([((4 - 4) << 2) | 1, 4])  # copy-1 len 4 off 4
+            else:
+                stream += bytes([((4 - 1) << 2) | 2, 4, 0])  # copy-2 len 4 off 4
+            pos += 4
+    assert blosc.snappy_decompress(bytes(stream), len(data)) == data
