@@ -19,3 +19,14 @@ def spark():
     s = get_spark("n5_dask_spark-tests", cpus=8)
     yield s
     s.stop()
+
+
+def snappy_varint(n: int) -> bytes:
+    """Little-endian base-128 varint (the snappy raw-stream preamble).
+    Shared by the snappy test-stream builders in test_n5 / test_properties."""
+    out = b""
+    while True:
+        b, n = n & 0x7F, n >> 7
+        out += bytes([b | (0x80 if n else 0)])
+        if not n:
+            return out

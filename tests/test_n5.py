@@ -92,15 +92,10 @@ def test_foreign_snappy_blosc_container_reads(tmp_path, spark):
 
     from n5_dask_spark.sources.n5.reader import read_full
 
+    from tests.conftest import snappy_varint
+
     def snappy_literals(p: bytes) -> bytes:
-        n = len(p)
-        varint = b""
-        while True:
-            b, n = n & 0x7F, n >> 7
-            varint += bytes([b | (0x80 if n else 0)])
-            if not n:
-                break
-        out = bytearray(varint)
+        out = bytearray(snappy_varint(len(p)))
         for i in range(0, len(p), 60):
             c = p[i : i + 60]
             out += bytes([(len(c) - 1) << 2]) + c

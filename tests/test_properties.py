@@ -157,38 +157,45 @@ def test_png_roundtrip_property(h, w, c, seed):
     np.testing.assert_array_equal(out, img)
 
 
-@settings(max_examples=100, deadline=None)
-@given(data=st.binary(min_size=0, max_size=20_000), seed=st.integers(0, 2**31))
-def test_snappy_decode_property(data, seed):
-    """The snappy decoder recovers any payload from a stream assembled out
-    of spec-legal elements: literal runs (inline and escaped lengths)
-    interleaved with RLE-style copy tags where the payload repeats."""
+@settings(max_examples=150, deadline=None)
+@given(n_elements=st.integers(1, 40), seed=st.integers(0, 2**31))
+def test_snappy_decode_property(n_elements, seed):
+    """The snappy decoder recovers the payload from streams assembled out
+    of random spec-legal elements covering the whole tag space: literals
+    with inline and 1/2-byte escaped lengths, copy-1 (lengths 4-11,
+    offsets up to 2047), copy-2 and copy-4 with arbitrary lengths 1-64
+    and offsets (including offset < length: overlapping RLE period copy).
+    The expected payload is built alongside the stream with the spec's
+    literal byte-at-a-time copy semantics, so this is not a decoder
+    re-implementation."""
+    from tests.conftest import snappy_varint
+
     from n5_dask_spark.sources.n5 import blosc
 
     rng = np.random.default_rng(seed)
-    n = len(data)
-    varint = b""
-    while True:
-        b, n = n & 0x7F, n >> 7
-        varint += bytes([b | (0x80 if n else 0)])
-        if not n:
-            break
-    stream = bytearray(varint)
-    pos = 0
-    while pos < len(data):
-        lit = int(rng.integers(1, 200))
-        chunk = data[pos : pos + lit]
-        pos += len(chunk)
-        if len(chunk) <= 60:
-            stream += bytes([(len(chunk) - 1) << 2]) + chunk
-        else:
-            stream += bytes([0xF0, len(chunk) - 1]) + chunk
-        # after enough output exists, sometimes restate the last bytes as a
-        # copy tag instead of a literal (both copy-2 and copy-1 widths)
-        if pos >= 8 and pos + 4 <= len(data) and data[pos : pos + 4] == data[pos - 4 : pos]:
-            if rng.integers(0, 2):
-                stream += bytes([((4 - 4) << 2) | 1, 4])  # copy-1 len 4 off 4
+    expected = bytearray()
+    body = bytearray()
+    for _ in range(n_elements):
+        if not expected or rng.integers(0, 2) == 0:  # literal run
+            lit = bytes(rng.integers(0, 256, int(rng.integers(1, 900)), dtype=np.uint8))
+            if len(lit) <= 60:
+                body += bytes([(len(lit) - 1) << 2]) + lit
+            elif len(lit) <= 256:
+                body += bytes([0xF0, len(lit) - 1]) + lit  # 1-byte escape
             else:
-                stream += bytes([((4 - 1) << 2) | 2, 4, 0])  # copy-2 len 4 off 4
-            pos += 4
-    assert blosc.snappy_decompress(bytes(stream), len(data)) == data
+                body += bytes([0xF4]) + (len(lit) - 1).to_bytes(2, "little") + lit
+            expected += lit
+            continue
+        kind = int(rng.integers(1, 4))
+        if kind == 1:  # copy-1: 3-bit length-4, 11-bit offset
+            ln = int(rng.integers(4, 12))
+            off = int(rng.integers(1, min(len(expected), 2047) + 1))
+            body += bytes([((ln - 4) << 2) | (off >> 8) << 5 | 1, off & 0xFF])
+        else:  # copy-2 / copy-4: 6-bit length-1, 2/4-byte LE offset
+            ln = int(rng.integers(1, 65))
+            off = int(rng.integers(1, len(expected) + 1))
+            body += bytes([((ln - 1) << 2) | kind]) + off.to_bytes(2 * (kind - 1), "little")
+        for _i in range(ln):  # the spec's copy semantics, byte at a time
+            expected.append(expected[-off])
+    stream = snappy_varint(len(expected)) + bytes(body)
+    assert blosc.snappy_decompress(stream, len(expected)) == bytes(expected)
