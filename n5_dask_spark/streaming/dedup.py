@@ -15,7 +15,6 @@ evicted) — the only dedup shape that survives an unbounded stream.
 
 from __future__ import annotations
 
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -24,7 +23,7 @@ from n5_dask_spark.registry import register
 
 
 def run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from n5_dask_spark.streaming.stateful import _event_stream
+    from n5_dask_spark.streaming.stateful import _event_stream, _memory_sink_name
 
     doubled = _event_stream(spark, sf_dir).unionByName(_event_stream(spark, sf_dir))
     deduped = (
@@ -33,7 +32,7 @@ def run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_unique_events"))
     )
-    sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    sink = _memory_sink_name(spark, "stream_dedup")
     q = (
         deduped.writeStream.format("memory")
         .queryName(sink)

@@ -15,7 +15,6 @@ state; AvailableNow gives incremental batch execution over the same code.
 
 from __future__ import annotations
 
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -28,7 +27,7 @@ def run_streaming_tumbling(spark: SparkSession, sf_dir: str, gap: str = "1 hour"
 
     Source construction (nanos handling, staged symlink dir, UTC tuning) is
     shared with the stateful jobs via _event_stream."""
-    from n5_dask_spark.streaming.stateful import _event_stream
+    from n5_dask_spark.streaming.stateful import _event_stream, _memory_sink_name
 
     stream = (
         _event_stream(spark, sf_dir)
@@ -39,7 +38,7 @@ def run_streaming_tumbling(spark: SparkSession, sf_dir: str, gap: str = "1 hour"
             F.expr("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)").alias("sum_value"),
         )
     )
-    sink = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
+    sink = _memory_sink_name(spark, "stream_tumbling")
     q = (
         stream.writeStream.format("memory")
         .queryName(sink)
@@ -86,7 +85,7 @@ def run_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark bounds session state; merging of late events into existing
     sessions is exactly what session_window's state store does.
     """
-    from n5_dask_spark.streaming.stateful import _event_stream
+    from n5_dask_spark.streaming.stateful import _event_stream, _memory_sink_name
 
     stream = (
         _event_stream(spark, sf_dir)
@@ -98,7 +97,7 @@ def run_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)").alias("sum_value"),
         )
     )
-    sink = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    sink = _memory_sink_name(spark, "stream_sessions")
     q = (
         stream.writeStream.format("memory")
         .queryName(sink)

@@ -12,13 +12,12 @@ O(users x 1h of clicks), not O(history).
 
 from __future__ import annotations
 
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from n5_dask_spark.registry import register
-from n5_dask_spark.streaming.stateful import _event_stream
+from n5_dask_spark.streaming.stateful import _event_stream, _memory_sink_name
 
 
 def run_stream_stream_join(
@@ -53,7 +52,7 @@ def run_stream_stream_join(
         & (F.col("c_ts") <= F.col("p_ts")),
         how,
     )
-    sink = f"ss_join_{uuid.uuid4().hex[:8]}"
+    sink = _memory_sink_name(spark, "ss_join")
     q = (
         joined.writeStream.format("memory")
         .queryName(sink)

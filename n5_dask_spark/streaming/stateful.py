@@ -54,7 +54,9 @@ def _staged_events_dir(sf_dir: str) -> str:
     target = table_path(sf_dir, "events")
     if link.is_symlink():
         if os.readlink(link) != target:
-            link.unlink()
+            # missing_ok: a concurrent stager may have unlinked the same
+            # stale link between our readlink and this call
+            link.unlink(missing_ok=True)
     elif link.exists():
         raise RuntimeError(f"stage path {link} is occupied by a non-symlink")
     if not link.is_symlink():
@@ -65,22 +67,65 @@ def _staged_events_dir(sf_dir: str) -> str:
     return str(stage)
 
 
+_LIVE_SINKS: dict[str, str] = {}
+
+
+def _memory_sink_name(spark: SparkSession, family: str) -> str:
+    """Unique memory-sink table name, dropping the PREVIOUS invocation's
+    table of the same family first. Memory sinks materialize in the
+    driver, so without this every re-run of a streaming query (the
+    bench's repeated timing passes) leaks one fully-materialized temp
+    view for the session's lifetime. The current invocation's table must
+    stay registered — runners return a lazy DataFrame over it — so the
+    bound is one live table per family, not zero."""
+    prev = _LIVE_SINKS.get(family)
+    if prev is not None:
+        try:
+            spark.catalog.dropTempView(prev)
+        except Exception:
+            pass  # already gone or a different session; the new name still works
+    name = f"{family}_{uuid.uuid4().hex[:8]}"
+    _LIVE_SINKS[family] = name
+    return name
+
+
+def _nanos_safe_schema(spark: SparkSession, path: str):
+    """Schema-read a parquet source that may hold TIMESTAMP(NANOS).
+
+    The nanos-as-int64 conf must be set BEFORE the footer read — a fresh
+    session cannot even infer the schema of a TIMESTAMP(NANOS) file
+    without it ('Illegal Parquet type'), so every streaming entry point
+    goes through here rather than relying on an earlier events read
+    having set the conf as a side effect."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(path).schema
+
+
+def _ts_to_timestamp(df: DataFrame, schema) -> DataFrame:
+    """Normalize the dual-width ts column for watermarking: ts has shipped
+    as both TIMESTAMP(NANOS) (int64 under the legacy conf — CAST(long AS
+    timestamp) would read it as SECONDS and wreck the watermark) and
+    TIMESTAMP(MICROS)/NTZ (plain cast). Watermarks need TIMESTAMP, which
+    under the UTC session tz preserves the wall clock exactly. The batch
+    side's TIMESTAMP_NTZ variant lives in catalog.load_table — the target
+    types differ deliberately, so these two are not merged."""
+    from pyspark.sql.types import LongType
+
+    if isinstance(schema["ts"].dataType, LongType):
+        return df.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from n5_dask_spark.session import tune_session
 
     tune_session(spark)  # shuffle partitions / tz for driver-owned sessions
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
-    stream = spark.readStream.schema(raw_schema).parquet(_staged_events_dir(sf_dir))
-    # ts has shipped as both TIMESTAMP(NANOS) (read as int64 via the legacy
-    # conf) and TIMESTAMP(MICROS) (read as NTZ): either way watermarks need
-    # a plain TIMESTAMP, which under the UTC session tz preserves the wall
-    # clock exactly.
-    from pyspark.sql.types import LongType
+    from n5_dask_spark.catalog import _read_cached
 
-    if isinstance(raw_schema["ts"].dataType, LongType):
-        return stream.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
-    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = _read_cached(spark, sf_dir, "events").schema  # footer read cached
+    stream = spark.readStream.schema(raw_schema).parquet(_staged_events_dir(sf_dir))
+    return _ts_to_timestamp(stream, raw_schema)
 
 
 def run_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -115,7 +160,7 @@ def run_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    sink = f"stateful_totals_{uuid.uuid4().hex[:8]}"
+    sink = _memory_sink_name(spark, "stateful_totals")
     q = out.writeStream.format("memory").queryName(sink).outputMode("update").trigger(
         availableNow=True
     ).start()
@@ -143,7 +188,7 @@ def run_watermark_append(
         .groupBy(F.window("ts", window).alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    sink = f"wm_append_{uuid.uuid4().hex[:8]}"
+    sink = _memory_sink_name(spark, "wm_append")
     q = agg.writeStream.format("memory").queryName(sink).outputMode("append").trigger(
         availableNow=True
     ).start()
@@ -211,19 +256,11 @@ def run_windowed_append_incremental(
     from n5_dask_spark.session import tune_session
 
     tune_session(spark)
-    schema = spark.read.parquet(source_dir).schema
-    stream = spark.readStream.schema(schema).parquet(source_dir)
-    # Same dual-width guard as _event_stream: with the session-wide
-    # nanosAsLong conf set (by any prior events read), a TIMESTAMP(NANOS)
-    # source arrives as int64 — CAST(long AS timestamp) would read it as
-    # SECONDS since epoch, silently wrecking the watermark. NTZ sources
-    # just cast; under the UTC session tz that preserves the wall clock.
-    from pyspark.sql.types import LongType
-
-    if isinstance(schema["ts"].dataType, LongType):
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
-    else:
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    # _nanos_safe_schema sets the legacy conf itself: previously this path
+    # only worked if some earlier events read had set it session-wide, and
+    # a fresh session failed at the footer read for TIMESTAMP(NANOS) input
+    schema = _nanos_safe_schema(spark, source_dir)
+    stream = _ts_to_timestamp(spark.readStream.schema(schema).parquet(source_dir), schema)
     agg = (
         stream.withWatermark("ts", delay)
         .groupBy(F.window("ts", window).alias("w"))
@@ -244,13 +281,17 @@ def run_windowed_append_incremental(
 def run_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     """Streaming -> foreachBatch -> parquet files; returns (path, batches).
 
-    Content-addressed output dir (cleared per run): repeated invocations
-    reuse one path instead of leaking a uuid directory per call."""
+    Output dir is content-addressed AND pid-keyed (cleared per run):
+    repeated invocations in one process reuse one path instead of leaking
+    a uuid directory per call, while concurrent harness processes on the
+    same sf_dir never rmtree each other's in-flight batch output (the same
+    discipline streaming_incremental_restart applies to its scratch)."""
     import hashlib as _hashlib
     import shutil as _shutil
 
     out_dir = os.path.join(
-        tempfile.gettempdir(), f"n5ds_fb_{_hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+        tempfile.gettempdir(),
+        f"n5ds_fb_{_hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_p{os.getpid()}",
     )
     _shutil.rmtree(out_dir, ignore_errors=True)
     batches: list[int] = []

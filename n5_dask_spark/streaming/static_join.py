@@ -6,7 +6,6 @@ and broadcast, no stream state needed for the join itself).
 
 from __future__ import annotations
 
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -16,7 +15,7 @@ from n5_dask_spark.registry import register
 
 
 def run_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from n5_dask_spark.streaming.stateful import _event_stream
+    from n5_dask_spark.streaming.stateful import _event_stream, _memory_sink_name
 
     customers = load_tables(spark, sf_dir, ("customer",))["customer"].select(
         "c_custkey", "c_mktsegment"
@@ -32,7 +31,7 @@ def run_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)").alias("sum_value"),
         )
     )
-    sink = f"stream_static_{uuid.uuid4().hex[:8]}"
+    sink = _memory_sink_name(spark, "stream_static")
     q = (
         enriched.writeStream.format("memory")
         .queryName(sink)

@@ -157,3 +157,36 @@ def test_windowed_append_exactly_once_across_restarts(spark, tmp_path):
     assert got == {h: 5 for h in [*range(0, 6), *range(8, 12)]}
     base = datetime.datetime(2026, 1, 1)
     assert all(r["win_start"].date() == base.date() for r in rows)
+
+
+def test_windowed_append_reads_nanos_source_without_prior_conf(spark, tmp_path):
+    """Regression: run_windowed_append_incremental must be able to
+    schema-read a TIMESTAMP(NANOS) source in a session where no earlier
+    events read happened to set spark.sql.legacy.parquet.nanosAsLong —
+    the entry point sets the conf itself (via _nanos_safe_schema) before
+    the footer read, then routes the int64 column through the
+    nanos-to-micros watermark cast."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from n5_dask_spark.streaming.stateful import run_windowed_append_incremental
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = datetime.datetime(2026, 1, 1)
+    ts = [base + datetime.timedelta(hours=h, minutes=m) for h in range(6) for m in (0, 30)]
+    pq.write_table(
+        pa.table({"ts": pa.array(ts, type=pa.timestamp("ns"))}),
+        src / "a.parquet",
+    )
+    try:
+        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    except Exception:
+        pass  # was never set in this session
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    run_windowed_append_incremental(spark, str(src), out, ckpt)
+    got = {r["win_start"].hour: r["n_events"] for r in spark.read.parquet(out).collect()}
+    # max ts 5:30, watermark 4:30 -> windows ending 1:00..4:00 close
+    assert got == {h: 2 for h in range(0, 4)}
