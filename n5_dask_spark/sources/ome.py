@@ -146,7 +146,10 @@ def ome_tif_to_n5(
             raise  # channel count is underivable without the XML
         meta = None  # plain multi-page TIFF: keep the legacy 'cz' default
     if meta is not None:
-        if meta.size_t > 1 and (n_channels is None or dim_order is None):
+        # unconditional: the page->(c,z) mapping below has no time axis, so
+        # with SizeT>1 ANY cz/zc assignment interleaves channel and time
+        # data — explicit n_channels/dim_order args must not bypass this
+        if meta.size_t > 1:
             raise ValueError(f"time series unsupported (SizeT={meta.size_t})")
         n_channels = meta.size_c if n_channels is None else n_channels
         dim_order = meta.dim_order if dim_order is None else dim_order
@@ -160,8 +163,24 @@ def ome_tif_to_n5(
     # driver regardless of file size.
     endian, offsets = tiff_page_offsets_file(image_path)
     n_pages = len(offsets)
+    if not isinstance(n_channels, int) or n_channels < 1:
+        raise ValueError(f"n_channels must be a positive int, got {n_channels!r}")
     if n_pages % n_channels:
         raise ValueError(f"{n_pages} pages not divisible by {n_channels} channels")
+    if meta is not None:
+        # the XML's declared geometry must match the file: a truncated file
+        # or a contradicting explicit n_channels would otherwise pass the
+        # divisibility check and scramble the page->(c,z) assignment
+        declared = meta.size_c * meta.size_z
+        if n_pages != declared:
+            raise ValueError(
+                f"{n_pages} pages but OME-XML declares SizeC={meta.size_c} x "
+                f"SizeZ={meta.size_z} = {declared} (truncated or inconsistent file)"
+            )
+        if n_channels != meta.size_c:
+            raise ValueError(
+                f"n_channels={n_channels} contradicts the OME-XML SizeC={meta.size_c}"
+            )
     n_z = n_pages // n_channels
     first = decode_tiff_page_file(image_path, offsets[0], endian)
     dims_xyz = [first.shape[1], first.shape[0], n_z]
@@ -213,5 +232,7 @@ def ome_tif_to_n5(
 
 
 def channel_dataset(group: str, c: int, dataset: str = "s0") -> str:
-    """T6 channel select: path of one channel's dataset."""
-    return f"{group}/c{c}/{dataset}"
+    """T6 channel select: path of one channel's dataset. Mirrors the write
+    path's joining rule — an empty group yields 'c{c}/{dataset}' with no
+    leading '/' (os.path.join would treat that as an absolute path)."""
+    return "/".join(p for p in (group.strip("/"), f"c{c}", dataset) if p)

@@ -63,11 +63,14 @@ def encode_tiff(arr: np.ndarray) -> bytes:
     data = np.ascontiguousarray(arr.astype(arr.dtype.newbyteorder("<"))).tobytes()
     h, w = arr.shape
     bits = arr.dtype.itemsize * 8
-    # header(8) + payload, IFD after payload
-    ifd_offset = 8 + len(data)
+    # header(8) + payload (padded to even: the TIFF spec requires IFDs to
+    # begin on a word boundary), IFD after payload
+    pad = len(data) % 2
+    ifd_offset = 8 + len(data) + pad
     out = bytearray()
     out += struct.pack("<2sHI", b"II", 42, ifd_offset)
     out += data
+    out += b"\x00" * pad
     entries = [
         (_W, 3, 1, w),
         (_H, 3, 1, h),
@@ -143,7 +146,11 @@ def tiff_page_offsets(buf: bytes) -> tuple[str, list[int]]:
     if magic != 42:
         raise ValueError("not a classic TIFF (BigTIFF unsupported)")
     offsets = []
+    seen: set[int] = set()
     while ifd_off != 0:
+        if ifd_off in seen:  # corrupt next-IFD pointer looping back
+            raise ValueError(f"TIFF IFD chain cycles back to offset {ifd_off}")
+        seen.add(ifd_off)
         offsets.append(ifd_off)
         _, ifd_off = _parse_ifd(buf, endian, ifd_off)
     return endian, offsets
@@ -202,10 +209,28 @@ def tiff_page_offsets_file(path: str) -> tuple[str, list[int]]:
         if magic != 42:
             raise ValueError("not a classic TIFF (BigTIFF unsupported)")
         offsets = []
+        seen: set[int] = set()
         while ifd_off != 0:
+            if ifd_off in seen:  # corrupt next-IFD pointer looping back
+                raise ValueError(f"TIFF IFD chain cycles back to offset {ifd_off}")
+            seen.add(ifd_off)
             offsets.append(ifd_off)
             _, ifd_off = _parse_ifd_file(f, endian, ifd_off)
     return endian, offsets
+
+
+def tiff_probe_file(path: str) -> tuple[tuple[int, int], np.dtype]:
+    """(h, w) and native-order dtype of page 0 from header/IFD reads only —
+    no pixel I/O. The driver-side dims/dtype probe for series import; a
+    whole-file read-and-decode would pull an entire (possibly huge) slice
+    into driver memory just to learn its shape."""
+    endian, offsets = tiff_page_offsets_file(path)
+    with open(path, "rb") as f:
+        tags, _ = _parse_ifd_file(f, endian, offsets[0])
+    w, h = tags[_W][0], tags[_H][0]
+    bits = tags[_BITS][0]
+    kind = _FMT_KIND[tags.get(_SFMT, [1])[0]]
+    return (h, w), np.dtype(f"{endian}{kind}{bits // 8}").newbyteorder("=")
 
 
 def decode_tiff_page_file(path: str, ifd_offset: int, endian: str) -> np.ndarray:
@@ -261,6 +286,8 @@ def encode_tiff_pages(arrs: list[np.ndarray], description: str | None = None) ->
         data = np.ascontiguousarray(arr.astype(arr.dtype.newbyteorder("<"))).tobytes()
         payload_offsets.append(len(out))
         out += data
+        if len(out) % 2:
+            out += b"\x00"  # word-align the next strip/IFD (TIFF spec rule)
         datas.append(data)
     prev_ptr_pos = ifd_ptr_pos
     for page, (arr, data, poff) in enumerate(zip(arrs, datas, payload_offsets)):
@@ -377,21 +404,30 @@ def tif_series_to_n5(
     Each slice decodes into a (1, Y, X) block; the standard rechunk shuffle
     re-tiles to the requested block grid; one task writes each block."""
     slices = tif_series_scan(spark, input_dir)
-    # dims/dtype probe driver-side from the glob (one small header+strip
-    # read) — running the binaryFile scan for limit(1) and count() would
-    # execute the whole scan+join plan twice more per import
+    # dims/dtype probe driver-side from the glob (header/IFD reads only,
+    # no pixel I/O) — running the binaryFile scan for limit(1) and count()
+    # would execute the whole scan+join plan twice more per import
     files = sorted(_glob.glob(os.path.join(input_dir, "*.tif")))
-    with open(files[0], "rb") as f:
-        first = decode_tiff(f.read())
+    (probe_h, probe_w), probe_dt = tiff_probe_file(files[0])
     n_z = len(files)
-    src_type = data_type_of(first.dtype)
-    dims_xyz = [first.shape[1], first.shape[0], n_z]
+    src_type = data_type_of(probe_dt)
+    dims_xyz = [probe_w, probe_h, n_z]
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for z, raw in zip(pdf["z"], pdf["raw"]):
-                arr = decode_tiff(bytes(raw))[None, :, :]  # (1, Y, X)
+                arr = decode_tiff(bytes(raw))
+                # every slice must match the probe: a mismatched shape would
+                # otherwise be silently clipped/zero-padded by the rechunk
+                # kernel, and a same-width dtype reinterpreted bit-for-bit
+                if arr.shape != (probe_h, probe_w) or arr.dtype != probe_dt:
+                    raise ValueError(
+                        f"slice z={int(z)} is {arr.shape} {arr.dtype}; the series "
+                        f"probe says ({probe_h}, {probe_w}) {probe_dt} — all "
+                        "slices of a series must share one shape and dtype"
+                    )
+                arr = arr[None, :, :]  # (1, Y, X)
                 rows.append((0, 0, int(z), list(arr.shape), arr.tobytes()))
             yield pd.DataFrame(rows, columns=["gx", "gy", "gz", "shape_zyx", "data"])
 
@@ -435,23 +471,46 @@ def n5_to_tif_series(
     dt = np_dtype(slice_attrs.data_type)
 
     def sink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        n = 0
+        written = []
         for pdf in batches:
             for gz, shape, data in zip(pdf["gz"], pdf["shape_zyx"], pdf["data"]):
                 arr = np.frombuffer(bytes(data), dtype=dt).reshape(list(shape))[0]
                 write_tiff(os.path.join(output_dir, f"{prefix}{int(gz):05d}.tif"), arr)
-                n += 1
-        yield pd.DataFrame({"written": [n]})
+                written.append(int(gz))
+        yield pd.DataFrame({"gz": written})
 
-    total = (
-        slice_blocks.repartition(
+    written = {
+        int(r["gz"])
+        for r in slice_blocks.repartition(
             max(1, spark.sparkContext.defaultParallelism), "gz"
         )
-        .mapInPandas(sink, schema="written long")
-        .agg(F.sum("written"))
-        .collect()[0][0]
-    )
-    return int(total or 0)
+        .mapInPandas(sink, schema="gz int")
+        .collect()
+    }
+    # Sparse N5 is legal (absent blocks = fill value) and the rechunk
+    # shuffle emits no row for an all-absent z slab, so those slices get no
+    # file above. Leaving gaps would make a re-import COMPACT the series
+    # (z is assigned by sorted-file position, reference imread semantics)
+    # and silently shift the volume — fill the gaps with zero slices.
+    missing = [z for z in range(slice_attrs.dimensions[2]) if z not in written]
+    if missing:
+        y, x = slice_attrs.dimensions[1], slice_attrs.dimensions[0]
+
+        def zero_sink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            n = 0
+            for pdf in batches:
+                for gz in pdf["gz"]:
+                    write_tiff(
+                        os.path.join(output_dir, f"{prefix}{int(gz):05d}.tif"),
+                        np.zeros((y, x), dtype=dt),
+                    )
+                    n += 1
+            yield pd.DataFrame({"n": [n]})
+
+        spark.createDataFrame([(z,) for z in missing], "gz int").repartition(
+            max(1, min(len(missing), spark.sparkContext.defaultParallelism))
+        ).mapInPandas(zero_sink, schema="n long").collect()
+    return len(written) + len(missing)
 
 
 def n5_region_to_tif(

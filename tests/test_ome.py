@@ -227,3 +227,70 @@ def test_ome_bad_channel_count(spark):
         f.write(encode_tiff_pages(pages))
     with pytest.raises(ValueError, match="not divisible"):
         ome_tif_to_n5(spark, path, temp_container(), "img", [4, 4, 1], n_channels=2)
+
+
+# --- round-6 review regressions --------------------------------------------
+
+
+def test_ome_time_series_rejected_even_with_explicit_args(spark):
+    """Explicit n_channels/dim_order must NOT bypass the SizeT guard: the
+    page->(c,z) mapping has no time axis, so any assignment would
+    interleave channel and time data."""
+    from n5_dask_spark.sources.ome import ome_tif_to_n5
+    from n5_dask_spark.sources.n5.writer import temp_container
+    from n5_dask_spark.sources.tiff import encode_tiff_pages
+
+    pages = [np.zeros((4, 4), dtype="u2")] * 12
+    path = os.path.join(tempfile.gettempdir(), f"ome-{uuid.uuid4().hex[:6]}.tif")
+    with open(path, "wb") as f:
+        f.write(encode_tiff_pages(pages, description=_ome_xml(2, 3, "XYZCT", size_t=2)))
+    with pytest.raises(ValueError, match="SizeT"):
+        ome_tif_to_n5(
+            spark, path, temp_container(), "img", [4, 4, 1], n_channels=2, dim_order="cz"
+        )
+
+
+def test_ome_page_count_must_match_xml(spark):
+    """A truncated file (fewer pages than SizeC x SizeZ) or an explicit
+    n_channels contradicting SizeC must refuse, not scramble pages."""
+    from n5_dask_spark.sources.ome import ome_tif_to_n5
+    from n5_dask_spark.sources.n5.writer import temp_container
+    from n5_dask_spark.sources.tiff import encode_tiff_pages
+
+    # XML says 2x10=20 pages; file has 16 (divisible by 2 -> the old code
+    # proceeded with n_z=8, assigning channel-0 z=8..9 pages to channel 1)
+    pages = [np.zeros((4, 4), dtype="u2")] * 16
+    path = os.path.join(tempfile.gettempdir(), f"ome-{uuid.uuid4().hex[:6]}.tif")
+    with open(path, "wb") as f:
+        f.write(encode_tiff_pages(pages, description=_ome_xml(2, 10, "XYCZT")))
+    with pytest.raises(ValueError, match="truncated or inconsistent"):
+        ome_tif_to_n5(spark, path, temp_container(), "img", [4, 4, 1])
+
+    pages = [np.zeros((4, 4), dtype="u2")] * 12
+    path2 = os.path.join(tempfile.gettempdir(), f"ome-{uuid.uuid4().hex[:6]}.tif")
+    with open(path2, "wb") as f:
+        f.write(encode_tiff_pages(pages, description=_ome_xml(3, 4, "XYCZT")))
+    with pytest.raises(ValueError, match="contradicts"):
+        ome_tif_to_n5(spark, path2, temp_container(), "img", [4, 4, 1], n_channels=2)
+
+
+def test_ome_invalid_n_channels_refused(spark):
+    from n5_dask_spark.sources.ome import ome_tif_to_n5
+    from n5_dask_spark.sources.n5.writer import temp_container
+    from n5_dask_spark.sources.tiff import encode_tiff_pages
+
+    pages = [np.zeros((4, 4), dtype="u1")] * 4
+    path = os.path.join(tempfile.gettempdir(), f"plain-{uuid.uuid4().hex[:6]}.tif")
+    with open(path, "wb") as f:
+        f.write(encode_tiff_pages(pages))  # no OME-XML: plain multi-page
+    for bad in (0, -2):
+        with pytest.raises(ValueError, match="positive int"):
+            ome_tif_to_n5(spark, path, temp_container(), "img", [4, 4, 1], n_channels=bad)
+
+
+def test_channel_dataset_empty_group_has_no_leading_slash():
+    from n5_dask_spark.sources.ome import channel_dataset
+
+    assert channel_dataset("", 0) == "c0/s0"
+    assert channel_dataset("grp", 1) == "grp/c1/s0"
+    assert channel_dataset("/grp/", 2, "s1") == "grp/c2/s1"

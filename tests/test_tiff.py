@@ -109,3 +109,108 @@ def test_tif_dtype_cast_on_export(spark):
     np.testing.assert_array_equal(arr, fixture_volume_xyz()[:, :, 0].T.astype("u2"))
     with pytest.raises(TypeError, match="unsafe"):
         n5_to_tif_series(spark, FIXTURE, FIXTURE_DS, tmpdir(), dtype_override="int8")
+
+
+# --- round-6 review regressions --------------------------------------------
+
+
+def test_sparse_n5_export_fills_missing_slices(spark):
+    """A sparse N5 container (absent blocks = fill value) must export a
+    COMPLETE slice series: gaps in the numbering would make a re-import
+    compact the series (z comes from sorted-file position) and silently
+    shift the volume in z."""
+    from n5_dask_spark.sources.n5.reader import read_full
+    from n5_dask_spark.sources.n5.writer import temp_container, write_array
+    from n5_dask_spark.sources.tiff import n5_to_tif_series, read_tiff, tif_series_to_n5
+
+    rng = np.random.default_rng(21)
+    vol = rng.integers(1, 255, (8, 8, 12), dtype=np.uint8)  # xyz, 3 z-blocks
+    vol[:, :, 4:8] = 0  # middle z-block all background
+    c = temp_container()
+    write_array(spark, vol, c, "a/s0", block_size=[8, 8, 4])
+    # sparsify: remove the all-zero middle block file if present, else
+    # confirm the writer already skipped it — either way z=4..7 has no block
+    mid = os.path.join(c, "a/s0", "0", "0", "1")
+    if os.path.exists(mid):
+        os.remove(mid)
+    out_dir = tmpdir()
+    n = n5_to_tif_series(spark, c, "a/s0", out_dir)
+    assert n == 12
+    files = sorted(glob.glob(f"{out_dir}/*.tif"))
+    assert len(files) == 12  # no gaps
+    np.testing.assert_array_equal(read_tiff(files[5]), np.zeros((8, 8), np.uint8))
+    c2 = temp_container()
+    tif_series_to_n5(spark, out_dir, c2, "a/s0", [8, 8, 4])
+    np.testing.assert_array_equal(read_full(spark, c2, "a/s0"), vol)
+
+
+def test_ifd_cycle_raises():
+    from n5_dask_spark.sources.tiff import encode_tiff, tiff_page_offsets
+
+    buf = bytearray(encode_tiff(np.zeros((2, 2), np.uint8)))
+    # point the next-IFD pointer (last 4 bytes) back at the first IFD
+    import struct
+
+    (ifd_off,) = struct.unpack_from("<I", buf, 4)
+    struct.pack_into("<I", buf, len(buf) - 4, ifd_off)
+    with pytest.raises(ValueError, match="cycles"):
+        tiff_page_offsets(bytes(buf))
+
+
+def test_odd_payload_pages_stay_word_aligned():
+    """TIFF requires IFDs (and value offsets) on word boundaries; odd-sized
+    strips must be padded, not shift every later structure to odd offsets."""
+    import struct
+
+    from n5_dask_spark.sources.tiff import (
+        decode_tiff_page,
+        encode_tiff,
+        encode_tiff_pages,
+        tiff_page_offsets,
+    )
+
+    one = encode_tiff(np.arange(9, dtype=np.uint8).reshape(3, 3))  # 9-byte strip
+    (ifd_off,) = struct.unpack_from("<I", one, 4)
+    assert ifd_off % 2 == 0
+    pages = [np.full((3, 3), i, np.uint8) for i in range(4)]  # odd strips
+    buf = encode_tiff_pages(pages, description="odd")
+    _, offsets = tiff_page_offsets(buf)
+    assert all(o % 2 == 0 for o in offsets)
+    for i in range(4):
+        np.testing.assert_array_equal(decode_tiff_page(buf, i), pages[i])
+
+
+def test_series_with_mismatched_slice_refused(spark):
+    from n5_dask_spark.sources.n5.writer import temp_container
+    from n5_dask_spark.sources.tiff import tif_series_to_n5, write_tiff
+
+    src = tmpdir()
+    write_tiff(os.path.join(src, "slice00000.tif"), np.zeros((8, 8), np.uint8))
+    write_tiff(os.path.join(src, "slice00001.tif"), np.zeros((4, 8), np.uint8))
+    with pytest.raises(Exception, match="must share one shape and dtype"):
+        tif_series_to_n5(spark, src, temp_container(), "a/s0", [8, 8, 2])
+
+
+def test_series_scan_with_hostile_filenames(spark):
+    """binaryFile's path column is NOT URI-encoded in this Spark (pinned
+    empirically: space/%/#/+ come back raw), so the basename join in
+    tif_series_scan matches files with such names. This test is the canary
+    if a Spark upgrade changes that encoding."""
+    from n5_dask_spark.sources.tiff import tif_series_scan, write_tiff
+
+    src = tmpdir()
+    names = ["my slice 1.tif", "a%20b 2.tif", "pl+us#3.tif"]
+    for i, nm in enumerate(names):
+        write_tiff(os.path.join(src, nm), np.full((4, 4), i, np.uint8))
+    rows = tif_series_scan(spark, src).collect()
+    assert sorted(r["z"] for r in rows) == [0, 1, 2]
+
+
+def test_probe_reads_header_only():
+    from n5_dask_spark.sources.tiff import tiff_probe_file, write_tiff
+
+    path = os.path.join(tmpdir(), "p.tif")
+    write_tiff(path, np.zeros((6, 9), np.uint16))
+    (h, w), dt = tiff_probe_file(path)
+    assert (h, w) == (6, 9)
+    assert dt == np.dtype("uint16")
