@@ -77,12 +77,23 @@ class N5Reader(DataSourceReader):
             raise ValueError("n5 source requires .option('path', ...) and .option('dataset', ...)")
         self.start = options.get("start")
         self.end = options.get("end")
+        self._attrs = None
+
+    def _get_attrs(self):
+        # memoized: partitions() fills it on the driver (and it pickles to
+        # executors with the reader); without this, read() re-opened and
+        # re-parsed the same attributes.json once per block partition —
+        # a per-task metadata round-trip on network filesystems
+        if self._attrs is None:
+            from n5_dask_spark.sources.n5.metadata import read_attributes
+
+            self._attrs = read_attributes(self.container, self.dataset)
+        return self._attrs
 
     def partitions(self) -> Sequence[N5BlockPartition]:
-        from n5_dask_spark.sources.n5.metadata import read_attributes
         from n5_dask_spark.sources.n5.reader import overlapping_blocks
 
-        attrs = read_attributes(self.container, self.dataset)
+        attrs = self._get_attrs()
         if self.start and self.end:
             grids = overlapping_blocks(
                 attrs,
@@ -102,9 +113,8 @@ class N5Reader(DataSourceReader):
 
     def read(self, partition: N5BlockPartition) -> Iterator[tuple]:
         from n5_dask_spark.sources.n5.codec import decode_block
-        from n5_dask_spark.sources.n5.metadata import read_attributes
 
-        attrs = read_attributes(self.container, self.dataset)
+        attrs = self._get_attrs()
         try:
             with open(partition.path, "rb") as f:
                 raw = f.read()

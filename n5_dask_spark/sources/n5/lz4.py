@@ -338,9 +338,19 @@ def frame_decompress(raw: bytes) -> bytes:
         pos += 21
         if dlen == 0:
             break  # end marker
+        # negative lengths are corruption: a negative clen would slice
+        # empty AND move pos backwards, spinning this loop forever
+        if clen < 0 or dlen < 0:
+            raise ValueError(f"LZ4Block chunk with negative length (clen={clen}, dlen={dlen})")
+        if pos + clen > n:
+            raise ValueError("LZ4Block chunk truncated mid-payload")
         data = raw[pos : pos + clen]
         pos += clen
         if method == METHOD_RAW:
+            if clen != dlen:
+                raise ValueError(
+                    f"raw LZ4Block chunk stores {clen} bytes but declares {dlen}"
+                )
             chunk = bytes(data)
         elif method == METHOD_LZ4:
             chunk = lz4_block_decompress(data, dlen)

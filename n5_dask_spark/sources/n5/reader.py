@@ -111,23 +111,25 @@ def scan_block_files(
     degrades to fill-value instead of failing the job.
 
     A fully-sparse dataset (attributes.json, zero block files) is legal N5
-    and scans as an EMPTY DataFrame, not an error."""
+    and scans as an EMPTY DataFrame, not an error.
+
+    The output ALWAYS carries all three coordinate columns — for
+    ndim < 3 the missing ones are constant 0 — so downstream block
+    operators (decoded_blocks, block_stats, rechunk) are ndim-agnostic.
+    Non-block files the glob can sweep up (ndim=1's '*' matches the
+    dataset's own attributes.json) are dropped by the numeric-path
+    filter rather than decoded as blocks."""
     tune_session(spark)
     glob = "/".join(["*"] * ndim)
 
     def _empty() -> DataFrame:
-        from pyspark.sql.types import (
-            BinaryType as _B,
-            IntegerType as _I,
-            LongType as _L,
-            StringType as _S,
-            StructField as _F,
-            StructType as _T,
-        )
-
-        schema = _T(
-            [_F(c, _I()) for c in ("gx", "gy", "gz")[:ndim]]
-            + [_F("length", _L()), _F("raw", _B()), _F("path", _S())]
+        schema = StructType(
+            [StructField(c, IntegerType()) for c in ("gx", "gy", "gz")]
+            + [
+                StructField("length", LongType()),
+                StructField("raw", BinaryType()),
+                StructField("path", StringType()),
+            ]
         )
         return spark.createDataFrame([], schema)
 
@@ -154,7 +156,14 @@ def scan_block_files(
             df = reader.load(alive)  # a second racing delete fails loudly
     else:
         try:
-            df = spark.read.format("binaryFile").load(os.path.join(container, dataset, glob))
+            # ignoreMissingFiles here too: a block sparsified between the
+            # glob listing and the task read degrades to fill-value (the
+            # documented sparse contract) instead of failing the whole job
+            df = (
+                spark.read.format("binaryFile")
+                .option("ignoreMissingFiles", "true")
+                .load(os.path.join(container, dataset, glob))
+            )
         except Exception as exc:  # binaryFile raises when the glob matches nothing
             if not _is_missing_path(exc):
                 raise
@@ -164,8 +173,13 @@ def scan_block_files(
     cols = [
         F.regexp_extract("path", pat, i + 1).cast("int").alias(c)
         for i, c in enumerate(("gx", "gy", "gz")[:ndim])
-    ]
-    return df.select(*cols, F.col("length"), F.col("content").alias("raw"), F.col("path"))
+    ] + [F.lit(0).alias(c) for c in ("gx", "gy", "gz")[ndim:]]
+    out = df.select(*cols, F.col("length"), F.col("content").alias("raw"), F.col("path"))
+    # a non-numeric tail (attributes.json swept up by a short glob, stray
+    # files) extracts "" -> null after the int cast: drop, don't decode
+    return out.filter(
+        F.col("gx").isNotNull() & F.col("gy").isNotNull() & F.col("gz").isNotNull()
+    )
 
 
 def decoded_blocks(

@@ -333,7 +333,15 @@ def build_multiscale(
     level = 0
     cur_dataset, cur_attrs = base, attrs0
     while True:
-        if all(d <= t for d, t in zip(cur_attrs.dimensions, thumb)):
+        # an axis with factor 1 never shrinks, so it must not hold the loop
+        # open: with anisotropic factors like (2,2,1) — standard for thin-z
+        # microscopy — requiring ALL dims <= thumb would iterate forever
+        # once the shrinking axes bottom out. Stop when every axis is
+        # either small enough or can no longer shrink.
+        if all(
+            d <= t or f <= 1
+            for d, t, f in zip(cur_attrs.dimensions, thumb, factors_xyz)
+        ):
             break
         level += 1
         cum = [float(f**level) for f in factors_xyz]

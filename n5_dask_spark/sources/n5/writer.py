@@ -182,6 +182,21 @@ def write_region(
 
     attrs = read_attributes(container, dataset)
     end_xyz = [s + d for s, d in zip(start_xyz, region_xyz.shape)]
+    if len(start_xyz) != attrs.ndim or region_xyz.ndim != attrs.ndim:
+        raise ValueError(
+            f"region is {region_xyz.ndim}-D at a {len(start_xyz)}-D start; "
+            f"dataset is {attrs.ndim}-D"
+        )
+    # out-of-bounds voxels would otherwise be SILENTLY dropped (b1 clamps
+    # to the dataset dims) or, fully past the dims, emit a zero-extent
+    # block file outside the legal grid
+    if any(s < 0 for s in start_xyz) or any(
+        e > d for e, d in zip(end_xyz, attrs.dimensions)
+    ):
+        raise ValueError(
+            f"region [{start_xyz}, {end_xyz}) is outside the dataset "
+            f"dimensions {attrs.dimensions}"
+        )
     bs = attrs.block_size
     dt = np_dtype(attrs.data_type)
     ndim = attrs.ndim

@@ -213,3 +213,79 @@ def test_decode_image_without_pillow_raises():
         pytest.skip("pillow installed: the loud-stub path is not reachable")
     with pytest.raises(NotImplementedError, match="pillow"):
         multimodal.decode_image(b"\x89PNG\r\n")
+
+
+def test_2d_dataset_block_operators(spark):
+    """decoded_blocks / block_stats on a 2-D dataset: the scan pads the
+    missing gz column with 0 so block operators are ndim-agnostic
+    (previously KeyError 'gz' inside the executor UDF)."""
+    from n5_dask_spark.sources.n5.reader import block_stats, decoded_blocks
+    from n5_dask_spark.sources.n5.writer import temp_container, write_array
+
+    arr = np.arange(48, dtype="u1").reshape(8, 6).T  # xyz = (6, 8)
+    c = temp_container()
+    write_array(spark, np.ascontiguousarray(arr), c, "img/s0", [4, 4])
+    rows = decoded_blocks(spark, c, "img/s0").collect()
+    assert len(rows) == 4  # 2x2 grid
+    assert all(r["gz"] == 0 for r in rows)
+    st = block_stats(spark, c, "img/s0").collect()
+    assert sum(r["n_elems"] for r in st) == 48
+    assert sum(r["vsum"] for r in st) == float(arr.sum())
+
+
+def test_lz4_frame_negative_length_raises():
+    """CONFIRMED pre-fix: a crafted chunk with clen=-21 moved pos backwards
+    and spun frame_decompress forever. Corruption must raise, not hang."""
+    import struct
+
+    from n5_dask_spark.sources.n5.lz4 import (
+        DEFAULT_SEED,
+        MAGIC,
+        METHOD_RAW,
+        frame_decompress,
+        xxhash32,
+    )
+
+    evil = (
+        MAGIC
+        + bytes([METHOD_RAW | 6])
+        + struct.pack("<iii", -21, 1, xxhash32(b"", DEFAULT_SEED) & 0xFFFFFFF)
+    )
+    with pytest.raises(ValueError, match="negative length"):
+        frame_decompress(evil)
+    # truncated RAW chunk: stored bytes != declared dlen must refuse even
+    # if the checksum of the short slice happens to match
+    short = (
+        MAGIC
+        + bytes([METHOD_RAW | 6])
+        + struct.pack("<iii", 2, 4, xxhash32(b"ab", DEFAULT_SEED) & 0xFFFFFFF)
+        + b"ab"
+    )
+    with pytest.raises(ValueError, match="declares"):
+        frame_decompress(short)
+
+
+def test_multiscale_terminates_with_unit_factor(spark):
+    """Anisotropic factors like (2,2,1) — standard for thin-z microscopy —
+    must stop once the shrinking axes reach the thumbnail, not loop
+    forever on the axis that never shrinks."""
+    from n5_dask_spark.sources.n5.transforms import build_multiscale
+    from n5_dask_spark.sources.n5.writer import temp_container, write_array
+
+    vol = np.arange(16 * 16 * 3, dtype="u2").reshape(16, 16, 3)
+    c = temp_container()
+    write_array(spark, vol, c, "p/s0", [4, 4, 3])
+    levels = build_multiscale(spark, c, "p", factors_xyz=(2, 2, 1))
+    # x,y shrink 16 -> 8 -> 4 (= thumbnail 4); z stays 3 throughout
+    assert levels == ["s0", "s1", "s2"]
+
+
+def test_write_region_out_of_bounds_refused(spark):
+    from n5_dask_spark.sources.n5.writer import temp_container, write_array, write_region
+
+    c = temp_container()
+    write_array(spark, np.zeros((8, 8, 8), dtype="u1"), c, "a/s0", [4, 4, 4])
+    with pytest.raises(ValueError, match="outside the dataset"):
+        write_region(spark, c, "a/s0", np.ones((4, 4, 4), dtype="u1"), [6, 0, 0])
+    with pytest.raises(ValueError, match="outside the dataset"):
+        write_region(spark, c, "a/s0", np.ones((2, 2, 2), dtype="u1"), [-1, 0, 0])
