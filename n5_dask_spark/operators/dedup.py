@@ -42,9 +42,27 @@ from n5_dask_spark.catalog import load_tables
 from n5_dask_spark.registry import register
 
 # Tokenization shared by every text operator: lowercase, collapse whitespace,
-# split on single spaces. Identical wording on both engines.
-SPARK_TOKENS = "split(regexp_replace(lower(text), '\\\\s+', ' '), ' ')"
-DUCK_TOKENS = "string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')"
+# split on single spaces. The whitespace class is spelled out EXPLICITLY on
+# both engines because '\s' is not portable: Java regex \s matches vertical
+# tab (\x0B) but DuckDB's RE2 \s does not, so documents containing \x0B
+# would tokenize differently and fail every downstream shingle/minhash/
+# simhash oracle hash. Both classes below reach their regex engine as
+# [ \t\n\x0B\f\r] (= Java's \s); the Python spellings differ because Spark
+# SQL string literals consume one level of backslash while DuckDB passes
+# them to RE2 verbatim.
+_SPARK_WS = "[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]"
+_DUCK_WS = "[ \\t\\n\\x0B\\f\\r]"
+SPARK_TOKENS = f"split(regexp_replace(lower(text), '{_SPARK_WS}+', ' '), ' ')"
+DUCK_TOKENS = f"string_split(regexp_replace(lower(text), '{_DUCK_WS}+', ' ', 'g'), ' ')"
+
+# 3-token shingle expression over a `toks` column — ONE definition shared by
+# _spark_shingles and dedup_minhash_lsh so the two can never drift.
+SPARK_SHINGLE_EXPR = (
+    "CASE WHEN size(toks) >= 3 THEN"
+    " transform(sequence(0, size(toks) - 3),"
+    " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+    " ELSE array() END"
+)
 
 N_PERM = 16  # minhash permutations
 N_BANDS = 4  # LSH bands (4 rows per band)
@@ -109,12 +127,7 @@ def _spark_shingles(df: DataFrame) -> DataFrame:
         .select(
             "doc_id",
             F.array_distinct(
-                F.expr(
-                    "CASE WHEN size(toks) >= 3 THEN"
-                    " transform(sequence(0, size(toks) - 3),"
-                    " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
-                    " ELSE array() END"
-                )
+                F.expr(SPARK_SHINGLE_EXPR)
             ).alias("shingles"),
         )
         # explode_OUTER + null filter: plain explode adds an implicit
@@ -135,9 +148,13 @@ DUCK_SHINGLES = f"""
 """
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=DUCK_SHINGLES
+# The complete MinHash-LSH candidate-pair SELECT (no trailing ORDER BY).
+# Exported because THREE oracles need the same pair graph: this query's,
+# and the two connected-components clusterers (graph.py, relational2.py) —
+# composing from one string keeps them from drifting when the
+# tokenization, N_PERM or N_BANDS change.
+DUCK_MINHASH_PAIRS = (
+    DUCK_SHINGLES
     + f"""
     , hashes AS (
       SELECT doc_id, p, MIN(md5(CAST(p AS VARCHAR) || '|' || shingle)) AS minh
@@ -151,8 +168,13 @@ DUCK_SHINGLES = f"""
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
     WHERE a.doc_id < b.doc_id
-    ORDER BY doc_a, doc_b
-    """,
+    """
+)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=DUCK_MINHASH_PAIRS + " ORDER BY doc_a, doc_b",
     doc=(
         "MinHash LSH near-dup candidates: 16 md5-seeded min-hashes, 4 bands "
         "of 4 rows; pairs sharing any full band signature. Deterministic "
@@ -176,12 +198,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.array_distinct(
-                F.expr(
-                    "CASE WHEN size(toks) >= 3 THEN"
-                    " transform(sequence(0, size(toks) - 3),"
-                    " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
-                    " ELSE array() END"
-                )
+                F.expr(SPARK_SHINGLE_EXPR)
             ).alias("shingles"),
         )
     )
@@ -316,18 +333,31 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
-    a = bands.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "band", "bval")
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"),
-        F.col("band").alias("band_b"), F.col("bval").alias("bval_b"),
+    # Bucket groupBy + in-bucket pair expansion, same pattern as
+    # dedup_minhash_lsh and for the same reason: a bands⋈bands self-join
+    # re-reads — and without exchange reuse, RE-COMPUTES — the expensive
+    # 60-bit signature aggregate on both sides. One shuffle on (band, bval);
+    # array_sort on the struct orders by doc_id, so x < y within a bucket.
+    buckets = (
+        bands.groupBy("band", "bval")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("members"))
+        .filter(F.size("members") >= 2)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(members, (x, i) ->"
+                " transform(slice(members, i + 2, size(members)),"
+                " y -> named_struct('doc_a', x.doc_id, 'sig_a', x.simhash,"
+                " 'doc_b', y.doc_id, 'sig_b', y.simhash))))"
+            )
+        ).alias("p")
     )
     return (
-        a.join(b, (F.col("band") == F.col("band_b")) & (F.col("bval") == F.col("bval_b")))
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int").alias("hamming"),
+        pairs.select(
+            F.col("p.doc_a").alias("doc_a"),
+            F.col("p.doc_b").alias("doc_b"),
+            F.bit_count(F.col("p.sig_a").bitwiseXOR(F.col("p.sig_b"))).cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .distinct()  # a pair may share several bands

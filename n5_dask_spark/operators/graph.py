@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from n5_dask_spark.registry import register
+from n5_dask_spark.operators.dedup import DUCK_MINHASH_PAIRS as _DUCK_MINHASH_PAIRS
+from n5_dask_spark.operators.relational2 import _CC_ORACLE_TAIL
 
 # large-star, columnar: from u's full neighbor set, connect every LARGER
 # neighbor to min(N(u) ∪ {u}).
@@ -91,40 +93,11 @@ def connected_components_star(edges: DataFrame, max_rounds: int = 50) -> DataFra
 @register(
     "dedup_cc_star",
     # identical cluster semantics to dedup_connected_clusters -> same
-    # recursive-CTE oracle over the same MinHash-LSH pair graph
-    oracle="""
-    WITH RECURSIVE pairs AS (
-      SELECT doc_a, doc_b FROM (
-        WITH toks AS (
-          SELECT doc_id, string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS w
-          FROM documents
-        ), sh AS (
-          SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-          FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
-        ), hashes AS (
-          SELECT doc_id, p, MIN(md5(CAST(p AS VARCHAR) || '|' || shingle)) AS minh
-          FROM sh, UNNEST(range(0, 16)) AS perms(p)
-          GROUP BY doc_id, p
-        ), bands AS (
-          SELECT doc_id, CAST(p // 4 AS INT) AS band, STRING_AGG(minh, ',' ORDER BY p) AS band_sig
-          FROM hashes GROUP BY doc_id, band
-        )
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
-        WHERE a.doc_id < b.doc_id
-      )
-    ), edges AS (
-      SELECT doc_a AS u, doc_b AS v FROM pairs
-      UNION SELECT doc_b, doc_a FROM pairs
-    ), reach(u, lbl) AS (
-      SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM edges)
-      UNION
-      SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u
-    )
-    SELECT u AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
-    FROM reach GROUP BY u
-    ORDER BY doc_id
-    """,
+    # composed oracle (dedup.DUCK_MINHASH_PAIRS pair graph + the shared
+    # recursive-CTE tail from relational2)
+    oracle="WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ("
+    + _DUCK_MINHASH_PAIRS
+    + ")" + _CC_ORACLE_TAIL,
     doc=(
         "Connected components via alternating large-star/small-star "
         "contraction (Kiveris et al.): O(log² n) rounds independent of "
@@ -135,9 +108,12 @@ def connected_components_star(edges: DataFrame, max_rounds: int = 50) -> DataFra
     ),
 )
 def dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from n5_dask_spark.registry import REGISTRY
+    # import the RAW function, not REGISTRY[...].fn: the registry wrapper
+    # stamps its own setJobDescription, which would relabel every job this
+    # query submits afterwards as n5ds:dedup_minhash_lsh in the Spark UI
+    from n5_dask_spark.operators.dedup import dedup_minhash_lsh
 
-    pairs = REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     labels = connected_components_star(
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     )

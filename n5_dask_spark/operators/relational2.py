@@ -17,6 +17,22 @@ from pyspark.sql import functions as F
 from n5_dask_spark.catalog import load_tables
 from n5_dask_spark.operators._exact import dsum
 from n5_dask_spark.registry import register
+from n5_dask_spark.operators.dedup import DUCK_MINHASH_PAIRS as _DUCK_MINHASH_PAIRS
+
+# recursive-CTE clustering tail shared with graph.py's dedup_cc_star oracle
+_CC_ORACLE_TAIL = """
+    ), edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ), reach(u, lbl) AS (
+      SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u
+    )
+    SELECT u AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY u
+    ORDER BY doc_id
+    """
 
 
 @register(
@@ -305,40 +321,11 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_connected_clusters",
-    oracle="""
-    WITH RECURSIVE pairs AS (
-      -- same MinHash-LSH candidate pairs as dedup_minhash_lsh
-      SELECT doc_a, doc_b FROM (
-        WITH toks AS (
-          SELECT doc_id, string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS w
-          FROM documents
-        ), sh AS (
-          SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-          FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
-        ), hashes AS (
-          SELECT doc_id, p, MIN(md5(CAST(p AS VARCHAR) || '|' || shingle)) AS minh
-          FROM sh, UNNEST(range(0, 16)) AS perms(p)
-          GROUP BY doc_id, p
-        ), bands AS (
-          SELECT doc_id, CAST(p // 4 AS INT) AS band, STRING_AGG(minh, ',' ORDER BY p) AS band_sig
-          FROM hashes GROUP BY doc_id, band
-        )
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
-        WHERE a.doc_id < b.doc_id
-      )
-    ), edges AS (
-      SELECT doc_a AS u, doc_b AS v FROM pairs
-      UNION SELECT doc_b, doc_a FROM pairs
-    ), reach(u, lbl) AS (
-      SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM edges)
-      UNION
-      SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u
-    )
-    SELECT u AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
-    FROM reach GROUP BY u
-    ORDER BY doc_id
-    """,
+    # composed from dedup.DUCK_MINHASH_PAIRS: same pair graph as
+    # dedup_minhash_lsh by construction (no hand-inlined copy to drift)
+    oracle="WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ("
+    + _DUCK_MINHASH_PAIRS
+    + ")" + _CC_ORACLE_TAIL,
     doc=(
         "Connected components over the near-dup pair graph: iterative "
         "min-label propagation (driver loop of joins to fixpoint) vs a "

@@ -170,6 +170,9 @@ def knn_signbucket_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("embeddings",))
     # fan the probe side out across cores; the build side is broadcast
+    # EXPLICITLY — without the hint this non-equi join silently degrades to
+    # a both-sides-shuffled CartesianProduct once embeddings outgrows
+    # autoBroadcastJoinThreshold (the knn queries pin the same shape)
     a = (
         t["embeddings"]
         .repartition(spark.sparkContext.defaultParallelism)
@@ -177,7 +180,7 @@ def embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = t["embeddings"].select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", F.round(cosine_col("ea", "eb"), 6).alias("cosine"))
         .filter(F.col("cosine") >= 0.45)
         .orderBy("vec_a", "vec_b")
@@ -189,7 +192,13 @@ def random_hyperplane_lsh(spark: SparkSession, sf_dir: str, n_planes: int = 16) 
     but not practically SQL-expressible), signature = sign bits of plane dot
     products. Same bucket-join plan as knn_signbucket_lsh. Used by tests."""
     t = load_tables(spark, sf_dir, ("embeddings",))
-    dim = 64
+    # derive the plane length from the data: zip_with NULL-pads a length
+    # mismatch, w * NULL = NULL, and the sign bit silently reads 0 —
+    # every row would land in wrong buckets with no error
+    first = t["embeddings"].select(F.size("embedding").alias("d")).first()
+    if first is None:
+        raise ValueError("embeddings table is empty; cannot derive the LSH plane length")
+    dim = int(first["d"])
     # plane[p][d] in [-1, 1): seeded by md5(p|d) -> first 8 hex digits / 16^8.
     plane = F.expr(
         f"transform(sequence(0, {n_planes - 1}), p -> transform(sequence(0, {dim - 1}),"

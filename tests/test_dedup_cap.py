@@ -129,3 +129,31 @@ def test_minhash_lsh_survives_hot_bucket(spark, boilerplate_dir):
     # the distinct docs must not pair with the mega-cluster or each other
     cross = out.filter("doc_a >= 1000 OR doc_b >= 1000").count()
     assert cross == 0
+
+
+def test_tokenizer_whitespace_class_matches_across_engines(spark):
+    """Regression: Java \\s matches vertical tab, RE2's does not — the
+    shared tokenization now spells the class explicitly on both engines.
+    Probe strings cover \\x0B, runs of mixed whitespace, and the letters
+    x/0/B (which a mis-escaped class would treat as whitespace)."""
+    import duckdb
+
+    from n5_dask_spark.operators.dedup import DUCK_TOKENS, SPARK_TOKENS
+
+    probes = [
+        "a" + chr(11) + "b  c",
+        "box 0 Bob",
+        "tab\there\nand\r more",
+        "",
+        "  edge  ",
+    ]
+    sdf = spark.createDataFrame([(p,) for p in probes], "text string")
+    spark_toks = [r["t"] for r in sdf.selectExpr(SPARK_TOKENS + " AS t").collect()]
+    con = duckdb.connect()
+    duck_toks = [
+        con.execute(f"SELECT {DUCK_TOKENS} FROM (SELECT ? AS text)", [p]).fetchone()[0]
+        for p in probes
+    ]
+    assert spark_toks == duck_toks
+    assert spark_toks[0] == ["a", "b", "c"]
+    assert spark_toks[1] == ["box", "0", "bob"]
