@@ -55,8 +55,18 @@ def _compression(arg: str) -> dict | str:
 def _spark(args: argparse.Namespace):
     # --conf must reach the BUILDER: static/core confs (executor memory etc.)
     # cannot be set after getOrCreate
-    extra = dict(kv.partition("=")[::2] for kv in (args.conf or []))
-    return get_spark("n5_dask_spark-cli", cpus=args.cpus, extra_conf=extra)
+    extra = {}
+    for kv in args.conf or []:
+        key, sep, value = kv.partition("=")
+        if not sep or not key:
+            raise SystemExit(f"--conf expects key=value, got {kv!r}")
+        extra[key] = value
+    spark = get_spark("n5_dask_spark-cli", cpus=args.cpus, extra_conf=extra)
+    # record the user's explicit keys so tune_session's tuning defaults
+    # (shuffle partitions, AQE, broadcast threshold) never stomp them —
+    # determinism confs (UTC tz etc.) still always apply
+    spark._n5ds_user_confs = frozenset(extra)
+    return spark
 
 
 def _add_common(p: argparse.ArgumentParser) -> None:
@@ -205,6 +215,8 @@ def main(argv: list[str] | None = None) -> int:
         from n5_dask_spark.sources.n5.metadata import read_raw_attributes
 
         out = {"attributes": read_raw_attributes(args.input, args.data_set.strip("/"))}
+        if bool(args.start) != bool(args.end):
+            ap.error("--start and --end must be given together")
         if args.start and args.end:
             from n5_dask_spark.sources.n5.reader import read_region
 

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from n5_dask_spark.catalog import load_tables
 from n5_dask_spark.operators.dedup import (
+    DUCK_MINHASH_PAIRS,
     DUCK_SHINGLES,
     DUCK_TOKENS,
     N_BANDS,
@@ -30,20 +31,12 @@ from n5_dask_spark.registry import register
 
 @register(
     "pipeline_clean_corpus",
-    oracle=DUCK_SHINGLES
-    + f"""
-    , hashes AS (
-      SELECT doc_id, p, MIN(md5(CAST(p AS VARCHAR) || '|' || shingle)) AS minh
-      FROM sh, UNNEST(range(0, {N_PERM})) AS perms(p)
-      GROUP BY doc_id, p
-    ), bands AS (
-      SELECT doc_id, CAST(p // {N_PERM // N_BANDS} AS INT) AS band,
-             STRING_AGG(minh, ',' ORDER BY p) AS band_sig
-      FROM hashes GROUP BY doc_id, band
-    ), dup_pairs AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
-      WHERE a.doc_id < b.doc_id
+    # dup_pairs composed from dedup.DUCK_MINHASH_PAIRS (same pair graph as
+    # dedup_minhash_lsh by construction; the Spark side calls that function,
+    # so oracle and implementation track each other automatically)
+    oracle=f"""
+    WITH dup_pairs AS (
+      SELECT doc_a, doc_b FROM ({DUCK_MINHASH_PAIRS})
     ), quality AS (
       SELECT doc_id, lang, source,
              CAST(len({DUCK_TOKENS}) AS INT) AS n_tokens
@@ -65,7 +58,10 @@ from n5_dask_spark.registry import register
     ),
 )
 def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from n5_dask_spark.registry import REGISTRY
+    # the RAW function, not REGISTRY[...].fn — the registry wrapper would
+    # relabel every job of this query as n5ds:dedup_minhash_lsh (graph.py
+    # documents the same rule)
+    from n5_dask_spark.operators.dedup import dedup_minhash_lsh
 
     t = load_tables(spark, sf_dir, ("documents",))
     n_tokens = F.size(F.expr(SPARK_TOKENS)).cast("int")
@@ -74,7 +70,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source", n_tokens.alias("n_tokens"))
         .filter(F.col("n_tokens").between(20, 500))
     )
-    dup_pairs = REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir)
+    dup_pairs = dedup_minhash_lsh(spark, sf_dir)
     losers = dup_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     kept = quality.join(losers, "doc_id", "left_anti")
     return (

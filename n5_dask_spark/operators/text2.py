@@ -63,11 +63,21 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # (doc_id, tok) is already unique after the tf groupBy — no distinct pass
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = t["documents"].count()
-    scored = tf.join(F.broadcast(df), "tok").select(
-        "doc_id",
-        "tok",
-        F.round(F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0), 6).alias("tfidf"),
+    # n_docs stays IN the plan (broadcast 1-row aggregate, the oracle's
+    # CROSS JOIN n shape): an eager .count() here would launch a full scan
+    # job at DataFrame-construction time — even for explain-only callers —
+    # and scan documents once more than the query needs
+    n = t["documents"].agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf") * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok"))
     return (

@@ -97,15 +97,28 @@ def tune_session(spark: SparkSession) -> SparkSession:
     runtime-mutable so correctness-critical settings (UTC timestamps,
     Arrow batching) hold regardless of who built the session.
     """
+    # keys the user set explicitly (cli --conf records them on the session):
+    # TUNING defaults must not stomp those — re-applying ours on every
+    # table load would silently revert the user's --conf. Determinism
+    # confs (UTC timestamps, Arrow batching) always apply regardless.
+    user = getattr(spark, "_n5ds_user_confs", frozenset())
     for k in (
         "spark.sql.session.timeZone",
         "spark.sql.execution.arrow.pyspark.enabled",
+    ):
+        try:
+            spark.conf.set(k, DEFAULT_CONFS[k])
+        except Exception:
+            pass  # conf not runtime-settable in this deployment: keep going
+    for k in (
         "spark.sql.adaptive.enabled",
         "spark.sql.adaptive.coalescePartitions.enabled",
         "spark.sql.adaptive.skewJoin.enabled",
         "spark.sql.shuffle.partitions",
         "spark.sql.autoBroadcastJoinThreshold",
     ):
+        if k in user:
+            continue
         try:
             spark.conf.set(k, DEFAULT_CONFS[k])
         except Exception:

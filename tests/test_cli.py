@@ -161,3 +161,33 @@ def test_cli_blosc_import(spark, capsys):
     meta = json.loads(capsys.readouterr().out)["attributes"]
     assert meta["compression"]["type"] == "blosc"
     np.testing.assert_array_equal(read_full(spark, n5_out, "mri/c0/s0"), fixture_volume_xyz())
+
+
+def test_tune_session_preserves_user_confs(spark):
+    """--conf keys recorded on the session must survive tune_session's
+    tuning defaults (determinism confs still always apply)."""
+    from n5_dask_spark.session import tune_session
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark._n5ds_user_confs = frozenset({"spark.sql.shuffle.partitions"})
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        tune_session(spark)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"  # determinism wins
+    finally:
+        spark._n5ds_user_confs = frozenset()
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+        tune_session(spark)
+
+
+def test_cli_malformed_conf_rejected():
+    import argparse
+
+    import pytest as _pytest
+
+    from n5_dask_spark.cli import _spark
+
+    ns = argparse.Namespace(conf=["spark.sql.shuffle.partitions"], cpus=2)
+    with _pytest.raises(SystemExit, match="key=value"):
+        _spark(ns)
