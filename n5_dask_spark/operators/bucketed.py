@@ -14,6 +14,7 @@ bucket files carry the same rows.
 from __future__ import annotations
 
 import hashlib
+import os
 import shutil
 import tempfile
 from urllib.parse import urlparse
@@ -36,7 +37,11 @@ def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     already exist in this session's catalog they are reused as-is — the
     whole point of bucketing is that later joins are scan-local.
     """
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # pid-keyed on top of the sf_dir hash: the warehouse directory is shared
+    # across processes, and the catalog is session-scoped, so a concurrent
+    # process (bench alongside pytest) would otherwise rmtree the stale-to-
+    # IT directory this session's catalog still references mid-query
+    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_p{os.getpid()}"
     bo, bl = f"b_orders_{tag}", f"b_lineitem_{tag}"
     if spark.catalog.tableExists(bo) and spark.catalog.tableExists(bl):
         return bo, bl

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from n5_dask_spark.catalog import load_tables
+from n5_dask_spark.operators._exact import dsum
 from n5_dask_spark.registry import register
 
 _AGG_ORACLE = """
@@ -120,9 +121,7 @@ def formats_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.expr(
-                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)"
-            ).alias("sum_price"),
+            dsum("o_totalprice", "sum_price"),
         )
         .orderBy("o_orderpriority")
     )

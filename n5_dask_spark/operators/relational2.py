@@ -146,7 +146,10 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t["events"].select("user_id", F.col("ts").cast("date").alias("day"))
     firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     activity = (
-        ev.join(F.broadcast(firsts), "user_id")
+        # no broadcast hint: firsts is one row per user — an aggregate over
+        # the whole events fact that scales linearly with the data; AQE
+        # broadcasts it when (and only when) it is actually small
+        ev.join(firsts, "user_id")
         .select(
             "user_id",
             "cohort_day",
@@ -333,13 +336,15 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from n5_dask_spark.registry import REGISTRY
+    # the RAW function, not REGISTRY[...].fn — the registry wrapper would
+    # relabel every propagation-loop job as n5ds:dedup_minhash_lsh
+    from n5_dask_spark.operators.dedup import dedup_minhash_lsh
 
     # materialize the pair list BEFORE the bidirectional union: both union
     # branches reference it, and without this the whole MinHash pipeline
     # evaluates once per branch
     pairs = (
-        REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+        dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
     )
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))

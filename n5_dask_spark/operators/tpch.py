@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from n5_dask_spark.catalog import load_tables
-from n5_dask_spark.operators._exact import davg, dsum
+from n5_dask_spark.operators._exact import dsum
 from n5_dask_spark.registry import register
 
 DISC_PRICE = "l_extendedprice * (1 - l_discount)"
@@ -114,7 +114,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_extendedprice", "l_discount"
     )
     return (
-        li.join(F.broadcast(ords.join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)),
+        # no F.broadcast hints: ords is a date-filtered FACT and cust scales
+        # with sf, so a hard hint would force an OOM-sized broadcast at the
+        # 100-TB target. Size stats / AQE still pick broadcast when the
+        # side is genuinely small (the plan gate checks that at small sf).
+        li.join(ords.join(cust, ords.o_custkey == cust.c_custkey),
                 F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(dsum(DISC_PRICE, "revenue"))
@@ -150,12 +154,14 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = t["region"].filter(F.col("r_name") == "ASIA")
     nation = t["nation"].join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
     supplier = t["supplier"].join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+    # orders x customer and supplier scale with sf — no hard broadcast hints
+    # (region/nation above stay hinted: constant 5/25 rows at any scale)
     orders = t["orders"].filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
     return (
         t["lineitem"]
-        .join(F.broadcast(orders.join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))),
+        .join(orders.join(t["customer"], F.col("o_custkey") == F.col("c_custkey")),
               F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supplier),
+        .join(supplier,
               (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
         .groupBy("n_name")
         .agg(dsum(DISC_PRICE, "revenue"))
@@ -218,8 +224,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = t["lineitem"].filter(F.col("l_returnflag") == "R")
     return (
-        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        # orders (half-year fact slice) and customer scale with sf: no hard
+        # hints; nation is constant 25 rows and stays broadcast
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(dsum(DISC_PRICE, "revenue"))

@@ -28,6 +28,20 @@ from n5_dask_spark.catalog import load_tables
 from n5_dask_spark.registry import register
 
 
+def _round_half_away(s: "pd.Series", digits: int = 6) -> "pd.Series":
+    """Round half AWAY from zero, matching SQL ROUND on both engines.
+    pandas/numpy .round() is half-to-even: np.round(2.5e-6, 6) = 2e-6 but
+    DuckDB (and Spark F.round) give 3e-6 — an exact-tie input would flip
+    the driver's value hash. Same trick as the stateful streaming
+    accumulator: shift, floor(abs + 0.5), unshift."""
+    import numpy as np
+
+    scale = 10.0**digits
+    v = s.to_numpy() * scale
+    return pd.Series(np.sign(v) * np.floor(np.abs(v) + 0.5) / scale, index=s.index)
+
+
+
 @register(
     "udf_pandas_zscore",
     oracle="""
@@ -55,7 +69,7 @@ def udf_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf(DoubleType())
     def zscore(total: pd.Series) -> pd.Series:
-        return ((total - mu) / sigma).round(6)
+        return _round_half_away((total - mu) / sigma)
 
     return orders.select("o_orderkey", zscore("o_totalprice").alias("zscore")).orderBy("o_orderkey")
 
@@ -156,7 +170,7 @@ def udaf_applyinpandas_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFra
             {
                 "c_mktsegment": pdf["c_mktsegment"],
                 "c_custkey": pdf["c_custkey"],
-                "scaled_bal": scaled.round(6),
+                "scaled_bal": _round_half_away(scaled),
             }
         )
 

@@ -5,12 +5,10 @@ Determinism: every window ORDER BY carries a unique tiebreaker key so row
 numbering is total. Running float sums are decimal-exact (the frame fold
 order is then irrelevant).
 
-Scale: partitioned windows shuffle once on their partitionBy keys; at 100 TB
-the partition key (custkey/user_id) has bounded per-key cardinality, so no
-single-partition sort bottleneck. Two queries here (window_range_between,
-window_ntile) deliberately use GLOBAL windows to cover the un-partitioned
-frame semantics — those are single-partition by definition and would be
-re-expressed (pre-bucketed ntile, range-join) for a 100 TB input.
+Scale: every window here is PARTITIONED (window_range_between by
+o_orderpriority, window_ntile by c_mktsegment — the shape that scales);
+the no-unpartitioned-window plan gate in tests/test_plans.py enforces it.
+Frame semantics (rangeBetween, ntile) are covered within those partitions.
 """
 
 from __future__ import annotations

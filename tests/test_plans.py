@@ -28,10 +28,26 @@ def test_q3_broadcasts_dims(spark):
     assert "SortMergeJoin" not in plan  # the fact table must not sort-shuffle for dims
 
 
-def test_q5_all_dim_joins_broadcast(spark):
+def test_q5_constant_dims_broadcast_facts_not_forced(spark):
+    """region/nation (constant 5/25 rows at ANY scale) are hard-hinted and
+    must broadcast even with auto-broadcast off; the fact-derived sides
+    (orders x customer, supplier) must NOT carry a hard hint — at the
+    100-TB target a forced broadcast of a fact-scale side OOMs, so those
+    joins degrade to keyed shuffle joins when the threshold is disabled
+    and rely on size stats / AQE to broadcast when genuinely small."""
     plan = plan_of(get_query("q5_local_supplier_volume").fn(spark, SF_SMALL))
-    assert plan.count("BroadcastHashJoin") >= 3
-    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # region, nation at least
+    df = get_query("q5_local_supplier_volume").fn(spark, SF_SMALL)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        forced = plan_of(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # count TREE nodes ("BroadcastHashJoin Inner ..."), not the detail
+    # sections formatted explain repeats below the tree
+    assert forced.count("BroadcastHashJoin Inner") == 2  # ONLY the constant dims
+    assert "SortMergeJoin" in forced  # fact joins fall back to shuffle
 
 
 def test_q6_pushes_filters_to_scan(spark):
