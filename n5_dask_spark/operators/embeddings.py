@@ -27,7 +27,12 @@ from n5_dask_spark.registry import register
     WITH e AS (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
-             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+             -- all-zero vector: clamp the scale to 1 so codes are 0 --
+             -- IEEE 0/0 = NaN here and CAST(NaN AS INT) errors, while
+             -- Spark's non-ANSI divide would yield NULL: both wrong
+             GREATEST(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+                      CASE WHEN list_max(list_transform(embedding,
+                           x -> abs(CAST(x AS DOUBLE)))) = 0 THEN 1.0 ELSE 0.0 END) AS maxabs
       FROM embeddings
     )
     SELECT vec_id,
@@ -55,7 +60,16 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
         )
-        .withColumn("maxabs", F.expr("array_max(transform(emb, x -> abs(x)))"))
+        # all-zero vector: clamp the scale to 1 (codes are 0 regardless) —
+        # x/0 is NULL under Spark's non-ANSI divide and NaN in DuckDB,
+        # diverging the engines; the oracle applies the identical clamp
+        .withColumn(
+            "maxabs",
+            F.expr(
+                "CASE WHEN array_max(transform(emb, x -> abs(x))) = 0.0D THEN 1.0D"
+                " ELSE array_max(transform(emb, x -> abs(x))) END"
+            ),
+        )
         .select(
             "vec_id",
             F.size("emb").cast("int").alias("n_dims"),

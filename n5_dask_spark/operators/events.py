@@ -22,8 +22,11 @@ from n5_dask_spark.registry import register
 @register(
     "events_json_extract",
     oracle="""
+    -- sign class + NULLIF: Spark's from_json yields -5 for {"k": -5} and
+    -- NULL for a missing key; a sign-less regexp would drop the minus and
+    -- CAST('' AS INT) would error instead of NULL
     SELECT event_id, event_type,
-           CAST(REGEXP_EXTRACT(props, '"k":\\s*([0-9]+)', 1) AS INT) AS k_val
+           CAST(NULLIF(REGEXP_EXTRACT(props, '"k":\\s*(-?[0-9]+)', 1), '') AS INT) AS k_val
     FROM events WHERE event_id < 500 ORDER BY event_id
     """,
     doc="JSON field extraction: Spark from_json (typed struct) vs oracle regexp.",

@@ -98,7 +98,10 @@ def _build_container(
 
     ``tag`` (the calling query) keys the container path so concurrent
     invocations of DIFFERENT queries never race one another's
-    rmtree/scan; a retry of the SAME query is idempotent (same bytes).
+    rmtree/scan; the pid key isolates concurrent PROCESSES running the
+    SAME query (B's rmtree during A's lazy scan would otherwise read as
+    silently-short output under ignoreMissingFiles — the race tiffops'
+    _series_root documents); a same-process retry is idempotent.
     ``reuse=True`` skips the rebuild when this process already built the
     container — ONLY for callers whose container is input staging (the
     write path itself is their operator under test otherwise).
@@ -112,7 +115,8 @@ def _build_container(
 
     container = os.path.join(
         tempfile.gettempdir(),
-        f"n5ds-oracle-{tag}-{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}.n5",
+        f"n5ds-oracle-{tag}-{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+        f"-p{os.getpid()}.n5",
     )
     dataset = "vol/s0"
     if reuse and (tag, sf_dir) in _BUILT and os.path.isdir(os.path.join(container, dataset)):

@@ -246,9 +246,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.filter(cond).agg(dsum(DISC_PRICE, "revenue"), F.count(F.lit(1)).alias("n_items"))
 
 
-@register(
-    "q22_global_sales_opportunity",
-    oracle="""
+Q22_SQL = """
     SELECT SUBSTRING(c_name, 1, 9) AS name_prefix, COUNT(*) AS numcust,
            CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
     FROM customer
@@ -257,7 +255,14 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
     GROUP BY name_prefix
     ORDER BY name_prefix
-    """,
+"""
+
+
+@register(
+    "q22_global_sales_opportunity",
+    # ONE SQL string for both engines (tpch_extra2's Q*_SQL pattern): the
+    # oracle literally IS the Spark query, so they cannot drift
+    oracle=Q22_SQL,
     doc="TPC-H Q22 adapted: scalar subquery (decimal-exact global avg) + anti join.",
 )
 def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -267,18 +272,7 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # could flip rows near the boundary)
     t["customer"].createOrReplaceTempView("customer")
     t["orders"].createOrReplaceTempView("orders")
-    return spark.sql(
-        """
-        SELECT SUBSTRING(c_name, 1, 9) AS name_prefix, COUNT(*) AS numcust,
-               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
-        FROM customer
-        WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
-                           FROM customer WHERE c_acctbal > 0.00)
-          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
-        GROUP BY name_prefix
-        ORDER BY name_prefix
-        """
-    )
+    return spark.sql(Q22_SQL)
 
 
 @register(
@@ -306,15 +300,18 @@ def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "correlated_scalar_subquery",
-    oracle="""
+CORRELATED_SQL = """
     SELECT o_orderkey, o_custkey, o_totalprice
     FROM orders o
     WHERE o_totalprice > 2 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
                               FROM orders i WHERE i.o_custkey = o.o_custkey)
     ORDER BY o_orderkey
-    """,
+"""
+
+
+@register(
+    "correlated_scalar_subquery",
+    oracle=CORRELATED_SQL,
     doc="Correlated scalar subquery (decorrelated by Catalyst; decimal-exact avg threshold).",
 )
 def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -322,12 +319,4 @@ def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     t["orders"].createOrReplaceTempView("orders")
     # decimal-exact per-key avg: the comparison gates rows, so both engines
     # must compute the identical threshold double
-    return spark.sql(
-        """
-        SELECT o_orderkey, o_custkey, o_totalprice
-        FROM orders o
-        WHERE o_totalprice > 2 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
-                                  FROM orders i WHERE i.o_custkey = o.o_custkey)
-        ORDER BY o_orderkey
-        """
-    )
+    return spark.sql(CORRELATED_SQL)
