@@ -415,6 +415,45 @@ def n5_roundtrip_blosc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "n5_roundtrip_blosc_zstd",
+    oracle=_DUCK_VOX
+    + """
+    SELECT z, CAST(SUM(val) AS BIGINT) AS zsum, COUNT(*) AS n_vox,
+           'blosc' AS codec, 'zstd' AS cname
+    FROM vox GROUP BY z ORDER BY z
+    """,
+    doc=(
+        "T10 hash-checked through the two round-6 blosc legs together "
+        "(sources/n5/blosc.py): same write->scan->profile pipeline as "
+        "n5_roundtrip_blosc but cname=zstd (real libzstd via pyarrow's "
+        "bundled codec — the gated leg that closes the last internal-"
+        "codec gap; the reference accepts any numcodecs cname, "
+        "tif_to_n5.py:89-92) with shuffle=2 so the bit-shuffle bit-plane "
+        "transpose is exercised end to end. Any zstd framing or bit-"
+        "shuffle defect flips the hash."
+    ),
+)
+def n5_roundtrip_blosc_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from n5_dask_spark.sources.n5.metadata import read_attributes
+    from n5_dask_spark.sources.n5.reader import decoded_blocks
+
+    container, dataset = _build_container(
+        spark,
+        sf_dir,
+        "blosczstd",
+        compression={"type": "blosc", "cname": "zstd", "clevel": 5, "shuffle": 2, "typesize": 2},
+    )
+    attrs = read_attributes(container, dataset).compression
+    return _zprofile(decoded_blocks(spark, container, dataset), "uint8", BLOCK).select(
+        "z",
+        "zsum",
+        "n_vox",
+        F.lit(attrs["type"]).alias("codec"),
+        F.lit(attrs["cname"]).alias("cname"),
+    )
+
+
+@register(
     "n5_datasource_zprofile",
     oracle=_DUCK_VOX
     + """

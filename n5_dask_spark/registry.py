@@ -58,6 +58,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (a) new/changed in r6
     "multimodal_png_decode",  # NEW: stdlib PNG decode, hash-pinned
     "n5_roundtrip_blosc",  # blosc codec gained bit-shuffle this round
+    "n5_roundtrip_blosc_zstd",  # NEW: pyarrow-gated zstd + bit-shuffle leg
     # (b) all 31 round-2-stale greens
     "agg_corr_covar",
     "agg_filter_clause",
@@ -109,7 +110,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",
-    "q11_important_value",
 )
 
 

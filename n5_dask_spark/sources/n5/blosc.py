@@ -37,21 +37,26 @@ container in pure Python from the PUBLIC format description (c-blosc's
 
 Supported here: DECODE of internal codecs lz4 (reusing the
 spec-vector-tested raw-block codec in ``lz4.py``), zlib (stdlib),
-blosclz (pure-Python FastLZ-descendant decoder below) and snappy
-(pure-Python raw-format decoder below), both split and unsplit block
-layouts, byte-shuffle, bit-shuffle or no shuffle, multi-block chunks,
-stored-stream and whole-chunk-memcpy fallbacks. ENCODE emits lz4 or
-zlib, always unsplit, with flag bit 4 set so real c-blosc decoders read
-the single-stream layout. Unsupported variants (zstd either direction —
-its FSE/Huffman entropy stages are not pure-Python-feasible —
+blosclz (pure-Python FastLZ-descendant decoder below), snappy
+(pure-Python raw-format decoder below) and zstd (via pyarrow's bundled
+libzstd when available — zstd's FSE/Huffman entropy stages are out of
+pure-Python reach, but pyarrow is already a dependency of the
+Arrow/pandas-UDF path, so the leg is real wherever the engine runs);
+both split and unsplit block layouts, byte-shuffle, bit-shuffle or no
+shuffle, multi-block chunks, stored-stream and whole-chunk-memcpy
+fallbacks. ENCODE emits lz4, zlib or (pyarrow-gated) zstd, always
+unsplit, with flag bit 4 set so real c-blosc decoders read the
+single-stream layout. Unsupported variants (zstd without pyarrow,
 snappy/blosclz *encode*) raise loudly rather than guess; the refusal
 boundary is pinned by recorded chunk vectors in ``tests/test_blosc.py``.
 
-Validation caveat (documented, deliberate): no blosc implementation
-exists in this container to cross-check against, so conformance rests on
-the published format layout, exhaustive self-roundtrips, hand-computed
-shuffle/header/blosclz vectors, and the independently spec-validated lz4
-block codec. The compress side emits conservative, always-legal streams.
+Validation: the lz4 and snappy stream decoders (and the lz4 encoder) are
+cross-checked against pyarrow's real liblz4/libsnappy in
+``tests/test_blosc.py``/``test_lz4.py`` — non-circular evidence for the
+token loops. No *blosc* implementation exists in this container, so the
+chunk-container layout itself rests on the published format description,
+exhaustive self-roundtrips, and hand-computed shuffle/header/blosclz
+vectors. The compress side emits conservative, always-legal streams.
 """
 
 from __future__ import annotations
@@ -83,6 +88,27 @@ _CODEC_ZLIB = 3
 _CODEC_ZSTD = 4
 
 _CODEC_NAMES = {0: "blosclz", 1: "lz4", 2: "snappy", 3: "zlib", 4: "zstd"}
+
+# zstd leg: probed lazily so the pure-Python codecs pay no pyarrow import
+# cost on executors that never touch a zstd chunk.
+_zstd_probe: bool | None = None
+
+
+def _zstd(level: int | None = None):
+    """Return a pyarrow zstd ``Codec`` (real libzstd), or None if absent."""
+    global _zstd_probe
+    if _zstd_probe is None:
+        try:
+            import pyarrow as pa
+
+            _zstd_probe = bool(pa.Codec.is_available("zstd"))
+        except Exception:
+            _zstd_probe = False
+    if not _zstd_probe:
+        return None
+    import pyarrow as pa
+
+    return pa.Codec("zstd") if level is None else pa.Codec("zstd", compression_level=level)
 
 _HEADER = struct.Struct("<BBBBiii")
 HEADER_SIZE = 16
@@ -348,10 +374,16 @@ def decompress(chunk: bytes) -> bytes:
             raise ValueError("memcpyed blosc chunk with inconsistent cbytes")
         return bytes(chunk[HEADER_SIZE : HEADER_SIZE + nbytes])
     codec = (flags >> 5) & 0x7
-    if codec not in (_CODEC_LZ4, _CODEC_ZLIB, _CODEC_BLOSCLZ, _CODEC_SNAPPY):
+    if codec not in (_CODEC_LZ4, _CODEC_ZLIB, _CODEC_BLOSCLZ, _CODEC_SNAPPY, _CODEC_ZSTD):
         raise NotImplementedError(
             f"blosc internal codec {_CODEC_NAMES.get(codec, codec)!r} is not "
-            "supported by the pure-Python codec (blosclz, lz4, snappy and zlib are)"
+            "supported by the pure-Python codec (blosclz, lz4, snappy, zlib and zstd are)"
+        )
+    if codec == _CODEC_ZSTD and _zstd() is None:
+        raise NotImplementedError(
+            "blosc internal codec 'zstd' needs pyarrow's bundled libzstd, "
+            "which is unavailable in this environment (its FSE/Huffman "
+            "entropy stages are out of pure-Python reach)"
         )
     if blocksize <= 0:
         raise ValueError(f"corrupt blosc header: blocksize={blocksize}")
@@ -391,6 +423,14 @@ def decompress(chunk: bytes) -> bytes:
                 block += blosclz_decompress(bytes(payload), stream_size)
             elif codec == _CODEC_SNAPPY:
                 block += snappy_decompress(bytes(payload), stream_size)
+            elif codec == _CODEC_ZSTD:
+                try:
+                    part = _zstd().decompress(bytes(payload), stream_size, asbytes=True)
+                except Exception as exc:  # ArrowInvalid etc -> decoder-total
+                    raise ValueError(f"corrupt blosc zstd stream: {exc}") from None
+                if len(part) != stream_size:
+                    raise ValueError("blosc zstd stream decompressed to the wrong size")
+                block += part
             else:
                 part = _zlib.decompress(bytes(payload))
                 if len(part) != stream_size:
@@ -426,11 +466,16 @@ def compress(
     """
     if cname == "lz4hc":
         cname = "lz4"  # same stream format, same flag id
-    if cname not in ("lz4", "zlib"):
+    if cname == "zstd" and _zstd() is None:
+        raise NotImplementedError(
+            "blosc cname 'zstd' needs pyarrow's bundled libzstd, which is "
+            "unavailable in this environment; use lz4 or zlib"
+        )
+    if cname not in ("lz4", "zlib", "zstd"):
         raise NotImplementedError(
             f"blosc cname {cname!r} is not supported for encoding by the "
-            "pure-Python codec (lz4 and zlib are; blosclz and snappy are "
-            "decode-only); or use the lz4/gzip/xz N5 codecs directly"
+            "pure-Python codec (lz4, zlib and zstd are; blosclz and snappy "
+            "are decode-only); or use the lz4/gzip/xz N5 codecs directly"
         )
     if shuffle not in (0, 1, 2):
         raise ValueError(f"shuffle must be 0 (none), 1 (byte) or 2 (bit), got {shuffle}")
@@ -455,7 +500,10 @@ def compress(
     do_shuffle = shuffle == 1 and typesize > 1 and blocksize >= typesize
     do_bitshuffle = shuffle == 2 and blocksize >= typesize
 
-    codec_id = _CODEC_LZ4 if cname == "lz4" else _CODEC_ZLIB
+    codec_id = {"lz4": _CODEC_LZ4, "zlib": _CODEC_ZLIB, "zstd": _CODEC_ZSTD}[cname]
+    # blosc clevel 1-9 maps onto zstd's low levels; clamp to the same range
+    # zlib uses so one knob means one thing across cnames
+    zstd_codec = _zstd(min(max(clevel, 1), 9)) if cname == "zstd" else None
     nblocks = -(-nbytes // blocksize)
     body = bytearray()
     blocks: list[bytes] = []
@@ -467,6 +515,8 @@ def compress(
             block = _bitshuffle(block, typesize)
         if cname == "lz4":
             comp = lz4_block_compress(block)
+        elif zstd_codec is not None:
+            comp = zstd_codec.compress(block, asbytes=True)
         else:
             comp = _zlib.compress(block, min(max(clevel, 1), 9))
         if len(comp) >= len(block):

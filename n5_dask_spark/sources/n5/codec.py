@@ -23,9 +23,9 @@ that array IS the x-fastest payload.
 Compression ids: raw, gzip (useZlib:false = gzip member framing,
 useZlib:true = raw zlib stream), bz2, xz, lz4 (pure-Python lz4-java
 LZ4Block framing — see lz4.py), blosc (pure-Python Blosc1 chunks:
-blosclz/lz4/snappy/zlib decode, lz4/zlib encode, byte- and bit-shuffle —
-see blosc.py; zstd raises NotImplementedError rather than failing
-silently).
+blosclz/lz4/snappy/zlib decode + pyarrow-gated zstd both directions,
+lz4/zlib/zstd encode, byte- and bit-shuffle — see blosc.py; unsupported
+variants raise NotImplementedError rather than failing silently).
 """
 
 from __future__ import annotations

@@ -200,7 +200,9 @@ def lz4_block_compress(src: bytes) -> bytes:
     n = len(src)
     out = bytearray()
     if n == 0:
-        return bytes(out)
+        # real liblz4 emits a lone zero token (0 literals, no match) for
+        # empty input; strict decoders reject a zero-byte stream
+        return b"\x00"
     a = np.frombuffer(src, dtype=np.uint8)
     table: dict[int, int] = {}
     anchor = 0

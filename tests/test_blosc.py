@@ -100,24 +100,32 @@ def test_lz4hc_aliases_lz4_format():
 # --- unsupported variants fail loudly ------------------------------------
 
 
-def test_unsupported_internal_codec_raises():
+def test_unsupported_internal_codec_raises(monkeypatch):
     payload = b"x" * 64
     chunk = bytearray(blosc.compress(payload, typesize=1, cname="zlib", shuffle=0))
     chunk[2] = (chunk[2] & 0x1F) | (4 << 5)  # flip codec id to zstd
+    # with the pyarrow leg forced off, zstd must refuse loudly both ways
+    monkeypatch.setattr(blosc, "_zstd_probe", False)
     with pytest.raises(NotImplementedError, match="zstd"):
         blosc.decompress(bytes(chunk))
-    with pytest.raises(NotImplementedError, match="cname"):
+    with pytest.raises(NotImplementedError, match="zstd"):
         blosc.compress(payload, cname="zstd")
+    monkeypatch.setattr(blosc, "_zstd_probe", None)
+    # codec ids 5-7 are outside the Blosc1 id space: always refused
+    chunk[2] = (chunk[2] & 0x1F) | (5 << 5)
+    with pytest.raises(NotImplementedError, match="not"):
+        blosc.decompress(bytes(chunk))
     with pytest.raises(NotImplementedError, match="decode-only"):
         blosc.compress(payload, cname="blosclz")
     with pytest.raises(NotImplementedError, match="decode-only"):
         blosc.compress(payload, cname="snappy")
 
 
-# Recorded refusal vector: a byte-literal chunk with the zstd internal
-# codec id (flag bits 5-7 = 4). The pure-Python codec has no zstd stream
-# implementation (its FSE/Huffman entropy stages are out of pure-Python
-# reach), so this exact input must keep raising the documented
+# Recorded boundary vector: a byte-literal chunk with the zstd internal
+# codec id (flag bits 5-7 = 4) but a truncated stream. zstd decode is
+# pyarrow-gated (its FSE/Huffman entropy stages are out of pure-Python
+# reach): with pyarrow's libzstd present the corrupt stream must raise
+# the decoder-total ValueError; without it, the documented
 # NotImplementedError — the support boundary for third-party N5
 # containers written with non-default ``numcodecs.Blosc(cname=...)``
 # settings (the reference accepts any, /root/reference/src/tif_to_n5.py:89-92).
@@ -131,9 +139,124 @@ _ZSTD_CHUNK = (
 )
 
 
-def test_zstd_refusal_vector():
+def test_zstd_boundary_vector(monkeypatch):
+    if blosc._zstd() is not None:
+        with pytest.raises(ValueError, match="zstd"):
+            blosc.decompress(_ZSTD_CHUNK)
+    monkeypatch.setattr(blosc, "_zstd_probe", False)
     with pytest.raises(NotImplementedError, match="zstd"):
         blosc.decompress(_ZSTD_CHUNK)
+
+
+# --- zstd internal codec (pyarrow-backed) ---------------------------------
+
+_needs_zstd = pytest.mark.skipif(
+    blosc._zstd() is None, reason="pyarrow libzstd unavailable"
+)
+
+
+@_needs_zstd
+def test_zstd_roundtrips_all_shuffles():
+    rng = np.random.default_rng(23)
+    for shuffle in (0, 1, 2):
+        for ts in (1, 2, 4, 8):
+            data = (np.arange(3000, dtype=np.uint32) % 251).astype(np.uint8).tobytes() * ts
+            chunk = blosc.compress(
+                data, typesize=ts, cname="zstd", clevel=5, shuffle=shuffle, blocksize=4096
+            )
+            assert (chunk[2] >> 5) & 0x7 == 4  # zstd codec id on the wire
+            assert chunk[2] & 0x10  # not-split flag set (single-stream)
+            assert blosc.decompress(chunk) == data
+            # incompressible payloads still roundtrip (stored/memcpy legs)
+            noise = rng.bytes(2048 * ts)
+            assert blosc.decompress(
+                blosc.compress(noise, typesize=ts, cname="zstd", shuffle=shuffle)
+            ) == noise
+
+
+@_needs_zstd
+def test_zstd_foreign_chunk_decodes():
+    """A chunk whose zstd streams were produced by the REAL libzstd
+    (pyarrow), laid out in the documented container format, must decode —
+    the shape a third-party numcodecs.Blosc(cname='zstd') writer emits."""
+    import pyarrow as pa
+
+    raw = (np.arange(6000, dtype=np.uint16) % 997).tobytes()
+    blocksize = 4096
+    nblocks = -(-len(raw) // blocksize)
+    comps = [
+        pa.Codec("zstd").compress(raw[i * blocksize : (i + 1) * blocksize], asbytes=True)
+        for i in range(nblocks)
+    ]
+    table_end = 16 + 4 * nblocks
+    offsets, pos = [], table_end
+    for c in comps:
+        offsets.append(pos)
+        pos += 4 + len(c)
+    chunk = (
+        struct.pack("<BBBBiii", 2, 1, (4 << 5) | 0x10, 1, len(raw), blocksize, pos)
+        + struct.pack(f"<{nblocks}i", *offsets)
+        + b"".join(struct.pack("<i", len(c)) + c for c in comps)
+    )
+    assert blosc.decompress(chunk) == raw
+
+
+# --- cross-validation against real codecs (pyarrow) -----------------------
+# Non-circular evidence for the pure-Python stream decoders: payloads
+# compressed by the REAL libsnappy/liblz4 (pyarrow's bundled codecs, the
+# same raw formats c-blosc stores) must decode byte-identically, and the
+# pure-Python lz4 encoder's output must decode under the real liblz4.
+
+
+def _pa_codec(name):
+    try:
+        import pyarrow as pa
+
+        return pa.Codec(name) if pa.Codec.is_available(name) else None
+    except Exception:
+        return None
+
+
+@pytest.mark.skipif(_pa_codec("snappy") is None, reason="pyarrow libsnappy unavailable")
+def test_snappy_decoder_matches_real_libsnappy():
+    import pyarrow as pa
+
+    rng = np.random.default_rng(31)
+    cases = [
+        b"",
+        b"a" * 100_000,  # long RLE -> copy tags
+        bytes(range(256)) * 400,  # periodic -> long-offset copies
+        rng.bytes(70_000),  # incompressible -> escaped literal lengths
+        (np.arange(50_000, dtype=np.uint32) % 613).tobytes(),
+    ]
+    codec = pa.Codec("snappy")
+    for raw in cases:
+        comp = codec.compress(raw, asbytes=True)
+        assert blosc.snappy_decompress(comp, len(raw)) == raw
+
+
+@pytest.mark.skipif(_pa_codec("lz4_raw") is None, reason="pyarrow liblz4 unavailable")
+def test_lz4_block_codec_matches_real_liblz4():
+    import pyarrow as pa
+
+    from n5_dask_spark.sources.n5.lz4 import lz4_block_compress, lz4_block_decompress
+
+    rng = np.random.default_rng(37)
+    cases = [
+        b"",
+        b"b" * 65_000,
+        bytes(range(256)) * 300,
+        rng.bytes(50_000),
+        (np.arange(40_000, dtype=np.uint16) % 811).tobytes(),
+    ]
+    codec = pa.Codec("lz4_raw")
+    for raw in cases:
+        # real encoder -> our decoder
+        comp = codec.compress(raw, asbytes=True)
+        assert lz4_block_decompress(comp, len(raw)) == raw
+        # our encoder -> real decoder
+        ours = lz4_block_compress(raw)
+        assert codec.decompress(ours, len(raw), asbytes=True) == raw
 
 
 # --- snappy internal codec ------------------------------------------------

@@ -225,8 +225,16 @@ def test_blosc_now_supported_but_exotic_variants_raise():
     np.testing.assert_array_equal(
         decode_block(encode_block(arr, "uint8", spec), "uint8", spec), arr
     )
-    with pytest.raises(NotImplementedError, match="zstd"):
-        encode_block(arr, "uint8", {"type": "blosc", "cname": "zstd"})
+    from n5_dask_spark.sources.n5 import blosc as _blosc
+
+    if _blosc._zstd() is not None:
+        # zstd is pyarrow-gated: with libzstd present it encodes for real
+        spec_z = {"type": "blosc", "cname": "zstd", "typesize": 1}
+        np.testing.assert_array_equal(
+            decode_block(encode_block(arr, "uint8", spec_z), "uint8", spec_z), arr
+        )
+    with pytest.raises(NotImplementedError, match="decode-only"):
+        encode_block(arr, "uint8", {"type": "blosc", "cname": "blosclz"})
 
 
 # ---------------------------------------------------------------------------
