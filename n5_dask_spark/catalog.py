@@ -75,6 +75,26 @@ def _read_cached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.schema(schema).parquet(table_path(sf_dir, name))
 
 
+def widen(df: DataFrame) -> DataFrame:
+    """Spread a narrow scan across all cores for CPU-heavy per-row work.
+
+    A small parquet table arrives as one input split, which would serialize
+    expensive projections (tokenize / shingle / decode UDFs) onto a single
+    core — so the local testdata needs a fan-out before the heavy stage.
+    But an UNCONDITIONAL repartition is a scale bug: on a real cluster the
+    scan already yields >= parallelism splits, and the repartition would be
+    a full shuffle of raw text/binary payloads that can even SHRINK a
+    many-split scan down to core count. Repartition only when the scan is
+    actually narrower than the cluster (partition inspection is pure
+    planning — no job runs).
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
     tune_session(spark)
     return {n: load_table(spark, sf_dir, n) for n in names}

@@ -93,16 +93,21 @@ _BOILER_MIN_DF = 5
 )
 def text_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    n_docs = docs.count()
+    # n_docs stays IN the plan (broadcast 1-row aggregate, the oracle's
+    # scalar subquery shape): an eager .count() here would launch a full
+    # scan job at DataFrame-construction time, even for explain-only
+    # callers, and scan documents once more than the query needs
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     sh = _spark_shingles(docs)
     return (
         sh.groupBy("shingle")
         .agg(F.countDistinct("doc_id").alias("df"))
         .filter(F.col("df") >= _BOILER_MIN_DF)
+        .crossJoin(F.broadcast(n))
         .select(
             "shingle",
             "df",
-            F.round(F.col("df").cast("double") / n_docs, 6).alias("pct_docs"),
+            F.round(F.col("df").cast("double") / F.col("n_docs"), 6).alias("pct_docs"),
         )
         .orderBy(F.col("df").desc(), "shingle")
     )

@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from n5_dask_spark.catalog import load_tables
+from n5_dask_spark.catalog import load_tables, widen
 from n5_dask_spark.registry import register
 
 # Tokenization shared by every text operator: lowercase, collapse whitespace,
@@ -113,13 +113,14 @@ def dedup_subset_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _spark_shingles(df: DataFrame) -> DataFrame:
     """doc_id + exploded distinct 3-token shingles.
 
-    Repartitions FIRST: documents arrive as one parquet file -> one input
-    partition, and tokenization/shingling is CPU-heavy per row. Catalyst
-    pushes derived filters below later repartitions, so the fan-out must
-    happen before any expensive projection.
+    Widens FIRST: local testdata arrives as one parquet split, and
+    tokenization/shingling is CPU-heavy per row. Catalyst pushes derived
+    filters below later repartitions, so the fan-out must happen before
+    any expensive projection. ``widen`` is conditional — at scale the scan
+    is already wide and no shuffle is added.
     """
     return (
-        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        widen(df)
         .select(
             "doc_id",
             F.expr(SPARK_TOKENS).alias("toks"),
@@ -192,8 +193,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # repartition BEFORE the heavy projections: the single-file input
         # otherwise serializes tokenize/shingle/md5 onto one core (and pushed
         # filters would run below a later repartition anyway).
-        t["documents"]
-        .repartition(spark.sparkContext.defaultParallelism)
+        widen(t["documents"])
         .select("doc_id", F.expr(SPARK_TOKENS).alias("toks"))
         .select(
             "doc_id",
@@ -306,8 +306,7 @@ _DUCK_SIMHASH = f"""
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
     sigs = (
-        t["documents"]
-        .repartition(spark.sparkContext.defaultParallelism)  # single-file input
+        widen(t["documents"])  # narrow local scans fan out for tokenize
         .select("doc_id", F.array_distinct(F.expr(SPARK_TOKENS)).alias("toks"))
         .select("doc_id", F.expr("transform(toks, tk -> md5(tk))").alias("hexes"))
         # shuffle barrier: materializes `hexes` so CollapseProject can't

@@ -36,9 +36,12 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"].select(
         "doc_id", "lang", "n_chars"
     )
+    # pid-keyed like the N5 oracle containers: two processes sharing this
+    # machine (driver gate + a local pytest) must never overwrite/read the
+    # same staging directory mid-write
     path = os.path.join(
         tempfile.gettempdir(),
-        f"n5ds-fmt-{fmt}-{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+        f"n5ds-fmt-{fmt}-{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}-p{os.getpid()}",
     )
     writer = docs.write.mode("overwrite").format(fmt)
     reader = spark.read.format(fmt)
@@ -112,7 +115,7 @@ def formats_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = os.path.join(
         tempfile.gettempdir(),
-        f"n5ds-fmt-part-{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+        f"n5ds-fmt-part-{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}-p{os.getpid()}",
     )
     orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
     back = spark.read.parquet(path)

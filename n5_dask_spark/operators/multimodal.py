@@ -38,7 +38,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from n5_dask_spark.catalog import load_tables
+from n5_dask_spark.catalog import load_tables, widen
 from n5_dask_spark.registry import register
 
 FEATURE_SCHEMA = StructType(
@@ -114,8 +114,8 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize a multimodal table: documents' text bytes as the opaque
     payload (binary) + typed metadata — the blocks-DF pattern of §1.5."""
     t = load_tables(spark, sf_dir, ("documents",))
-    # single-file input -> fan out so pandas-UDF batches run on all cores
-    return t["documents"].repartition(spark.sparkContext.defaultParallelism).select(
+    # narrow local scans fan out so pandas-UDF batches run on all cores
+    return widen(t["documents"]).select(
         "doc_id",
         F.when(F.col("doc_id") % 3 == 0, "image/png")
         .when(F.col("doc_id") % 3 == 1, "audio/wav")
@@ -221,9 +221,7 @@ def _png_roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 )
 def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
-    docs = t["documents"].repartition(spark.sparkContext.defaultParallelism).select(
-        "doc_id", "text"
-    )
+    docs = widen(t["documents"]).select("doc_id", "text")
     return docs.mapInPandas(_png_roundtrip, schema=PNG_SCHEMA).orderBy("doc_id")
 
 

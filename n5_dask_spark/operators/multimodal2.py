@@ -20,7 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from n5_dask_spark.catalog import load_tables
+from n5_dask_spark.catalog import load_tables, widen
 from n5_dask_spark.operators.multimodal import media_table
 from n5_dask_spark.registry import register
 
@@ -184,9 +184,7 @@ def _frame_energy(batches):
 def multimodal_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     clips = (
-        docs.filter(F.col("doc_id") < 200)
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        widen(docs.filter(F.col("doc_id") < 200).select("doc_id"))
         .mapInPandas(_fake_pcm, schema="doc_id long, pcm binary")
     )
     return (

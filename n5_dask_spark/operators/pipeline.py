@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from n5_dask_spark.catalog import load_tables
+from n5_dask_spark.catalog import load_tables, widen
 from n5_dask_spark.operators.dedup import (
     DUCK_MINHASH_PAIRS,
     DUCK_SHINGLES,
@@ -139,7 +139,7 @@ def _duck_centroid_dist(prefix: str) -> str:
 )
 def knn_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("embeddings",))
-    emb = t["embeddings"].repartition(spark.sparkContext.defaultParallelism)
+    emb = widen(t["embeddings"])
     cents = emb.groupBy("label").agg(
         *[
             F.expr(

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from n5_dask_spark.catalog import load_tables
+from n5_dask_spark.catalog import load_tables, widen
 from n5_dask_spark.operators.dedup import DUCK_TOKENS, SPARK_TOKENS
 from n5_dask_spark.registry import register
 
@@ -113,8 +113,8 @@ def agg_argminmax_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
-    # repartition first: single parquet file -> one input partition
-    docs = t["documents"].repartition(spark.sparkContext.defaultParallelism)
+    # widen first: a single local parquet file arrives as one partition
+    docs = widen(t["documents"])
     bigrams = (
         docs.select("doc_id", F.expr(SPARK_TOKENS).alias("w"))
         .select(

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from n5_dask_spark.catalog import load_tables
+from n5_dask_spark.catalog import load_tables, widen
 from n5_dask_spark.operators._exact import dsum
 from n5_dask_spark.registry import register
 
@@ -73,7 +73,7 @@ def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("embeddings",))
-    emb = t["embeddings"].repartition(spark.sparkContext.defaultParallelism)
+    emb = widen(t["embeddings"])
     exploded = emb.select(F.posexplode("embedding").alias("pos", "v")).select(
         (F.col("pos") + 1).cast("int").alias("dim"),  # WITH ORDINALITY is 1-based
         F.col("v").cast("double").alias("v"),

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from n5_dask_spark.catalog import load_tables
+from n5_dask_spark.catalog import load_tables, widen
 from n5_dask_spark.registry import register
 
 N_QUERIES = 5  # query vectors = vec_id < 5
@@ -79,8 +79,8 @@ DUCK_COSINE = "list_cosine_similarity(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[
 )
 def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("embeddings",))
-    # single-file input: fan out so the per-row cosine evaluation parallelizes
-    emb = t["embeddings"].repartition(spark.sparkContext.defaultParallelism)
+    # narrow local scans fan out so the per-row cosine parallelizes
+    emb = widen(t["embeddings"])
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
@@ -135,10 +135,8 @@ DUCK_BUCKET = (
 )
 def knn_signbucket_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("embeddings",))
-    b = (
-        t["embeddings"]
-        .repartition(spark.sparkContext.defaultParallelism)  # single-file input
-        .select("vec_id", "embedding", F.expr(SPARK_BUCKET).cast("int").alias("bucket"))
+    b = widen(t["embeddings"]).select(
+        "vec_id", "embedding", F.expr(SPARK_BUCKET).cast("int").alias("bucket")
     )
     q = b.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), F.col("bucket").alias("qb")
@@ -173,10 +171,8 @@ def embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # EXPLICITLY — without the hint this non-equi join silently degrades to
     # a both-sides-shuffled CartesianProduct once embeddings outgrows
     # autoBroadcastJoinThreshold (the knn queries pin the same shape)
-    a = (
-        t["embeddings"]
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    a = widen(t["embeddings"]).select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
     )
     b = t["embeddings"].select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     return (

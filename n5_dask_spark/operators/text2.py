@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from n5_dask_spark.catalog import load_tables
+from n5_dask_spark.catalog import load_tables, widen
 from n5_dask_spark.operators._exact import dsum
 from n5_dask_spark.operators.dedup import DUCK_TOKENS, SPARK_TOKENS
 from n5_dask_spark.registry import register
@@ -55,7 +55,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     t = load_tables(spark, sf_dir, ("documents",))
-    docs = t["documents"].repartition(spark.sparkContext.defaultParallelism)
+    docs = widen(t["documents"])
     tf = (
         docs.select("doc_id", F.explode(F.expr(SPARK_TOKENS)).alias("tok"))
         .groupBy("doc_id", "tok")
