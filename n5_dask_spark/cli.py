@@ -25,7 +25,7 @@ import sys
 
 from n5_dask_spark.session import get_spark
 
-COMPRESSION_IDS = ("raw", "gzip", "bz2", "xz", "lz4", "blosc", "same")
+COMPRESSION_IDS = ("raw", "gzip", "bz2", "xz", "lz4", "blosc", "zstd", "same")
 
 
 def _parse_ints(s: str) -> list[int]:
@@ -49,6 +49,9 @@ def _compression(arg: str) -> dict | str:
         # n5-blosc defaults (cname=lz4, byte-shuffle); typesize is refined
         # to the dataset dtype at write time by the codec layer
         return {"type": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1, "typesize": 1}
+    if arg == "zstd":
+        # n5-zstd ecosystem extension (bare zstd frame per block)
+        return {"type": "zstd", "level": 3}
     raise argparse.ArgumentTypeError(f"unknown compression {arg!r} (known: {COMPRESSION_IDS})")
 
 

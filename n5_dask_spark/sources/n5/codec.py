@@ -25,7 +25,9 @@ useZlib:true = raw zlib stream), bz2, xz, lz4 (pure-Python lz4-java
 LZ4Block framing — see lz4.py), blosc (pure-Python Blosc1 chunks:
 blosclz/lz4/snappy/zlib decode + pyarrow-gated zstd both directions,
 lz4/zlib/zstd encode, byte- and bit-shuffle — see blosc.py; unsupported
-variants raise NotImplementedError rather than failing silently).
+variants raise NotImplementedError rather than failing silently), and
+zstd (the n5-zstd ecosystem extension: a bare zstd frame per block,
+pyarrow-gated like the blosc leg).
 """
 
 from __future__ import annotations
@@ -102,10 +104,23 @@ def _compress(payload: bytes, compression: dict[str, Any] | None) -> bytes:
             shuffle=int(c.get("shuffle", 1)),
             blocksize=int(c.get("blocksize", 0)),
         )
+    if ctype == "zstd":
+        # the n5-zstd ecosystem extension: a bare zstd frame as the block
+        # payload, {"type":"zstd","level":L} in attributes.json. Backed by
+        # pyarrow's bundled libzstd (same gated shim as the blosc leg).
+        from n5_dask_spark.sources.n5.blosc import _zstd
+
+        level = int((compression or {}).get("level", 3))
+        codec = _zstd(min(max(level, 1), 22))
+        if codec is None:
+            raise ImportError("compression 'zstd' needs pyarrow's bundled libzstd")
+        return codec.compress(payload, asbytes=True)
     raise ImportError(f"compression {ctype!r} requires external codecs not installed here")
 
 
-def _decompress(payload: bytes, compression: dict[str, Any] | None) -> bytes:
+def _decompress(
+    payload: bytes, compression: dict[str, Any] | None, expected_size: int | None = None
+) -> bytes:
     ctype = (compression or {}).get("type", "raw")
     if ctype == "raw":
         return payload
@@ -125,6 +140,20 @@ def _decompress(payload: bytes, compression: dict[str, Any] | None) -> bytes:
         from n5_dask_spark.sources.n5 import blosc as _blosc
 
         return _blosc.decompress(payload)
+    if ctype == "zstd":
+        from n5_dask_spark.sources.n5.blosc import _zstd
+
+        codec = _zstd()
+        if codec is None:
+            raise ImportError("compression 'zstd' needs pyarrow's bundled libzstd")
+        if expected_size is None:
+            # bare zstd frames carry no trustworthy content size for the
+            # one-shot API; every block caller knows prod(dims) * itemsize
+            raise ValueError("zstd N5 block decode needs the expected payload size")
+        try:
+            return codec.decompress(payload, expected_size, asbytes=True)
+        except Exception as exc:  # ArrowInvalid etc -> decoder-total
+            raise ValueError(f"corrupt zstd N5 block payload: {exc}") from None
     raise ImportError(f"compression {ctype!r} requires external codecs not installed here")
 
 
@@ -148,10 +177,10 @@ def decode_block(raw: bytes, data_type: str, compression: dict[str, Any] | None)
         # varlength blocks (label multisets) have num_elements != prod(dims);
         # reject explicitly rather than failing the size check below
         raise ValueError("varlength (mode 1) N5 blocks are not supported")
-    payload = _decompress(raw[offset:], compression)
     be = np_dtype(data_type).newbyteorder(">")
-    arr = np.frombuffer(payload, dtype=be)
     expected = int(np.prod(dims))
+    payload = _decompress(raw[offset:], compression, expected_size=expected * be.itemsize)
+    arr = np.frombuffer(payload, dtype=be)
     if arr.size != expected:
         raise ValueError(f"payload has {arr.size} elements, header says {expected}")
     return arr.reshape(tuple(reversed(dims))).astype(np_dtype(data_type))

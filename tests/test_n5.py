@@ -141,6 +141,65 @@ def test_foreign_snappy_blosc_container_reads(tmp_path, spark):
     np.testing.assert_array_equal(out_xyz, vol_zyx.transpose(2, 1, 0))
 
 
+def test_foreign_zstd_container_reads(tmp_path, spark):
+    """The n5-zstd ecosystem extension: {"type":"zstd"} with a bare zstd
+    frame per block. Block payloads here are compressed by the REAL
+    libzstd (pyarrow) — a genuinely foreign writer — and must read
+    through the full Spark path."""
+    import struct
+
+    pa = pytest.importorskip("pyarrow")
+    if not pa.Codec.is_available("zstd"):
+        pytest.skip("pyarrow libzstd unavailable")
+    from n5_dask_spark.sources.n5.reader import read_full
+
+    rng = np.random.default_rng(13)
+    vol_zyx = rng.integers(0, 255, (8, 8, 16), dtype=np.uint8)  # 2 blocks in x
+    ds = tmp_path / "c.n5" / "vol"
+    (tmp_path / "c.n5").mkdir()
+    ds.mkdir()
+    (tmp_path / "c.n5" / "attributes.json").write_text('{"n5":"2.5.1"}')
+    (ds / "attributes.json").write_text(
+        json.dumps(
+            {
+                "dataType": "uint8",
+                "dimensions": [16, 8, 8],
+                "blockSize": [8, 8, 8],
+                "compression": {"type": "zstd", "level": 3},
+            }
+        )
+    )
+    for gx in range(2):
+        block = vol_zyx[:, :, gx * 8 : (gx + 1) * 8]
+        raw = struct.pack(">HH3i", 0, 3, 8, 8, 8) + pa.Codec("zstd").compress(
+            np.ascontiguousarray(block).tobytes(), asbytes=True
+        )
+        bdir = ds / str(gx) / "0"
+        bdir.mkdir(parents=True)
+        (bdir / "0").write_bytes(raw)
+    out_xyz = read_full(spark, str(tmp_path / "c.n5"), "vol")
+    np.testing.assert_array_equal(out_xyz, vol_zyx.transpose(2, 1, 0))
+
+
+def test_zstd_codec_roundtrip_and_corruption():
+    from n5_dask_spark.sources.n5 import blosc as _blosc
+    from n5_dask_spark.sources.n5.codec import decode_block, encode_block
+
+    if _blosc._zstd() is None:
+        pytest.skip("pyarrow libzstd unavailable")
+    comp = {"type": "zstd", "level": 3}
+    rng = np.random.default_rng(17)
+    for dt in ("uint8", "uint16", "float32"):
+        arr = (rng.random((5, 7, 3)) * 100).astype(dt)
+        out = decode_block(encode_block(arr, dt, comp), dt, comp)
+        np.testing.assert_array_equal(out, arr)
+    # corrupt frame -> decoder-total ValueError, not an Arrow exception
+    good = bytearray(encode_block(np.zeros((4, 4, 4), np.uint8), "uint8", comp))
+    good[20] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_block(bytes(good), "uint8", comp)
+
+
 def test_codec_roundtrip_all_compressions():
     from n5_dask_spark.sources.n5.codec import decode_block, encode_block
 
