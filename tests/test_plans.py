@@ -227,3 +227,19 @@ def test_fragment_shuffle_is_single_exchange(spark):
     # formatted plans list each node twice (tree + detail): count tree rows
     assert re_plan.count("+- Exchange") == 1
     assert "FlatMapGroupsInPandas" in re_plan  # reassembly rides THAT exchange
+
+
+def test_widen_is_conditional(spark):
+    """catalog.widen fans out a narrow scan but must be a no-op (no added
+    Exchange) when the input is already at least as wide as the cluster —
+    the property that keeps it shuffle-free at scale."""
+    from pyspark.sql import functions as F
+
+    from n5_dask_spark.catalog import load_tables, widen
+
+    par = spark.sparkContext.defaultParallelism
+    narrow = load_tables(spark, SF_SMALL, ("documents",))["documents"]
+    assert narrow.rdd.getNumPartitions() < par  # single local parquet split
+    assert widen(narrow).rdd.getNumPartitions() == par
+    wide = spark.range(0, 10_000, 1, par * 2).select(F.col("id").alias("doc_id"))
+    assert widen(wide) is wide  # already wide: same plan object, no shuffle
