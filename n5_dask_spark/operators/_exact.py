@@ -18,19 +18,26 @@ def dsum(expr: str, alias: str, prec: int = 18, scale: int = 6) -> Column:
 
 
 def micro_sum(expr: str, alias: str) -> Column:
-    """Exact SUM via scaled-long accumulation: ROUND(x*1e6) AS BIGINT summed,
-    then /1e6. ~2.5x faster than decimal aggregation (hot aggregate path);
-    the addends are integers so the sum is order-independent and identical
-    across engines. Use where the oracle uses the same formula. BIGINT
-    micro-units bound the safe domain to ~9e12 total — plenty for per-group
-    sums here; extreme-scale groups fall back to dsum."""
-    return F.expr(f"CAST(SUM(CAST(ROUND(({expr}) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000").alias(alias)
+    """Exact SUM via scaled-integer accumulation: ROUND(x*1e6) summed as
+    DECIMAL(38,0), then /1e6. The addends are integers so the sum is
+    order-independent and identical across engines; use where the oracle
+    uses the same formula (DuckDB sums the BIGINT micro-units into
+    HUGEINT — also 128-bit, also exact). The accumulator is deliberately
+    NOT BIGINT: a 100 TB q1 group (~1e11 rows x ~1e9 micro-units) passes
+    9.2e18 and Spark's non-ANSI bigint sum would WRAP SILENTLY while the
+    oracle widens — decimal accumulation is exact to 1e38 and measures at
+    parity with the bigint path on the warmed q1 plan (the scan
+    dominates; the old "2.5x faster" note predated plan warmup)."""
+    return F.expr(
+        f"CAST(SUM(CAST(ROUND(({expr}) * 1000000) AS DECIMAL(38,0))) AS DOUBLE) / 1000000"
+    ).alias(alias)
 
 
 def micro_avg(expr: str, alias: str) -> Column:
-    """Exact AVG on the scaled-long path (sum_micro / n / 1e6)."""
+    """Exact AVG on the scaled-integer path (sum_micro / n / 1e6)."""
     return F.expr(
-        f"CAST(SUM(CAST(ROUND(({expr}) * 1000000) AS BIGINT)) AS DOUBLE) / COUNT({expr}) / 1000000"
+        f"CAST(SUM(CAST(ROUND(({expr}) * 1000000) AS DECIMAL(38,0))) AS DOUBLE)"
+        f" / COUNT({expr}) / 1000000"
     ).alias(alias)
 
 

@@ -60,9 +60,10 @@ def _micro_avg_sql(expr: str, alias: str) -> str:
     """,
     doc=(
         "TPC-H Q1 pricing summary: scan-filter-aggregate over the fact "
-        "table. Aggregates use scaled-long (micro-unit) accumulation — "
-        "order-independent integer sums, ~2.5x faster than decimal — with "
-        "the identical formula on the oracle side."
+        "table. Aggregates use scaled-integer (micro-unit) accumulation — "
+        "order-independent exact sums, DECIMAL(38,0)-accumulated so a "
+        "100 TB group cannot wrap — with the identical formula on the "
+        "oracle side (DuckDB's BIGINT sum widens to HUGEINT)."
     ),
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
