@@ -302,13 +302,18 @@ def read_region(
         out_shape = tuple(e - s for s, e in zip(start_xyz, end_xyz))
         return np.zeros(out_shape, dtype=np_dtype(attrs.data_type))
     # N5 datasets are legally SPARSE: an absent block file means fill-value
-    # (zero) voxels, so only existing paths are scanned and the zero-
-    # initialized output covers the gaps.
-    paths = [
-        p
-        for g in hits
-        if os.path.exists(p := os.path.join(container, dataset, *map(str, g)))
-    ]
+    # (zero) voxels. For LOCAL containers the driver pre-filters to existing
+    # paths (cheap stat; the zero-initialized output covers the gaps). For
+    # URI-scheme containers os.path.exists would test EVERY path False and
+    # silently read a populated region as zeros — pass all candidates and
+    # let scan_block_files' missing-path handling resolve them (dense URI
+    # datasets read fine; sparse ones refuse loudly, same contract as
+    # write_region's edge reads).
+    candidates = [os.path.join(container, dataset, *map(str, g)) for g in hits]
+    if _has_uri_scheme(container):
+        paths = candidates
+    else:
+        paths = [p for p in candidates if os.path.exists(p)]
     if not paths:
         out_shape = tuple(e - s for s, e in zip(start_xyz, end_xyz))
         return np.zeros(out_shape, dtype=np_dtype(attrs.data_type))

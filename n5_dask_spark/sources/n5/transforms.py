@@ -203,11 +203,18 @@ def export_region(
     hits = overlapping_blocks(attrs, start, end)
     import os as _os
 
-    paths = [
-        p
-        for g in hits
-        if _os.path.exists(p := _os.path.join(container, dataset, *map(str, g)))
-    ]
+    from n5_dask_spark.sources.n5.reader import _has_uri_scheme
+
+    # same sparse-vs-URI contract as read_region: local containers
+    # pre-filter to existing block files (absent = fill-value, stays
+    # sparse in the output); URI containers pass every candidate so
+    # scan_block_files can refuse loudly rather than driver-stat them
+    # all False and silently export zeros
+    candidates = [_os.path.join(container, dataset, *map(str, g)) for g in hits]
+    if _has_uri_scheme(container):
+        paths = candidates
+    else:
+        paths = [p for p in candidates if _os.path.exists(p)]
     if paths:
         frags = decoded_blocks(spark, container, dataset, paths=paths).mapInPandas(
             fragment, schema=FRAGMENT_SCHEMA

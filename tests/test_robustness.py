@@ -289,3 +289,65 @@ def test_write_region_out_of_bounds_refused(spark):
         write_region(spark, c, "a/s0", np.ones((4, 4, 4), dtype="u1"), [6, 0, 0])
     with pytest.raises(ValueError, match="outside the dataset"):
         write_region(spark, c, "a/s0", np.ones((2, 2, 2), dtype="u1"), [-1, 0, 0])
+
+
+def test_read_region_uri_container_passes_all_candidates(spark, monkeypatch):
+    """read_region must not driver-stat-filter candidate block paths for a
+    URI container (every path would test False -> silent zeros); all
+    candidates go to scan_block_files, whose missing-path handling refuses
+    loudly for URI paths."""
+    from n5_dask_spark.sources.n5 import reader as rd
+    from n5_dask_spark.sources.n5.metadata import DatasetAttributes
+
+    attrs = DatasetAttributes(
+        data_type="uint8",
+        dimensions=[16, 8, 8],
+        block_size=[8, 8, 8],
+        compression={"type": "raw"},
+    )
+    monkeypatch.setattr(rd, "read_attributes", lambda c, d: attrs)
+    captured = {}
+
+    def fake_scan(spark_, container, dataset, ndim=3, paths=None):
+        captured["paths"] = paths
+        raise RuntimeError("stop after path selection")
+
+    monkeypatch.setattr(rd, "scan_block_files", fake_scan)
+    with pytest.raises(RuntimeError, match="stop after path selection"):
+        rd.read_region(spark, "s3a://bucket/c.n5", "vol", [0, 0, 0], [16, 8, 8])
+    assert captured["paths"] is not None and len(captured["paths"]) == 2
+
+
+def test_export_region_uri_container_passes_all_candidates(spark, monkeypatch, tmp_path):
+    """Same contract for the distributed export path: a URI container's
+    candidates reach the scan un-filtered instead of being stat-tested to
+    an (all-sparse, silently-zero) output dataset."""
+    from n5_dask_spark.sources.n5 import reader as rd
+    from n5_dask_spark.sources.n5 import transforms as tf
+    from n5_dask_spark.sources.n5.metadata import DatasetAttributes
+
+    attrs = DatasetAttributes(
+        data_type="uint8",
+        dimensions=[16, 8, 8],
+        block_size=[8, 8, 8],
+        compression={"type": "raw"},
+    )
+    monkeypatch.setattr(tf, "read_attributes", lambda c, d: attrs)
+    captured = {}
+
+    def fake_decoded(spark_, container, dataset, paths=None):
+        captured["paths"] = paths
+        raise RuntimeError("stop after path selection")
+
+    monkeypatch.setattr(rd, "decoded_blocks", fake_decoded)
+    with pytest.raises(RuntimeError, match="stop after path selection"):
+        tf.export_region(
+            spark,
+            "s3a://bucket/c.n5",
+            "vol",
+            [0, 0, 0],
+            [16, 8, 8],
+            str(tmp_path / "out.n5"),
+            "vol",
+        )
+    assert captured["paths"] is not None and len(captured["paths"]) == 2
