@@ -76,8 +76,18 @@ def write_blocks(
 ) -> None:
     """Sink a blocks DataFrame (gx,gy,gz, shape_zyx, data native bytes).
 
-    One output file per row; rows are repartitioned by grid key so exactly
-    one task owns each block file."""
+    One output file per row. Single-writer-per-block holds by ROW
+    uniqueness: every producer (rechunk/export_region's groupBy output,
+    grid enumeration, write_region's edge merge) emits exactly one row per
+    grid cell, and _atomic_write makes even a retried duplicate a full
+    overwrite, never an interleave. The sink therefore does NOT re-shuffle
+    on the grid key — the old unconditional repartition moved every block
+    byte through a second exchange in every rechunk->write pipeline purely
+    to rebalance. Instead the sink fuses into the producer's stage; write
+    parallelism is the producer's partitioning (groupBy shuffle output,
+    spark.range splits, createDataFrame slices — all wide). A caller that
+    hands a single-partition blocks DF serializes its writes; all current
+    producers are wide by construction."""
     write_attributes(container, dataset, attrs)
     data_type, compression = attrs.data_type, dict(attrs.compression)
     dt = np_dtype(data_type)
@@ -97,8 +107,7 @@ def write_blocks(
         yield pd.DataFrame({"written": [n]})
 
     counts = (
-        blocks.repartition(max(1, blocks.sparkSession.sparkContext.defaultParallelism), "gx", "gy", "gz")
-        .mapInPandas(sink, schema="written long")
+        blocks.mapInPandas(sink, schema="written long")
         .agg(F.sum("written"))
         .collect()
     )
