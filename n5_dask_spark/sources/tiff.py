@@ -479,13 +479,13 @@ def n5_to_tif_series(
                 written.append(int(gz))
         yield pd.DataFrame({"gz": written})
 
+    # the sink fuses into the rechunk shuffle's stage (writer.write_blocks
+    # discipline): slice_blocks is groupBy output — wide, one row per z
+    # slice — so a second repartition would move every slice byte through
+    # an extra exchange purely to rebalance
     written = {
         int(r["gz"])
-        for r in slice_blocks.repartition(
-            max(1, spark.sparkContext.defaultParallelism), "gz"
-        )
-        .mapInPandas(sink, schema="gz int")
-        .collect()
+        for r in slice_blocks.mapInPandas(sink, schema="gz int").collect()
     }
     # Sparse N5 is legal (absent blocks = fill value) and the rechunk
     # shuffle emits no row for an all-absent z slab, so those slices get no
