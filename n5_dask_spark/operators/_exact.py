@@ -17,27 +17,37 @@ def dsum(expr: str, alias: str, prec: int = 18, scale: int = 6) -> Column:
     return F.expr(f"CAST(SUM(CAST(({expr}) AS DECIMAL({prec},{scale}))) AS DOUBLE)").alias(alias)
 
 
+def _micro_total(expr: str) -> str:
+    """Exact SUM(ROUND(x*1e6)) as a DECIMAL(38,0) SQL fragment, computed
+    through a HI/LO SPLIT: two BIGINT accumulators (whole units and
+    sub-unit remainder) recombined exactly per group.
+
+    Why not one BIGINT sum: a 100 TB-scale group (~1e11 rows x ~1e9
+    micro-units) passes the int64 ceiling and Spark's non-ANSI bigint sum
+    WRAPS SILENTLY while the DuckDB oracle widens to HUGEINT. Why not a
+    decimal accumulator: summing DECIMAL(38,0) per row measures ~3x the
+    bigint path on q1 (and DECIMAL(18,6) ~2x). The split keeps the hot
+    per-row adds in int64 — SUM(m DIV 1e6) is bounded by the true total
+    in WHOLE units (safe past 1e15 rows/group at 1e4-unit values) and
+    SUM(m % 1e6) by 1e6 x rows — at ~9% over the plain bigint sum, and
+    the truncated-division identity m == (m DIV d)*d + m % d makes the
+    recombined total EXACTLY SUM(m): values are bit-identical to both the
+    single-sum formula and the oracle's HUGEINT total."""
+    m = f"CAST(ROUND(({expr}) * 1000000) AS BIGINT)"
+    return f"(CAST(SUM({m} DIV 1000000) AS DECIMAL(38,0)) * 1000000 + SUM({m} % 1000000))"
+
+
 def micro_sum(expr: str, alias: str) -> Column:
-    """Exact SUM via scaled-integer accumulation: ROUND(x*1e6) summed as
-    DECIMAL(38,0), then /1e6. The addends are integers so the sum is
-    order-independent and identical across engines; use where the oracle
-    uses the same formula (DuckDB sums the BIGINT micro-units into
-    HUGEINT — also 128-bit, also exact). The accumulator is deliberately
-    NOT BIGINT: a 100 TB q1 group (~1e11 rows x ~1e9 micro-units) passes
-    9.2e18 and Spark's non-ANSI bigint sum would WRAP SILENTLY while the
-    oracle widens — decimal accumulation is exact to 1e38 and measures at
-    parity with the bigint path on the warmed q1 plan (the scan
-    dominates; the old "2.5x faster" note predated plan warmup)."""
-    return F.expr(
-        f"CAST(SUM(CAST(ROUND(({expr}) * 1000000) AS DECIMAL(38,0))) AS DOUBLE) / 1000000"
-    ).alias(alias)
+    """Exact SUM via scaled-integer accumulation (see _micro_total), /1e6.
+    Use where the oracle uses the single-BIGINT-sum micro formula — the
+    totals are identical."""
+    return F.expr(f"CAST({_micro_total(expr)} AS DOUBLE) / 1000000").alias(alias)
 
 
 def micro_avg(expr: str, alias: str) -> Column:
     """Exact AVG on the scaled-integer path (sum_micro / n / 1e6)."""
     return F.expr(
-        f"CAST(SUM(CAST(ROUND(({expr}) * 1000000) AS DECIMAL(38,0))) AS DOUBLE)"
-        f" / COUNT({expr}) / 1000000"
+        f"CAST({_micro_total(expr)} AS DOUBLE) / COUNT({expr}) / 1000000"
     ).alias(alias)
 
 

@@ -60,10 +60,11 @@ def _micro_avg_sql(expr: str, alias: str) -> str:
     """,
     doc=(
         "TPC-H Q1 pricing summary: scan-filter-aggregate over the fact "
-        "table. Aggregates use scaled-integer (micro-unit) accumulation — "
-        "order-independent exact sums, DECIMAL(38,0)-accumulated so a "
-        "100 TB group cannot wrap — with the identical formula on the "
-        "oracle side (DuckDB's BIGINT sum widens to HUGEINT)."
+        "table. Aggregates use scaled-integer (micro-unit) accumulation "
+        "via a hi/lo int64 split (operators/_exact.py) — order-"
+        "independent exact sums at bigint speed that cannot wrap at any "
+        "realistic group size — totals identical to the oracle's formula "
+        "(DuckDB's BIGINT sum widens to HUGEINT)."
     ),
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:

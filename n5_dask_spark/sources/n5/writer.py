@@ -3,7 +3,7 @@
 Spark-first shape: a grid-enumeration DataFrame (T11) is the spine; each
 task owns exactly one output block (the contention-free `lock=False`
 discipline of /root/reference/src/tif_to_n5.py:58 holds BY CONSTRUCTION —
-repartitioning guarantees single-writer-per-block). Writes are idempotent
+every producer emits one row per grid cell). Writes are idempotent
 (temp file + os.replace) so task retries can't corrupt blocks — the
 write-atomicity concern flagged in SURVEY.md §7.
 
