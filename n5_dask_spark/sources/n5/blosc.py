@@ -379,7 +379,8 @@ def decompress(chunk: bytes) -> bytes:
             f"blosc internal codec {_CODEC_NAMES.get(codec, codec)!r} is not "
             "supported by the pure-Python codec (blosclz, lz4, snappy, zlib and zstd are)"
         )
-    if codec == _CODEC_ZSTD and _zstd() is None:
+    zstd_codec = _zstd() if codec == _CODEC_ZSTD else None
+    if codec == _CODEC_ZSTD and zstd_codec is None:
         raise NotImplementedError(
             "blosc internal codec 'zstd' needs pyarrow's bundled libzstd, "
             "which is unavailable in this environment (its FSE/Huffman "
@@ -425,7 +426,7 @@ def decompress(chunk: bytes) -> bytes:
                 block += snappy_decompress(bytes(payload), stream_size)
             elif codec == _CODEC_ZSTD:
                 try:
-                    part = _zstd().decompress(bytes(payload), stream_size, asbytes=True)
+                    part = zstd_codec.decompress(bytes(payload), stream_size, asbytes=True)
                 except Exception as exc:  # ArrowInvalid etc -> decoder-total
                     raise ValueError(f"corrupt blosc zstd stream: {exc}") from None
                 if len(part) != stream_size:
