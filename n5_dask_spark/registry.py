@@ -59,6 +59,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "multimodal_png_decode",  # NEW: stdlib PNG decode, hash-pinned
     "n5_roundtrip_blosc",  # blosc codec gained bit-shuffle this round
     "n5_roundtrip_blosc_zstd",  # NEW: pyarrow-gated zstd + bit-shuffle leg
+    # late-r6 code changes (hi/lo micro aggregation; fused N5/TIFF sinks;
+    # URI region-path fix; widen + in-plan doc count) — changed queries
+    # outrank stale-green refreshes, so six unchanged r3-stale fillers
+    # (streaming_dedup/static_join, q2/q7/q8/q9 — their r3 greens stand)
+    # rotated out for these six
+    "q1_pricing_summary",
+    "n5_roundtrip_zprofile",
+    "tiff_roundtrip_zprofile",
+    "n5_region_export_zprofile",
+    "dedup_minhash_lsh",
+    "text_boilerplate_shingles",
     # (b) all 31 round-2-stale greens
     "agg_corr_covar",
     "agg_filter_clause",
@@ -101,15 +112,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "n5_rechunk_blocksums",
     "n5_rechunk_stats",
     "n5_region_read",
-    # ... then the stalest streaming/multimodal/TPC-H rows
-    "streaming_dedup_events",
-    "streaming_static_dim_join",
+    # ... then the stalest (also widen-touched) multimodal rows
     "multimodal_frame_sample",
     "multimodal_resize",
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
 )
 
 
