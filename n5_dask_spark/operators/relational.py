@@ -6,9 +6,14 @@ join.
 The reference has none of these (SURVEY.md §0); each registers a DuckDB
 oracle so the driver's t2 gate hash-checks it.
 
-Scale notes: joins against dimension tables are broadcast; the as-of join is
-the join+window pattern (at 100 TB it would be a range-bucketed join — the
-window dedup stays per-key and AQE handles skew).
+Scale notes: only CONSTANT-cardinality sides (region/nation, literal
+bands, 1-row aggregates) carry broadcast hints — F.broadcast ignores the
+size threshold, so a hint on an SF-scaling dim (customer/supplier/part) or
+a fact would OOM executors at 100 TB; those joins are left to AQE, which
+still broadcasts them at small scale via autoBroadcastJoinThreshold. The
+as-of join is the join+window pattern (at 100 TB it would be a
+range-bucketed join — the window dedup stays per-key and AQE handles
+skew).
 """
 
 from __future__ import annotations
@@ -33,14 +38,14 @@ from n5_dask_spark.registry import register
     WHERE o_totalprice > 400000
     ORDER BY o_orderkey
     """,
-    doc="Inner equi-join, dim side broadcast.",
+    doc="Inner equi-join; AQE broadcasts the dim when it is small.",
 )
 def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("orders", "customer"))
     return (
         t["orders"]
         .filter(F.col("o_totalprice") > 400000)
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
         .orderBy("o_orderkey")
     )

@@ -49,7 +49,7 @@ _CC_ORACLE_TAIL = """
 )
 def pivot_segment_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("orders", "customer"))
-    j = t["orders"].join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+    j = t["orders"].join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
     return (
         j.withColumn("yr", F.year("o_orderdate"))
         .groupBy("c_mktsegment")
@@ -225,7 +225,7 @@ def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("orders", "customer"))
     m = (
         t["orders"]
-        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
         .groupBy("c_mktsegment", "o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -58,7 +58,7 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("orders", "customer"))
     return (
         t["orders"]
-        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
         .groupBy("c_mktsegment")
         .agg(
             F.round(F.corr("o_totalprice", "c_acctbal"), 6).alias("price_bal_corr"),

@@ -1,6 +1,7 @@
 """Extended TPC-H-family coverage (SURVEY.md §2.B joins/aggregation rows),
 adapted to the driver schema (no ps_supplycost / l_shipmode / l_commitdate —
-FIXTURES.md §B). All broadcast-dim + single-fact-shuffle shapes.
+FIXTURES.md §B). Hints only on constant dims (nation/region); SF-scaling
+sides are AQE-planned so the shapes hold at any scale.
 """
 
 from __future__ import annotations
@@ -43,9 +44,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate").between("1996-01-01", "1997-12-31 00:00:00")
     )
     df = (
-        li.join(F.broadcast(t["orders"]), F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        li.join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(sn), F.col("snk") == F.col("s_nationkey"))
         .join(F.broadcast(cn), F.col("cnk") == F.col("c_nationkey"))
         .filter(
@@ -97,10 +98,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = (
         t["lineitem"]
-        .join(F.broadcast(orders), F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(sn), F.col("snk") == F.col("s_nationkey"))
-        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(cn), F.col("cnk") == F.col("c_nationkey"))
         .join(F.broadcast(region), F.col("r_regionkey") == F.col("crk"))
     )
@@ -141,9 +142,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = t["part"].filter(F.col("p_name").like("%red%"))
     return (
         t["lineitem"]
-        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(F.broadcast(t["orders"]), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(dsum(DISC_PRICE, "profit"))
@@ -172,7 +173,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = F.expr(f"CAST({DISC_PRICE} AS DECIMAL(18,6))")
     zero = F.lit(0).cast("decimal(18,6)")
     return (
-        li.join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             (
                 F.lit(100.0)
@@ -213,8 +214,8 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t["lineitem"].select("l_orderkey", "l_quantity")
     return (
         t["orders"]
-        .join(F.broadcast(big), F.col("o_orderkey") == F.col("big_orderkey"), "left_semi")
-        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .join(big, F.col("o_orderkey") == F.col("big_orderkey"), "left_semi")
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice", "o_orderdate")
         .agg(dsum("l_quantity", "total_qty"))
@@ -237,7 +238,7 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("lineitem", "part"))
-    j = t["lineitem"].join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+    j = t["lineitem"].join(t["part"], F.col("p_partkey") == F.col("l_partkey"))
     cond = (
         ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 21))
         | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 30))

@@ -122,7 +122,7 @@ def q12_late_shipment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
-        li.join(F.broadcast(t["orders"]), F.col("o_orderkey") == F.col("l_orderkey"))
+        li.join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
         .filter(F.col("l_shipdate") >= F.expr("o_orderdate + INTERVAL 60 DAY"))
         .groupBy(F.col("l_returnflag").alias("ship_class"))
         .agg(
@@ -226,8 +226,8 @@ def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
         t["lineitem"]
-        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
@@ -319,7 +319,7 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     finished = t["orders"].filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
     late = (
         t["lineitem"]
-        .join(F.broadcast(finished), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(finished, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("l_orderkey", "l_suppkey")
         .agg(
             F.max(
@@ -333,7 +333,7 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         late.join(order_stats, "l_orderkey")
         .filter((F.col("is_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
-        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")

@@ -243,3 +243,26 @@ def test_widen_is_conditional(spark):
     assert widen(narrow).rdd.getNumPartitions() == par
     wide = spark.range(0, 10_000, 1, par * 2).select(F.col("id").alias("doc_id"))
     assert widen(wide) is wide  # already wide: same plan object, no shuffle
+
+
+def test_no_forced_broadcast_of_scaling_tables_in_source():
+    """F.broadcast ignores autoBroadcastJoinThreshold, so a hint on an
+    SF-scaling table (customer/supplier/part/orders/lineitem/embeddings/
+    documents) is an executor OOM at 100 TB. Hints are only legal on
+    constant-cardinality sides (region/nation, literals, 1-row/per-group
+    aggregates, bounded query sets). The one documented exception is the
+    embedding near-dup pair join (similarity.py): its non-equi condition
+    needs BroadcastNestedLoop to avoid a both-sides CartesianProduct, and
+    the LSH variant is the scale path."""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "n5_dask_spark"
+    scaling = r'F\.broadcast\((?:t\[)?"?(?:customer|supplier|part|orders|lineitem|documents|embeddings)"?\]?\)'
+    offenders = [
+        f"{p.relative_to(pkg.parent)}:{i}"
+        for p in sorted((pkg / "operators").rglob("*.py"))
+        for i, line in enumerate(p.read_text().splitlines(), 1)
+        if re.search(scaling, line)
+    ]
+    assert offenders == [], f"forced broadcast of an SF-scaling table at {offenders}"
