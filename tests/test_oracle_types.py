@@ -59,3 +59,61 @@ def test_oracle_output_types_hash_stable(duck, name, oracle):
         f"{name}: oracle output column(s) {decimals} are DECIMAL; the "
         f"determinism discipline requires CAST(... AS DOUBLE) on both sides"
     )
+
+
+def test_exact_agg_helpers_match_duckdb_on_random_data(spark):
+    """Differential contract test for the exact-aggregation helpers that
+    underlie most float oracles (operators/_exact.py): on randomized
+    doubles — including NEGATIVES and values with >6 decimal places, which
+    the driver tables never exercise — Spark's dsum/davg/micro_sum/
+    micro_avg must produce bit-identical doubles to the equivalent DuckDB
+    formulas. micro_sum's hi/lo split relies on the truncated-division
+    identity, which differs between engines for negative operands ONLY if
+    misused; the recombined total must still equal DuckDB's plain
+    HUGEINT-widened sum."""
+    import duckdb as _duck
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from n5_dask_spark.operators._exact import davg, dsum, micro_avg, micro_sum
+
+    rng = np.random.default_rng(101)
+    vals = np.concatenate(
+        [
+            (rng.random(4000) - 0.5) * 2e5,  # signed, wide range
+            rng.random(100) * 1e-7,  # sub-micro magnitudes
+            np.round(rng.random(900) * 1e3, 2),  # price-like 2dp
+        ]
+    )
+    grp = rng.integers(0, 7, len(vals))
+    pdf = pd.DataFrame({"g": grp, "x": vals})
+
+    sdf = spark.createDataFrame(pdf)
+    got = {
+        (int(r["g"]),): (r["ds"], r["da"], r["ms"], r["ma"])
+        for r in sdf.groupBy("g")
+        .agg(dsum("x", "ds"), davg("x", "da"), micro_sum("x", "ms"), micro_avg("x", "ma"))
+        .collect()
+    }
+
+    con = _duck.connect()
+    con.register("t", pdf)
+    want = {
+        (int(g),): (ds, da, ms, ma)
+        for g, ds, da, ms, ma in con.execute(
+            """
+            SELECT g,
+                   CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE),
+                   CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(x),
+                   CAST(SUM(CAST(ROUND(x * 1000000) AS BIGINT)) AS DOUBLE) / 1000000,
+                   CAST(SUM(CAST(ROUND(x * 1000000) AS BIGINT)) AS DOUBLE) / COUNT(x) / 1000000
+            FROM t GROUP BY g
+            """
+        ).fetchall()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        for i, (a, b) in enumerate(zip(got[k], want[k])):
+            assert a == b, (k, i, a, b)
