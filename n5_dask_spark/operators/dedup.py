@@ -41,19 +41,34 @@ from pyspark.sql import functions as F
 from n5_dask_spark.catalog import load_tables, widen
 from n5_dask_spark.registry import register
 
-# Tokenization shared by every text operator: lowercase, collapse whitespace,
-# split on single spaces. The whitespace class is spelled out EXPLICITLY on
-# both engines because '\s' is not portable: Java regex \s matches vertical
-# tab (\x0B) but DuckDB's RE2 \s does not, so documents containing \x0B
-# would tokenize differently and fail every downstream shingle/minhash/
-# simhash oracle hash. Both classes below reach their regex engine as
-# [ \t\n\x0B\f\r] (= Java's \s); the Python spellings differ because Spark
-# SQL string literals consume one level of backslash while DuckDB passes
-# them to RE2 verbatim.
+# Tokenization shared by every text operator: ASCII-lowercase, collapse
+# whitespace, split on single spaces. BOTH normalization steps are spelled
+# out engine-portably:
+# - The whitespace class is explicit because '\s' is not portable: Java
+#   regex \s matches vertical tab (\x0B) but DuckDB's RE2 \s does not, so
+#   documents containing \x0B would tokenize differently and fail every
+#   downstream shingle/minhash/simhash oracle hash. Both classes below
+#   reach their regex engine as [ \t\n\x0B\f\r] (= Java's \s); the Python
+#   spellings differ because Spark SQL string literals consume one level
+#   of backslash while DuckDB passes them to RE2 verbatim.
+# - Lowercasing is ASCII-ONLY via translate (identical on both engines)
+#   rather than lower(): Java's toLowerCase is context/locale-sensitive
+#   where utf8proc is not — 'İ' (U+0130) lowers to 'i'+combining-dot on
+#   the JVM but plain 'i' in DuckDB, and a word-final 'Σ' becomes 'ς' on
+#   the JVM but 'σ' in DuckDB — so lower() diverges the engines on
+#   non-ASCII text (differential fuzzing found 40/300 random-unicode
+#   probes differing). translate leaves non-ASCII untouched on BOTH
+#   engines: case-folding is deliberately ASCII-scoped, a documented
+#   normalization choice that keeps tokenization engine-exact on ANY
+#   input (the driver corpus itself is pure ASCII, so driver hashes are
+#   unchanged).
 _SPARK_WS = "[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]"
 _DUCK_WS = "[ \\t\\n\\x0B\\f\\r]"
-SPARK_TOKENS = f"split(regexp_replace(lower(text), '{_SPARK_WS}+', ' '), ' ')"
-DUCK_TOKENS = f"string_split(regexp_replace(lower(text), '{_DUCK_WS}+', ' ', 'g'), ' ')"
+_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+_ASCII_LOWER = f"translate(text, '{_UPPER}', '{_LOWER}')"
+SPARK_TOKENS = f"split(regexp_replace({_ASCII_LOWER}, '{_SPARK_WS}+', ' '), ' ')"
+DUCK_TOKENS = f"string_split(regexp_replace({_ASCII_LOWER}, '{_DUCK_WS}+', ' ', 'g'), ' ')"
 
 # 3-token shingle expression over a `toks` column — ONE definition shared by
 # _spark_shingles and dedup_minhash_lsh so the two can never drift.

@@ -157,3 +157,29 @@ def test_tokenizer_whitespace_class_matches_across_engines(spark):
     assert spark_toks == duck_toks
     assert spark_toks[0] == ["a", "b", "c"]
     assert spark_toks[1] == ["box", "0", "bob"]
+
+
+def test_tokenization_engine_parity_on_random_unicode(spark):
+    """Differential fuzz of the shared tokenizer: on random printable +
+    non-ASCII probes (Turkish dotted I, Greek sigma, ligatures, CJK, RTL,
+    math alphanumerics, exotic spaces) Spark and DuckDB must tokenize
+    IDENTICALLY. With lower() this failed 40/300 probes — Java's
+    toLowerCase is context/locale-sensitive ('İ' -> 'i'+combining dot,
+    word-final 'Σ' -> 'ς') where utf8proc is not; ASCII-scoped translate
+    lowering is engine-exact by construction, and this test keeps it so."""
+    import random
+    import string
+
+    import duckdb
+
+    from n5_dask_spark.operators.dedup import DUCK_TOKENS, SPARK_TOKENS
+
+    rng = random.Random(7)
+    pool = string.printable + "ÀÉÎÕÜßàéîõü İıΣσς Ǆǅǆ 中文 אבג ٦٧ 𝔘𝔫   ​"
+    probes = ["".join(rng.choice(pool) for _ in range(rng.randrange(0, 40))) for _ in range(300)]
+    sdf = spark.createDataFrame([(p,) for p in probes], "text string")
+    spark_toks = [r["t"] for r in sdf.selectExpr(SPARK_TOKENS + " AS t").collect()]
+    con = duckdb.connect()
+    for p, st in zip(probes, spark_toks):
+        dt = con.execute(f"SELECT {DUCK_TOKENS} FROM (SELECT ? AS text)", [p]).fetchone()[0]
+        assert st == dt, (repr(p), st, dt)
