@@ -183,3 +183,59 @@ def test_tokenization_engine_parity_on_random_unicode(spark):
     for p, st in zip(probes, spark_toks):
         dt = con.execute(f"SELECT {DUCK_TOKENS} FROM (SELECT ? AS text)", [p]).fetchone()[0]
         assert st == dt, (repr(p), st, dt)
+
+
+def test_regex_operators_engine_parity_on_random_unicode(spark):
+    """Same differential-fuzz contract for the other shared regex pairs:
+    the BPE pre-tokenizer count and the PII scrub replacement must agree
+    across Java regex and RE2 on random unicode (their character classes
+    are deliberately ASCII-explicit, so non-ASCII runs behave identically
+    — this keeps them that way)."""
+    import random
+    import string
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from n5_dask_spark.operators.text2 import BPE_PATTERN
+
+    rng = random.Random(11)
+    pool = string.printable + "ÀÉßΣσ 中文 𝔘𝔫 don't it's we're ١٢٣  ​"
+    probes = ["".join(rng.choice(pool) for _ in range(rng.randrange(0, 60))) for _ in range(300)]
+    sdf = spark.createDataFrame([(p,) for p in probes], "text string")
+    con = duckdb.connect()
+
+    s_counts = [
+        r["n"]
+        for r in sdf.select(
+            F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0)).alias("n")
+        ).collect()
+    ]
+    d_pat = BPE_PATTERN.replace("'", "''")
+    for p, sc in zip(probes, s_counts):
+        dc = con.execute(
+            f"SELECT len(regexp_extract_all(text, '{d_pat}')) FROM (SELECT ? AS text)", [p]
+        ).fetchone()[0]
+        assert sc == dc, (repr(p), sc, dc)
+
+    s_hashes = [
+        r["h"]
+        for r in sdf.select(
+            F.md5(
+                F.regexp_replace(
+                    F.regexp_replace("text", "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+", "<EMAIL>"),
+                    "[0-9]{3}[- ][0-9]{4}",
+                    "<PHONE>",
+                )
+            ).alias("h")
+        ).collect()
+    ]
+    for p, sh in zip(probes, s_hashes):
+        dh = con.execute(
+            "SELECT md5(regexp_replace(regexp_replace(text,"
+            " '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+', '<EMAIL>', 'g'),"
+            " '[0-9]{3}[- ][0-9]{4}', '<PHONE>', 'g')) FROM (SELECT ? AS text)",
+            [p],
+        ).fetchone()[0]
+        assert sh == dh, repr(p)
