@@ -84,7 +84,11 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "Fuzzy matching: candidate pairs blocked by p_type (the cheap key), "
         "exact Levenshtein verified inside blocks — candidate-then-verify, "
-        "like the LSH dedups."
+        "like the LSH dedups. ASCII-scoped contract (differential fuzzing, "
+        "tests/test_dedup_cap.py): Spark's levenshtein counts CODEPOINTS "
+        "while DuckDB's counts UTF-8 BYTES, so the engines agree exactly "
+        "on ASCII (p_name here) and a non-ASCII corpus would need a "
+        "codepoint-distance UDF on the oracle side."
     ),
 )
 def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
