@@ -452,7 +452,13 @@ def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            REPLACE(p_type, 'E', '*') AS type_repl
     FROM part WHERE p_partkey <= 200 ORDER BY p_partkey
     """,
-    doc="String functions: upper/substring/length/regexp_extract/concat/replace.",
+    doc=(
+        "String functions: upper/substring/length/regexp_extract/concat/"
+        "replace. ASCII-scoped contract for UPPER (differential fuzzing, "
+        "tests/test_dedup_cap.py): Java uppercases 'ß' to 'SS' where "
+        "DuckDB gives 'ẞ' — identical on the ASCII p_brand here; substring"
+        "/length are codepoint-based on BOTH engines and fully portable."
+    ),
 )
 def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("part",))

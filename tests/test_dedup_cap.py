@@ -275,3 +275,34 @@ def test_levenshtein_ascii_parity_and_documented_unicode_boundary(spark):
         F.levenshtein("a", "b").alias("d")
     ).collect()[0]["d"] == 1
     assert con.execute("SELECT levenshtein('À', '')").fetchone()[0] == 2
+
+
+def test_string_funcs_parity_scope(spark):
+    """upper(): Java maps 'ß' -> 'SS' where utf8proc gives 'ẞ' — ASCII-only
+    parity (pinned below); substring() and length() are codepoint-based on
+    BOTH engines and agree on arbitrary unicode (300-probe fuzz)."""
+    import random
+    import string
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(17)
+    pool = string.printable + "àéîßσς İı中𝔘"
+    probes = ["".join(rng.choice(pool) for _ in range(rng.randrange(0, 20))) for _ in range(300)]
+    sdf = spark.createDataFrame([(p,) for p in probes], "t string")
+    rows = sdf.select(
+        F.upper("t").alias("u"), F.substring("t", 1, 8).alias("s"), F.length("t").alias("l")
+    ).collect()
+    con = duckdb.connect()
+    for p, r in zip(probes, rows):
+        u, s, n = con.execute("SELECT UPPER(?), SUBSTRING(?,1,8), LENGTH(?)", [p, p, p]).fetchone()
+        assert r["s"] == s and r["l"] == n, repr(p)  # portable on any input
+        if p.isascii():
+            assert r["u"] == u, repr(p)  # upper parity is ASCII-scoped
+    # the documented upper() boundary
+    assert sdf.sparkSession.createDataFrame([("ß",)], "t string").select(
+        F.upper("t").alias("u")
+    ).collect()[0]["u"] == "SS"
+    assert con.execute("SELECT UPPER('ß')").fetchone()[0] == "ẞ"
