@@ -17,6 +17,15 @@ Determinism discipline (so value-hashes match the oracle EXACTLY):
   ranking or output, and all rankings carry a total-order tiebreaker key.
 - Every computed column is aliased identically on both sides (the driver
   sorts columns by name before hashing).
+- Window ORDER BY keys must be NON-NULLABLE (all current ones are): the
+  engines default null ordering differently (Spark ASC = NULLS FIRST,
+  DuckDB = NULLS LAST), so a rank over a nullable key would silently
+  diverge; spell NULLS FIRST/LAST on both sides if one is ever needed.
+- Cross-engine string-function scope (differential-fuzzed in
+  tests/test_dedup_cap.py): tokenization lowering is ASCII-translate
+  (fully portable); upper()/levenshtein() agree only on ASCII inputs
+  (Java vs utf8proc case mapping; codepoints vs bytes) — fine for the
+  ASCII driver tables, documented per query where used.
 """
 
 from __future__ import annotations
