@@ -266,3 +266,43 @@ def test_no_forced_broadcast_of_scaling_tables_in_source():
         if re.search(scaling, line)
     ]
     assert offenders == [], f"forced broadcast of an SF-scaling table at {offenders}"
+
+
+def test_write_job_moves_block_data_through_one_exchange(spark):
+    """The fused sink contract end-to-end: a rechunk->write job's ONLY
+    data-bearing exchange is the fragment shuffle. The sink mapInPandas
+    rides that exchange's stage, and the one other exchange in the job is
+    the SinglePartition reduction of per-task written-counts (rows of one
+    long each — not block bytes). A second data exchange here would mean
+    the old rebalancing repartition crept back in."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from n5_dask_spark.sources.n5.metadata import read_attributes
+    from n5_dask_spark.sources.n5.reader import decoded_blocks
+    from n5_dask_spark.sources.n5.transforms import rechunk
+    from n5_dask_spark.sources.n5.writer import temp_container, write_array
+
+    arr = (np.arange(24 * 24 * 24, dtype=np.uint8) % 200).reshape(24, 24, 24)
+    src = temp_container()
+    write_array(spark, arr, src, "a/s0", [8, 8, 8])
+    blocks = decoded_blocks(spark, src, "a/s0")
+    re_blocks, _ = rechunk(blocks, read_attributes(src, "a/s0"), [5, 5, 5])
+
+    def sink(batches):
+        n = 0
+        for pdf in batches:
+            n += len(pdf)
+        yield pd.DataFrame({"written": [n]})
+
+    plan = (
+        re_blocks.mapInPandas(sink, schema="written long")
+        .agg(F.sum("written"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("+- Exchange") == 2, plan
+    assert "SinglePartition" in plan  # the count reduction, not block data
