@@ -198,27 +198,65 @@ def join_range_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc=(
         "As-of join: latest order at-or-before each purchase event. Spark has "
-        "no ASOF primitive; implemented as equi-join on the key + timestamp "
-        "range predicate + row_number dedup — per-key work, skew handled by "
-        "AQE. Orders pre-deduped per (custkey, orderdate) so ties are "
-        "deterministic on both engines. No broadcast hint: the build side is "
-        "an aggregate over the whole orders fact, so its size scales with the "
-        "data — Catalyst keys the equi-join and AQE picks broadcast only when "
-        "the aggregate is actually small."
+        "no ASOF primitive; implemented scale-linearly as union + last_value: "
+        "tag both inputs, union on (key, ts), and a running "
+        "last(order_cols, ignorenulls) over (key, ts, tag) carries each "
+        "order forward to every later event of the same user. Zero joins, "
+        "one sort exchange, and — unlike the equi+range-join + row_number "
+        "formulation — never materializes the event x per-user-order-dates "
+        "expansion, so a power user with years of history costs O(rows), "
+        "not O(events x order dates). Orders pre-deduped per (custkey, "
+        "orderdate) so ties are deterministic on both engines; orders sort "
+        "before events at equal timestamps (tag 0 < 1), matching the >= "
+        "(inclusive) asof bound; events with no prior order drop, matching "
+        "the inner ASOF JOIN oracle."
     ),
 )
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("orders", "events"))
-    od = t["orders"].groupBy("o_custkey", "o_orderdate").agg(F.max("o_orderkey").alias("o_orderkey"))
-    ev = t["events"].filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
-    joined = ev.join(
-        od,
-        (F.col("user_id") == F.col("o_custkey")) & (F.col("ts") >= F.col("o_orderdate")),
+    # ts_cmp is the shared timeline: events.ts is TIMESTAMP_NTZ, o_orderdate
+    # TIMESTAMP(LTZ); Spark's mixed comparison coerces NTZ -> LTZ via the
+    # session zone, so casting ts the same way makes the union ordering
+    # bit-identical to the old `ts >= o_orderdate` predicate, ties included.
+    od = (
+        t["orders"]
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("ts_cmp"),
+            F.lit(0).alias("tag"),
+            F.lit(None).cast("bigint").alias("event_id"),
+            F.lit(None).cast("timestamp_ntz").alias("ts"),
+            "o_orderkey",
+            "o_orderdate",
+        )
     )
-    w = Window.partitionBy("event_id").orderBy(F.col("o_orderdate").desc())
+    ev = t["events"].filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts_cmp"),
+        F.lit(1).alias("tag"),
+        "event_id",
+        "ts",
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(None).cast("timestamp").alias("o_orderdate"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_cmp", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        od.unionByName(ev)
+        .select(
+            "tag",
+            "event_id",
+            "user_id",
+            "ts",
+            F.last("o_orderkey", ignorenulls=True).over(w).alias("o_orderkey"),
+            F.last("o_orderdate", ignorenulls=True).over(w).alias("o_orderdate"),
+        )
+        .filter((F.col("tag") == 1) & F.col("o_orderkey").isNotNull())
         .select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate")
         .orderBy("event_id")
     )

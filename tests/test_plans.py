@@ -102,24 +102,20 @@ def test_knn_query_broadcasts_queries(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
-def test_asof_join_does_not_force_broadcast(spark):
-    """The asof build side is an aggregate over the orders FACT — its size
-    scales with the data, so the plan must not hard-code a broadcast. With
-    auto-broadcast disabled the join must degrade to a keyed shuffle join
-    (equi-join recognized), never a BroadcastExchange/NestedLoop."""
-    # Build the DataFrame FIRST: load_tables -> tune_session resets the
-    # broadcast threshold. Physical planning is lazy, so the conf set after
-    # construction is the one planning sees.
+def test_asof_join_is_union_window_with_no_join(spark):
+    """The asof is the scale-linear union + last_value plan: NO join node of
+    any kind (the old equi+range join materialized the event x per-user-
+    order-dates expansion before the row_number prune — O(events x order
+    dates) at 100 TB), and exactly one data-bearing exchange feeds the
+    window (orders' partial-agg exchange and the final presentation sort
+    are the other two)."""
     df = get_query("join_asof").fn(spark, SF_SMALL)
-    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        plan = plan_of(df)
-        assert "BroadcastExchange" not in plan
-        assert "BroadcastNestedLoopJoin" not in plan
-        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    plan = plan_of(df)
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree  # no SortMergeJoin/BroadcastHashJoin/NestedLoop
+    assert "Window" in tree and "Union" in tree
+    # orders partial-agg exchange + union->window exchange + final orderBy
+    assert tree.count("Exchange") == 3
 
 
 def test_no_unpartitioned_windows_in_source():
