@@ -272,18 +272,49 @@ SIMHASH_MAX_HAMMING = 3
 
 # Per-token bit b (b in 0..59): nibble b//2 of md5(tok), bit b%2 of that
 # nibble. Signature bit = sign of the +-1 vote sum over distinct tokens.
-# Operates on a pre-materialized `hexes` array (one md5 per token) so the
-# md5s are computed once, not once per bit.
-_SPARK_SIMHASH = f"""
-    aggregate(sequence(0, {SIMHASH_BITS - 1}), CAST(0 AS BIGINT), (acc, b) ->
-      acc + CASE WHEN
-        aggregate(hexes, 0, (s, h) ->
-          s + CASE WHEN ((instr('0123456789abcdef',
-                               substring(h, CAST(b DIV 2 AS INT) + 1, 1)) - 1)
-                         DIV CASE WHEN b % 2 = 0 THEN 1 ELSE 2 END) % 2 = 1
-              THEN 1 ELSE -1 END) > 0
-        THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)
-"""
+# Spark side computes this in ONE Arrow-batched pandas pass (below); the
+# previous pure-SQL formulation needed a repartition barrier between the
+# per-token md5 projection and the 60-bit vote expression purely to stop
+# CollapseProject inlining the md5 transform once per bit — a data-scale
+# exchange of (doc_id, 32-hex-per-token arrays) that the fused pass deletes.
+def _simhash_signatures(toks):
+    """Arrow series of distinct-token arrays -> int64 SimHash signatures
+    (pd.Series in, pd.Series out; unannotated on purpose — pandas stays a
+    lazy import here, and pandas_udf falls back to SERIES->SERIES).
+
+    Bit-exact with the oracle's nibble scheme: hexdigest char b//2 is the
+    high (b even: bit 0) / low (b odd: bit 1) vote source, because
+    ``'%02x'`` renders the high nibble of digest byte k at hex index 2k.
+    Vectorized per document: one (n_tokens x 60) bit matrix, vote sum =
+    2*ones - n, signature = sum of weights where votes > 0. An empty or
+    null token array votes 0 everywhere -> signature 0, matching the SQL
+    aggregate over an empty list.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    out = np.zeros(len(toks), dtype=np.int64)
+    weights = np.int64(1) << np.arange(SIMHASH_BITS, dtype=np.int64)
+    for i, arr in enumerate(toks):
+        n = 0 if arr is None else len(arr)
+        if n == 0:
+            continue
+        dig = np.frombuffer(
+            b"".join(hashlib.md5(tk.encode("utf-8")).digest() for tk in arr),
+            dtype=np.uint8,
+        ).reshape(n, 16)[:, : SIMHASH_BITS // 4]
+        nib = np.empty((n, SIMHASH_BITS // 2), dtype=np.uint8)
+        nib[:, 0::2] = dig >> 4
+        nib[:, 1::2] = dig & 0x0F
+        bits = np.empty((n, SIMHASH_BITS), dtype=np.uint8)
+        bits[:, 0::2] = nib & 1
+        bits[:, 1::2] = (nib >> 1) & 1
+        votes = 2 * bits.sum(axis=0, dtype=np.int64) - n
+        out[i] = weights[votes > 0].sum()
+    return pd.Series(out)
+
 
 _DUCK_SIMHASH = f"""
     list_sum(list_transform(range(0, {SIMHASH_BITS}), b ->
@@ -314,21 +345,18 @@ _DUCK_SIMHASH = f"""
     """,
     doc=(
         "SimHash near-dup: 60-bit signature (md5-nibble bit votes over "
-        "distinct tokens), pairs with hamming <= 3. Signature computed "
-        "columnar in one projection — no per-(token, bit) explode."
+        "distinct tokens), pairs with hamming <= 3. Signature computed in "
+        "one Arrow-batched pandas pass fused into the scan stage — no "
+        "per-(token, bit) explode and no exchange before the band buckets."
     ),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
+    sig_udf = F.pandas_udf(_simhash_signatures, "bigint")
     sigs = (
         widen(t["documents"])  # narrow local scans fan out for tokenize
         .select("doc_id", F.array_distinct(F.expr(SPARK_TOKENS)).alias("toks"))
-        .select("doc_id", F.expr("transform(toks, tk -> md5(tk))").alias("hexes"))
-        # shuffle barrier: materializes `hexes` so CollapseProject can't
-        # inline the md5 computation into the 60-bit vote expression (which
-        # references it once per bit -> 60x re-evaluation otherwise).
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-        .select("doc_id", F.expr(_SPARK_SIMHASH).cast("bigint").alias("simhash"))
+        .select("doc_id", sig_udf("toks").alias("simhash"))
     )
     # Pigeonhole blocking: with hamming <= 3 over 4 disjoint 15-bit bands, at
     # least one band matches EXACTLY, so candidates come from an equi-join on

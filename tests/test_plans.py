@@ -118,6 +118,18 @@ def test_asof_join_is_union_window_with_no_join(spark):
     assert tree.count("Exchange") == 3
 
 
+def test_simhash_has_no_signature_barrier_exchange(spark):
+    """The 60-bit signature is one Arrow-batched pandas pass fused into the
+    scan stage. The old pure-SQL formulation shuffled (doc_id, 32-hex-per-
+    token arrays) purely as a CollapseProject barrier — a data-scale
+    exchange that must never come back. The only legal exchanges are the
+    conditional widen round-robin, the band-bucket groupBy, the pair
+    distinct, and the final sort: nothing hash-partitions on doc_id."""
+    plan = plan_of(get_query("dedup_simhash").fn(spark, SF_SMALL))
+    assert "ArrowEvalPython" in plan  # fused signature stage exists
+    assert "hashpartitioning(doc_id" not in plan
+
+
 def test_no_unpartitioned_windows_in_source():
     """Every window in every operator/streaming module must carry a
     partition spec: ``Window.orderBy(...)`` with no partitionBy is a global
