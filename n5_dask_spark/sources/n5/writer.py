@@ -87,14 +87,20 @@ def write_blocks(
     parallelism is the producer's partitioning (groupBy shuffle output,
     spark.range splits, createDataFrame slices — all wide). A caller that
     hands a single-partition blocks DF serializes its writes; all current
-    producers are wide by construction."""
+    producers are wide by construction.
+
+    The row-uniqueness contract is GUARDED, not assumed: the sink emits the
+    grid coords it wrote (3 ints per block — negligible next to the block
+    bytes), and the same job's aggregate compares the write count against
+    countDistinct(gx,gy,gz). A producer emitting the same cell from two
+    partitions (nondeterministic last-writer-wins contents) fails loudly
+    instead of shipping whichever write landed second."""
     write_attributes(container, dataset, attrs)
     data_type, compression = attrs.data_type, dict(attrs.compression)
     dt = np_dtype(data_type)
     ndim = attrs.ndim  # block paths are exactly ndim levels deep
 
     def sink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        n = 0
         for pdf in batches:
             for gx, gy, gz, shape, data in zip(
                 pdf["gx"], pdf["gy"], pdf["gz"], pdf["shape_zyx"], pdf["data"]
@@ -103,15 +109,23 @@ def write_blocks(
                 coords = (int(gx), int(gy), int(gz))[:ndim]
                 path = os.path.join(container, dataset, *map(str, coords))
                 _atomic_write(path, encode_block(arr, data_type, compression))
-                n += 1
-        yield pd.DataFrame({"written": [n]})
+            yield pdf[["gx", "gy", "gz"]]
 
     counts = (
-        blocks.mapInPandas(sink, schema="written long")
-        .agg(F.sum("written"))
+        blocks.mapInPandas(sink, schema="gx int, gy int, gz int")
+        .agg(
+            F.count(F.lit(1)).alias("written"),
+            F.count_distinct("gx", "gy", "gz").alias("cells"),
+        )
         .collect()
     )
-    written = counts[0][0] or 0  # empty blocks DF -> valid no-op write
+    written, cells = counts[0][0] or 0, counts[0][1] or 0
+    if written != cells:
+        raise RuntimeError(
+            f"duplicate block producers: {written} writes covered only "
+            f"{cells} distinct grid cells — last-writer-wins contents would "
+            "be nondeterministic"
+        )
     if written > attrs.n_blocks:
         raise RuntimeError(f"wrote {written} blocks for a {attrs.n_blocks}-block grid")
 

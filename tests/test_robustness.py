@@ -54,6 +54,26 @@ def test_write_blocks_idempotent_rerun(spark):
     assert not glob.glob(f"{c}/a/s0/**/.inprogress-*", recursive=True)
 
 
+def test_write_blocks_refuses_duplicate_grid_cells(spark):
+    """Single-writer-per-block is a guarded contract: a producer emitting
+    the same grid cell twice (from different partitions, so last-writer-
+    wins contents would be nondeterministic) must fail loudly."""
+    import pytest
+
+    from n5_dask_spark.sources.n5.metadata import read_attributes
+    from n5_dask_spark.sources.n5.reader import decoded_blocks
+    from n5_dask_spark.sources.n5.writer import temp_container, write_array, write_blocks
+
+    rng = np.random.default_rng(11)
+    arr = (rng.random((16, 8, 4)) * 255).astype("u1")
+    c = temp_container()
+    write_array(spark, arr, c, "a/s0", [8, 8, 4])
+    blocks = decoded_blocks(spark, c, "a/s0")
+    doubled = blocks.unionByName(blocks).repartition(4).localCheckpoint()
+    with pytest.raises(RuntimeError, match="duplicate block producers"):
+        write_blocks(doubled, c, "a/s0", read_attributes(c, "a/s0"))
+
+
 def test_empty_tif_dir_errors(spark):
     import tempfile
 
