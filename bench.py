@@ -89,6 +89,11 @@ _CAL_ROWS = 2_000_000_000
 # to the driver's default local[32] — the probe parallelizes, so a
 # SPARK_GRAFT_CPUS override shifts probe times and normalized values are
 # then only comparable within that run.
+# HISTORY: rounds 1-5 normalized with ref 0.55 (sampled on a contended
+# window — see above); r6+ use 0.35 and record the ref in the output JSON
+# (`calibration_ref_sec`). Cross-round comparisons of NORMALIZED numbers
+# must renormalize old records by x(0.35/0.55) first (raw numbers and
+# same-ref rounds compare directly).
 CAL_REFERENCE_SEC = 0.35
 
 

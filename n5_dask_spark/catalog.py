@@ -90,7 +90,20 @@ def widen(df: DataFrame) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    try:
+        width = df.rdd.getNumPartitions()  # exact planned width
+    except Exception:
+        # DataFrame.rdd is unsupported on Spark Connect sessions. Fall back
+        # to the scan's file count — an UNDER-estimate of split count (one
+        # big file can yield many splits), so the worst case is a spurious
+        # fan-out of a few-files-but-large scan, never a serialization of a
+        # wide one. At cluster scale file count >> parallelism and this
+        # branch still declines to shuffle.
+        try:
+            width = len(df.inputFiles())
+        except Exception:
+            return df  # no width signal at all: never add a blind shuffle
+    if width >= target:
         return df
     return df.repartition(target)
 

@@ -691,6 +691,17 @@ def test_blosclz_chunk_decode_end_to_end():
     assert blosc.decompress(bytes(chunk)) == payload
 
 
+@pytest.mark.parametrize("cname", ["blosclz", "snappy"])
+def test_decode_only_cnames_refuse_encode_loudly(cname):
+    """blosclz/snappy are DECODE-only (VERDICT r6 residue #1): interop
+    reads any c-blosc container, but re-encoding into a third-party
+    blosclz/snappy preference must refuse with the documented message —
+    never fall back silently to another codec, which would ship chunks a
+    strict blosclz/snappy-expecting consumer cannot attribute."""
+    with pytest.raises(NotImplementedError, match="decode-only"):
+        blosc.compress(b"refusal-vector" * 16, typesize=2, cname=cname)
+
+
 # --- N5 codec integration -------------------------------------------------
 
 
