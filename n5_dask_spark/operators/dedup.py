@@ -188,27 +188,21 @@ DUCK_MINHASH_PAIRS = (
 )
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=DUCK_MINHASH_PAIRS + " ORDER BY doc_a, doc_b",
-    doc=(
-        "MinHash LSH near-dup candidates: 16 md5-seeded min-hashes, 4 bands "
-        "of 4 rows; pairs sharing any full band signature. Deterministic "
-        "(md5) so oracle-checkable."
-    ),
-)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir, ("documents",))
+def minhash_per_band(documents: DataFrame) -> DataFrame:
+    """documents -> one (doc_id, band, band_sig) row per non-empty band.
+
+    Whole BAND signature computed columnar inside ONE projection chain
+    (higher-order functions, JVM-side): no per-(shingle, perm) explode, no
+    per-permutation shuffle. The only rows that ever shuffle downstream are
+    1 per (doc, band) — doc_id + band_sig. Shared by the registered query
+    and the documents-scale stress leg (tools/stress.py) so the stressed
+    stage IS the graded stage, not a re-expression of it."""
     r = N_PERM // N_BANDS
-    # Whole BAND signature computed columnar inside ONE projection chain
-    # (higher-order functions, JVM-side): no per-(shingle, perm) explode, no
-    # per-permutation shuffle. The only rows that ever shuffle after the
-    # parallelizing repartition are 1 per (doc, band) — doc_id + band_sig.
     docs = (
         # repartition BEFORE the heavy projections: the single-file input
         # otherwise serializes tokenize/shingle/md5 onto one core (and pushed
         # filters would run below a later repartition anyway).
-        widen(t["documents"])
+        widen(documents)
         .select("doc_id", F.expr(SPARK_TOKENS).alias("toks"))
         .select(
             "doc_id",
@@ -235,9 +229,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exchange, inlining (= re-evaluating) the whole md5 signature into a
     # single-task pre-shuffle stage. outer explode generates no such filter,
     # so the signature is computed exactly once, post-repartition.
-    per_band = bands_df.select(
+    return bands_df.select(
         "doc_id", F.posexplode_outer("bands").alias("band", "band_sig")
     ).filter(F.col("band_sig").isNotNull())
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=DUCK_MINHASH_PAIRS + " ORDER BY doc_a, doc_b",
+    doc=(
+        "MinHash LSH near-dup candidates: 16 md5-seeded min-hashes, 4 bands "
+        "of 4 rows; pairs sharing any full band signature. Deterministic "
+        "(md5) so oracle-checkable."
+    ),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("documents",))
+    per_band = minhash_per_band(t["documents"])
     # Bucket groupBy + in-bucket pair expansion instead of a bands⋈bands
     # self-join: ONE shuffle on (band, band_sig), signature subtree planned
     # once (a self-join re-reads — and without exchange reuse, re-computes —
@@ -328,6 +336,37 @@ _DUCK_SIMHASH = f"""
 """
 
 
+def simhash_bands(documents: DataFrame) -> DataFrame:
+    """documents -> one (doc_id, simhash, band, bval) row per band.
+
+    Pigeonhole blocking: with hamming <= 3 over 4 disjoint 15-bit bands, at
+    least one band matches EXACTLY, so candidates come from an equi-join on
+    (band index, band value) — never the full O(n^2) cross product. Shared
+    by the registered query and the documents-scale stress leg
+    (tools/stress.py). Scale bound worth knowing: bands are 15 bits, so
+    past ~2^15 docs per corpus the buckets saturate pigeonhole-style and
+    expected candidates grow ~n^2 * bands / 2^15 — at that point widen the
+    signature (more bits per band), don't shard the groupBy."""
+    sig_udf = F.pandas_udf(_simhash_signatures, "bigint")
+    sigs = (
+        widen(documents)  # narrow local scans fan out for tokenize
+        .select("doc_id", F.array_distinct(F.expr(SPARK_TOKENS)).alias("toks"))
+        .select("doc_id", sig_udf("toks").alias("simhash"))
+    )
+    n_bands = SIMHASH_MAX_HAMMING + 1
+    width = SIMHASH_BITS // n_bands
+    return sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_bands - 1}), b -> struct(b AS band,"
+                f" (shiftright(simhash, b * {width}) % shiftleft(CAST(1 AS BIGINT), {width})) AS bval))"
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
+
+
 @register(
     "dedup_simhash",
     oracle=f"""
@@ -352,29 +391,10 @@ _DUCK_SIMHASH = f"""
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
-    sig_udf = F.pandas_udf(_simhash_signatures, "bigint")
-    sigs = (
-        widen(t["documents"])  # narrow local scans fan out for tokenize
-        .select("doc_id", F.array_distinct(F.expr(SPARK_TOKENS)).alias("toks"))
-        .select("doc_id", sig_udf("toks").alias("simhash"))
-    )
-    # Pigeonhole blocking: with hamming <= 3 over 4 disjoint 15-bit bands, at
-    # least one band matches EXACTLY, so candidates come from an equi-join on
-    # (band index, band value) — never the full O(n^2) cross product. The
-    # exact hamming filter then prunes false candidates; results are provably
-    # identical to the brute-force pair join the oracle computes.
-    n_bands = SIMHASH_MAX_HAMMING + 1
-    width = SIMHASH_BITS // n_bands
-    bands = sigs.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {n_bands - 1}), b -> struct(b AS band,"
-                f" (shiftright(simhash, b * {width}) % shiftleft(CAST(1 AS BIGINT), {width})) AS bval))"
-            )
-        ).alias("bb"),
-    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
+    # The exact hamming filter below prunes the band-bucket candidates;
+    # results are provably identical to the brute-force pair join the
+    # oracle computes.
+    bands = simhash_bands(t["documents"])
     # Bucket groupBy + in-bucket pair expansion, same pattern as
     # dedup_minhash_lsh and for the same reason: a bands⋈bands self-join
     # re-reads — and without exchange reuse, RE-COMPUTES — the expensive

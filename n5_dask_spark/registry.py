@@ -58,72 +58,68 @@ REGISTRY: dict[str, Query] = {}
 # stale. Build the next rotation from CORRECTNESS_r*.json last-green ages,
 # not from family coverage — cumulative coverage is already total.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- round 6 policy (VERDICT r5 #2): (a) everything NEW or CHANGED
-    # this round, (b) every query whose last driver-green row is round 2
-    # (all 31), then (c) fill with round-3-stale greens, taking first the
-    # queries whose code paths this round's reader/writer hardening
-    # touched (the n5_* scan/region family), then the stalest streaming/
-    # multimodal/TPC-H rows. After r6, no query's last green predates r3.
-    # (a) new/changed in r6
-    "multimodal_png_decode",  # NEW: stdlib PNG decode, hash-pinned
-    "n5_roundtrip_blosc",  # blosc codec gained bit-shuffle this round
-    "n5_roundtrip_blosc_zstd",  # NEW: pyarrow-gated zstd + bit-shuffle leg
-    # late-r6 code changes (hi/lo micro aggregation; fused N5/TIFF sinks;
-    # URI region-path fix; widen + in-plan doc count) — changed queries
-    # outrank stale-green refreshes, so six unchanged r3-stale fillers
-    # (streaming_dedup/static_join, q2/q7/q8/q9 — their r3 greens stand)
-    # rotated out for these six
-    "q1_pricing_summary",
-    "n5_roundtrip_zprofile",
-    "tiff_roundtrip_zprofile",
-    "n5_region_export_zprofile",
-    "dedup_minhash_lsh",
-    "text_boilerplate_shingles",
-    # (b) all 31 round-2-stale greens
-    "agg_corr_covar",
-    "agg_filter_clause",
-    "agg_median_percentile",
-    "array_funcs",
-    "array_label_centroids",
-    "correlated_scalar_subquery",
-    "formats_orc_roundtrip",
-    "fuzzy_match_levenshtein",
-    "join_salted",
-    "join_sort_merge_largelarge",
-    "knn_ivf_probe",
-    "listagg_nations_per_region",
-    "multimodal_metadata_stats",
-    "pipeline_clean_corpus",
-    "pipeline_train_val_split",
-    "pivot_segment_by_year",
-    "scalar_map_funcs",
-    "set_except_all",
-    "set_intersect_all",
-    "streaming_stateful_running_totals",
-    "streaming_stream_stream_join",
-    "text_langid",
-    "text_pii_scrub",
-    "text_quality_score",
-    "text_tfidf_top_terms",
-    "udaf_applyinpandas_minmax_scale",
-    "udf_sql_registered",
-    "udtf_fee_schedule",
-    "unpivot_price_metrics",
-    "window_ntile",
-    "window_range_between",
-    # (c) round-3-stale fill: the N5 scan/region family first (reader.py
-    # error-class + writer.py edge-batch changes land this round) ...
-    "n5_block_inventory",
-    "n5_block_stats",
-    "n5_downsample_stats",
-    "n5_downsample_zprofile",
-    "n5_intensity_histogram",
-    "n5_rechunk_blocksums",
-    "n5_rechunk_stats",
-    "n5_region_read",
-    # ... then the stalest (also widen-touched) multimodal rows
-    "multimodal_frame_sample",
-    "multimodal_resize",
+    # --- round 7 policy (VERDICT r6 #1): (a) everything CHANGED this
+    # round — the asof union+last_value rewrite, the fused-signature
+    # simhash, the refactored minhash band stage, and two write-path
+    # representatives for the new duplicate-producer sink guard (the guard
+    # is one shared sink, so two roundtrips re-prove it for every writer);
+    # (b) all 27 round-3-stale greens; (c) fill with round-4-stale greens,
+    # write-path and streaming families first. After r7, no query's last
+    # green predates round 4.
+    # (a) changed in r7
+    "join_asof",  # union + last_value rewrite (also r4-stale)
+    "dedup_simhash",  # Arrow-fused signature, barrier shuffle deleted
+    "dedup_minhash_lsh",  # band stage refactored into minhash_per_band
+    "n5_roundtrip_zprofile",  # write_blocks duplicate-cell guard
+    "tiff_roundtrip_zprofile",  # same guard, TIFF import path
+    # (b) all 27 round-3-stale greens
+    "agg_approx_distinct",
+    "agg_argminmax_bool",
+    "embedding_dimension_stats",
+    "events_cohort_retention",
+    "formats_csv_roundtrip",
+    "formats_json_roundtrip",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_value",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q19_discounted_revenue",
+    "q20_potential_promotion",
+    "q21_suppliers_kept_waiting",
+    "q22_global_sales_opportunity",
+    "scalar_bitwise_funcs",
+    "streaming_dedup_events",
+    "streaming_static_dim_join",
+    "text_bigram_lm_score",
+    "text_fingerprint",
+    "window_distribution_funcs",
+    # (c) round-4-stale fill: write-path queries first (they also re-prove
+    # the sink guard), then the five streaming rows, then pipelines/TPC-H
+    "n5_template_copy_zprofile",
+    "n5_multiscale_levels",
+    "n5_datasource_write_zprofile",
+    "n5_datasource_zprofile",
+    "n5_region_tif_checksum",
+    "n5_zprofile",
+    "ome_channels_zprofile",
+    "dedup_exact",
+    "streaming_foreachbatch_parquet",
+    "streaming_watermark_append",
+    "streaming_session_window",
+    "streaming_tumbling_agg",
+    "streaming_stream_stream_left_join",
+    "pipeline_corpus_e2e",
+    "pipeline_sequence_packing",
+    "q6_forecast_revenue",
+    "q12_late_shipment",
+    "window_row_number",
 )
 
 

@@ -31,6 +31,17 @@ def test_n5_grid_stress_smoke(spark, tmp_path):
 
 
 @pytest.mark.skipif(not os.environ.get("N5DS_STRESS"), reason="set N5DS_STRESS=1 to run")
+def test_dedup_stress_smoke(spark, tmp_path):
+    stress = _stress_module()
+    out = stress.dedup_stress(spark, str(tmp_path), rows=80_000)  # 20k docs
+    assert out["dedup_minhash_partition_max_over_median"] <= 10
+    assert out["dedup_simhash_partition_max_over_median"] <= 10
+    assert out["dedup_ngram_partition_max_over_median"] <= 10
+    # planted 29-of-30-token near-dup pairs recovered by every family
+    assert out["minhash_pairs"] and out["ngram_pairs"] and out["simhash_pairs"]
+
+
+@pytest.mark.skipif(not os.environ.get("N5DS_STRESS"), reason="set N5DS_STRESS=1 to run")
 def test_streaming_stress_smoke(spark, tmp_path):
     stress = _stress_module()
     out = stress.streaming_stress(spark, str(tmp_path), rows=200_000)
