@@ -185,6 +185,40 @@ def test_tokenization_engine_parity_on_random_unicode(spark):
         assert st == dt, (repr(p), st, dt)
 
 
+def test_simhash_signature_engine_parity_on_random_unicode():
+    """Differential fuzz of the fused Python SimHash signature against the
+    DuckDB vote expression (the oracle's source of truth): on random
+    unicode token arrays — including empty strings, non-ASCII and empty
+    arrays — the Arrow-side ``_simhash_signatures`` must reproduce the
+    SQL nibble/vote scheme bit-for-bit. This is the cross-engine contract
+    the r7 rewrite moved from a shared SQL string into Python."""
+    import random
+    import string
+
+    import duckdb
+    import pandas as pd
+
+    from n5_dask_spark.operators.dedup import _DUCK_SIMHASH, _simhash_signatures
+
+    rng = random.Random(13)
+    pool = string.printable + "ÀßΣσς中文אבג٦"
+    arrays = [
+        list(
+            dict.fromkeys(  # distinct, order-preserving (votes are order-free)
+                "".join(rng.choice(pool) for _ in range(rng.randrange(0, 12)))
+                for _ in range(rng.randrange(0, 25))
+            )
+        )
+        for _ in range(200)
+    ] + [[], [""]]
+    got = _simhash_signatures(pd.Series(arrays)).tolist()
+    con = duckdb.connect()
+    sql = f"SELECT CAST({_DUCK_SIMHASH} AS BIGINT) FROM (SELECT list_transform(?, tk -> md5(tk)) AS hexes)"
+    for arr, g in zip(arrays, got):
+        want = con.execute(sql, [arr]).fetchone()[0]
+        assert g == (want or 0), (arr, g, want)
+
+
 def test_regex_operators_engine_parity_on_random_unicode(spark):
     """Same differential-fuzz contract for the other shared regex pairs:
     the BPE pre-tokenizer count and the PII scrub replacement must agree
