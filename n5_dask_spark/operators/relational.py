@@ -218,6 +218,10 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TIMESTAMP(LTZ); Spark's mixed comparison coerces NTZ -> LTZ via the
     # session zone, so casting ts the same way makes the union ordering
     # bit-identical to the old `ts >= o_orderdate` predicate, ties included.
+    # Order columns travel as ONE nullable struct so the window evaluates a
+    # single running last() (two scalar last() frames measured ~12% slower
+    # at sf0.1); the struct is NULL — not struct(NULL, NULL) — on event
+    # rows so ignorenulls skips them.
     od = (
         t["orders"]
         .groupBy("o_custkey", "o_orderdate")
@@ -228,8 +232,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).alias("tag"),
             F.lit(None).cast("bigint").alias("event_id"),
             F.lit(None).cast("timestamp_ntz").alias("ts"),
-            "o_orderkey",
-            "o_orderdate",
+            F.struct("o_orderkey", "o_orderdate").alias("ord"),
         )
     )
     ev = t["events"].filter(F.col("event_type") == "purchase").select(
@@ -238,8 +241,9 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).alias("tag"),
         "event_id",
         "ts",
-        F.lit(None).cast("bigint").alias("o_orderkey"),
-        F.lit(None).cast("timestamp").alias("o_orderdate"),
+        F.lit(None)
+        .cast("struct<o_orderkey:bigint,o_orderdate:timestamp>")
+        .alias("ord"),
     )
     w = (
         Window.partitionBy("user_id")
@@ -253,11 +257,16 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "user_id",
             "ts",
-            F.last("o_orderkey", ignorenulls=True).over(w).alias("o_orderkey"),
-            F.last("o_orderdate", ignorenulls=True).over(w).alias("o_orderdate"),
+            F.last("ord", ignorenulls=True).over(w).alias("o"),
         )
-        .filter((F.col("tag") == 1) & F.col("o_orderkey").isNotNull())
-        .select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate")
+        .filter((F.col("tag") == 1) & F.col("o").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("o.o_orderkey").alias("o_orderkey"),
+            F.col("o.o_orderdate").alias("o_orderdate"),
+        )
         .orderBy("event_id")
     )
 
