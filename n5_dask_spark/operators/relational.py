@@ -209,7 +209,11 @@ def join_range_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "orderdate) so ties are deterministic on both engines; orders sort "
         "before events at equal timestamps (tag 0 < 1), matching the >= "
         "(inclusive) asof bound; events with no prior order drop, matching "
-        "the inner ASOF JOIN oracle."
+        "the inner ASOF JOIN oracle. NULL event timestamps drop too (the "
+        "SQL reading: NULL >= x is never true) — DuckDB's sort-based ASOF "
+        "would instead match them to the user's latest order, a NULLS-LAST "
+        "artifact; the driver corpus has no null ts, and the boundary is "
+        "pinned by the randomized-ties fuzz in tests/test_oracle_parity.py."
     ),
 )
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:

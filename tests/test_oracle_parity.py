@@ -20,3 +20,76 @@ def test_query_matches_oracle(spark, name):
 
     result = compare_query(spark, name, SF_SMALL)
     assert result["match"], result
+
+
+@pytest.mark.parametrize("seed", [3, 17, 91])
+def test_asof_union_plan_matches_duckdb_asof_on_randomized_ties(spark, seed, tmp_path):
+    """Differential fuzz of the union + last_value asof rewrite against
+    DuckDB's NATIVE ASOF JOIN on adversarial data the driver tables don't
+    exercise densely: timestamps drawn from a 12-value pool so event.ts ==
+    orderdate ties are common (the >= inclusive bound), several orders per
+    (user, date) (max-orderkey dedup), users with events but no orders and
+    vice versa, and NULL event timestamps.
+
+    NULL-ts boundary (found by this fuzz): this engine drops NULL-ts
+    events — the SQL-predicate reading (NULL >= x is never true), and what
+    the pre-rewrite join formulation did too — but DuckDB's sort-based
+    ASOF JOIN *matches* them to the user's LATEST order (a NULLS-LAST
+    artifact of its merge path). The registered oracle is unaffected (the
+    driver's events.ts is never null; any null would have failed every
+    prior round's hash gate), so the fuzz compares against DuckDB on the
+    null-filtered stream and pins our drop semantics separately."""
+    import datetime
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from n5_dask_spark.operators.relational import join_asof
+
+    rng = random.Random(seed)
+    pool = [datetime.datetime(2024, 3, 1) + datetime.timedelta(hours=6 * k) for k in range(12)]
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": range(150),
+            "o_custkey": [rng.randrange(0, 25) for _ in range(150)],  # 20-24: no events
+            "o_orderdate": [rng.choice(pool) for _ in range(150)],
+        }
+    )
+    events = pd.DataFrame(
+        {
+            "event_id": range(200),
+            "user_id": [rng.randrange(0, 20) if i % 7 else 99 for i in range(200)],  # 99: no orders
+            "ts": [None if i % 31 == 0 else rng.choice(pool) for i in range(200)],
+            "event_type": [rng.choice(["purchase", "view"]) for _ in range(200)],
+        }
+    )
+    # micro-second timestamps: pandas' default ns unit writes
+    # TIMESTAMP(NANOS), which only the events read path is specified to
+    # accept (the driver's events.parquet quirk) — orders must stay MICROS
+    orders.astype({"o_orderdate": "datetime64[us]"}).to_parquet(tmp_path / "orders.parquet")
+    events.astype({"ts": "datetime64[us]"}).to_parquet(tmp_path / "events.parquet")
+
+    got = [
+        (r["event_id"], r["user_id"], r["ts"], r["o_orderkey"], r["o_orderdate"])
+        for r in join_asof(spark, str(tmp_path)).collect()
+    ]
+    con = duckdb.connect()
+    con.register("orders_pd", orders)
+    con.register("events_pd", events)
+    want = con.execute(
+        """
+        WITH od AS (
+          SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+          FROM orders_pd GROUP BY o_custkey, o_orderdate
+        )
+        SELECT e.event_id, e.user_id, e.ts, od.o_orderkey, od.o_orderdate
+        FROM (SELECT * FROM events_pd
+              WHERE event_type = 'purchase' AND ts IS NOT NULL) e
+        ASOF JOIN od ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
+        ORDER BY e.event_id
+        """
+    ).fetchall()
+    assert got == [tuple(r) for r in want]
+    null_ids = set(events.loc[events["ts"].isna(), "event_id"])
+    assert null_ids and not null_ids & {g[0] for g in got}  # drop semantics pinned
