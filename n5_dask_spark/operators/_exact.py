@@ -45,14 +45,20 @@ def micro_sum(expr: str, alias: str) -> Column:
 
 
 def micro_avg(expr: str, alias: str) -> Column:
-    """Exact AVG on the scaled-integer path (sum_micro / n / 1e6)."""
+    """Exact AVG on the scaled-integer path (sum_micro / n / 1e6).
+
+    try_divide on the COUNT: a group whose values are ALL NULL has
+    COUNT(expr) = 0, which ANSI division turns into a job-killing
+    DIVIDE_BY_ZERO; the oracle's SQL yields NULL there (as does SQL AVG),
+    and try_divide matches it while staying bit-identical otherwise."""
     return F.expr(
-        f"CAST({_micro_total(expr)} AS DOUBLE) / COUNT({expr}) / 1000000"
+        f"try_divide(CAST({_micro_total(expr)} AS DOUBLE), COUNT({expr})) / 1000000"
     ).alias(alias)
 
 
 def davg(expr: str, alias: str, prec: int = 18, scale: int = 6) -> Column:
-    """Exact AVG: decimal-exact sum / count (IEEE division is deterministic)."""
+    """Exact AVG: decimal-exact sum / count (IEEE division is deterministic).
+    try_divide for the same all-NULL-group reason as micro_avg."""
     return F.expr(
-        f"CAST(SUM(CAST(({expr}) AS DECIMAL({prec},{scale}))) AS DOUBLE) / COUNT({expr})"
+        f"try_divide(CAST(SUM(CAST(({expr}) AS DECIMAL({prec},{scale}))) AS DOUBLE), COUNT({expr}))"
     ).alias(alias)

@@ -197,12 +197,17 @@ def pipeline_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "med")
         .agg(F.expr("percentile(abs(x - med), 0.5)").alias("mad"))
     )
+    # try_divide, NOT `/`: a stratum where >=50% of docs share one length
+    # has MAD = 0, and ANSI double division would crash the job on it.
+    # DuckDB's x/0 yields NULL there -> NULL > 3.5 is NULL -> counted as
+    # not-outlier; try_divide reproduces that exact convention.
     flagged = docs.join(F.broadcast(mad), "lang").select(
         "lang",
         "n_chars",
-        (F.abs(F.lit(0.6745) * (F.col("x") - F.col("med")) / F.col("mad")) > 3.5).alias(
-            "is_outlier"
-        ),
+        (
+            F.abs(F.try_divide(F.lit(0.6745) * (F.col("x") - F.col("med")), F.col("mad")))
+            > 3.5
+        ).alias("is_outlier"),
     )
     return (
         flagged.groupBy("lang")

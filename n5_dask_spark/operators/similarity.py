@@ -37,14 +37,23 @@ N_QUERIES = 5  # query vectors = vec_id < 5
 TOP_K = 10
 
 # Cosine similarity between two float arrays using built-in higher-order
-# functions — executes in the JVM, no UDF. (a.b) / (|a| |b|)
+# functions — executes in the JVM, no UDF. (a.b) / (|a| |b|), with a
+# DEFINED zero-vector convention: cosine(0-vector, anything) = 0.0 on
+# BOTH engines. Without the guard a single zero-norm embedding (padding
+# rows are legal at corpus scale) crashes the whole Spark job — ANSI mode
+# throws DIVIDE_BY_ZERO for double division too — while DuckDB's bare
+# list_cosine_similarity returns a nonsense -1.0 artifact. try_divide
+# evaluates dot and norms exactly once (no CASE re-evaluation) and is
+# bit-identical to plain division whenever the denominator is nonzero.
 COSINE = """
-    aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-              CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
-    / (sqrt(aggregate(transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-                      CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))
-       * sqrt(aggregate(transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-                        CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)))
+    coalesce(try_divide(
+      aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                CAST(0.0 AS DOUBLE), (acc, v) -> acc + v),
+      sqrt(aggregate(transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                     CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))
+      * sqrt(aggregate(transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                       CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))),
+    CAST(0.0 AS DOUBLE))
 """
 
 
@@ -54,7 +63,12 @@ def cosine_col(a: str, b: str) -> Column:
 
 # DuckDB: list_cosine_similarity computes in double over FLOAT[] the same
 # dot/norm formula; both sides round to 6dp so ulp ordering can't differ.
-DUCK_COSINE = "list_cosine_similarity(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+# The CASE pins the same cosine = 0.0 zero-vector convention as the Spark
+# side (bare list_cosine_similarity yields -1.0 for a zero vector).
+DUCK_COSINE = """CASE WHEN list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[]))
+         * list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[])) = 0
+    THEN 0.0
+    ELSE list_cosine_similarity(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])) END"""
 
 
 @register(

@@ -156,8 +156,13 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_punct.alias("n_punct"),
         n_stop.alias("n_stop"),
     )
-    punct_ratio = F.col("n_punct").cast("double") / F.col("n_chars")
-    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    # try_divide, NOT `/`: under ANSI mode (Spark 4 default) a plain divide
+    # THROWS on n_chars = 0, so one empty document crashes the whole query
+    # at corpus scale. DuckDB's double division yields NULL there, and
+    # try_divide matches it exactly (found by the random-corpus fuzz —
+    # the driver tables happen to contain no empty text).
+    punct_ratio = F.try_divide(F.col("n_punct").cast("double"), F.col("n_chars"))
+    stop_ratio = F.try_divide(F.col("n_stop").cast("double"), F.col("n_tokens"))
     return (
         m.select(
             "doc_id",

@@ -72,6 +72,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_minhash_lsh",  # band stage refactored into minhash_per_band
     "n5_roundtrip_zprofile",  # write_blocks duplicate-cell guard
     "tiff_roundtrip_zprofile",  # same guard, TIFF import path
+    # ANSI-division hardening (try_divide + zero-vector cosine convention,
+    # found by the random-corpus fuzz): representatives of each shared
+    # path — the guarded ratio queries, the rewritten COSINE/DUCK_COSINE
+    # template (also covers knn_signbucket/ivf), and the try_divide
+    # micro_avg/davg helpers (q1)
+    "text_quality_score",
+    "pipeline_outlier_filter",
+    "knn_bruteforce_cosine",
+    "embedding_near_duplicates",
+    "q1_pricing_summary",
     # (b) all 27 round-3-stale greens
     "agg_approx_distinct",
     "agg_argminmax_bool",
@@ -101,15 +111,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_fingerprint",
     "window_distribution_funcs",
     # (c) round-4-stale fill: write-path queries first (they also re-prove
-    # the sink guard), then the five streaming rows, then pipelines/TPC-H
+    # the sink guard), then the five streaming rows, then the pipelines.
+    # Five unchanged r4-stale fillers (q6, q12, window_row_number,
+    # dedup_exact, n5_zprofile — their r4 greens stand) rotated out for
+    # the five division-hardening representatives above; they are the
+    # oldest cohort for the r8 rotation.
     "n5_template_copy_zprofile",
     "n5_multiscale_levels",
     "n5_datasource_write_zprofile",
     "n5_datasource_zprofile",
     "n5_region_tif_checksum",
-    "n5_zprofile",
     "ome_channels_zprofile",
-    "dedup_exact",
     "streaming_foreachbatch_parquet",
     "streaming_watermark_append",
     "streaming_session_window",
@@ -117,9 +129,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "streaming_stream_stream_left_join",
     "pipeline_corpus_e2e",
     "pipeline_sequence_packing",
-    "q6_forecast_revenue",
-    "q12_late_shipment",
-    "window_row_number",
 )
 
 

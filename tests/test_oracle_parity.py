@@ -93,3 +93,38 @@ def test_asof_union_plan_matches_duckdb_asof_on_randomized_ties(spark, seed, tmp
     assert got == [tuple(r) for r in want]
     null_ids = set(events.loc[events["ts"].isna(), "event_id"])
     assert null_ids and not null_ids & {g[0] for g in got}  # drop semantics pinned
+
+
+def test_ansi_division_conventions_on_degenerate_data(spark, tmp_path):
+    """Spark 4 runs ANSI mode, where ANY division by zero — double included
+    — throws and kills the whole job. Legal-at-scale degenerate rows must
+    therefore never reach a bare `/`: an EMPTY document (text_quality_
+    score's punct_ratio), a stratum with MAD = 0 (pipeline_outlier_filter;
+    >=50% of docs sharing one length), and a ZERO embedding vector
+    (cosine). Each is pinned here to the engine-agreed convention the
+    DuckDB oracle produces: NULL ratio, not-an-outlier, cosine 0.0."""
+    import pandas as pd
+
+    from n5_dask_spark.operators.similarity import cosine_col
+    from n5_dask_spark.registry import load_all
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["", "same len", "not same"],  # empty + constant-length stratum
+            "lang": ["xx", "yy", "yy"],
+            "source": ["s", "s", "s"],
+        }
+    )
+    docs["n_chars"] = docs["text"].str.len().astype("int64")
+    docs.to_parquet(tmp_path / "documents.parquet")
+    reg = load_all()
+
+    rows = {r["doc_id"]: r for r in reg["text_quality_score"].fn(spark, str(tmp_path)).collect()}
+    assert rows[0]["n_chars"] == 0 and rows[0]["punct_ratio"] is None
+
+    out = {r["lang"]: r for r in reg["pipeline_outlier_filter"].fn(spark, str(tmp_path)).collect()}
+    assert out["xx"]["n_outliers"] == 0 and out["yy"]["n_outliers"] == 0  # MAD=0 strata
+
+    zero = spark.createDataFrame([([0.0, 0.0], [1.0, 2.0])], "a array<double>, b array<double>")
+    assert zero.select(cosine_col("a", "b").alias("c")).collect()[0]["c"] == 0.0
