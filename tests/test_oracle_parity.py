@@ -95,6 +95,96 @@ def test_asof_union_plan_matches_duckdb_asof_on_randomized_ties(spark, seed, tmp
     assert null_ids and not null_ids & {g[0] for g in got}  # drop semantics pinned
 
 
+def _doc_only_query_names():
+    """Registered queries whose oracle reads ONLY the documents table —
+    runnable against an arbitrary synthetic corpus."""
+    from n5_dask_spark.registry import load_all
+
+    others = ("region", "nation", "customer", "supplier", "lineitem", "orders", "events", "embeddings", "'part'", " part ")
+    # byte-contract exclusions: the multimodal oracles use ascii()/substr
+    # as BYTE accessors, a documented ASCII-only equivalence (payload
+    # bytes vs codepoints diverge on non-ASCII text by design)
+    byte_contract = {
+        "multimodal_feature_extract",
+        "multimodal_png_decode",
+        "multimodal_metadata_stats",
+        "multimodal_frame_sample",
+        "multimodal_resize",
+        "multimodal_audio_frame_energy",
+    }
+    out = []
+    for n, q in load_all().items():
+        if q.oracle and "documents" in q.oracle and n not in byte_contract:
+            if not any(t in q.oracle for t in others):
+                out.append(n)
+    return sorted(out)
+
+
+def test_doc_queries_match_oracles_on_random_unicode_corpus(spark, tmp_path):
+    """Regression net for the whole documents family: every doc-only
+    registered query runs against its OWN registered oracle on a random
+    corpus the driver tables don't resemble — unicode suffixes, EMPTY
+    texts, exact and near duplicates. This harness is what caught
+    text_quality_score's ANSI divide-by-zero crash on empty documents
+    (r7); it keeps every tokenizer/shingle/ratio contract engine-exact on
+    arbitrary input, not just the ASCII driver corpus."""
+    import os
+    import random
+    import string
+
+    import duckdb
+    import pandas as pd
+
+    from n5_dask_spark.registry import load_all
+    from tests.oracle_harness import canon_rows
+
+    rng = random.Random(5)
+    pool_words = [
+        "".join(rng.choice(string.ascii_letters) for _ in range(rng.randrange(1, 8)))
+        for _ in range(200)
+    ]
+    uni = "ÀßΣσς中文אבג٦ İı"
+    texts = []
+    for i in range(150):
+        if i % 37 == 1 and texts:
+            texts.append(texts[-1])  # exact duplicate
+        elif i % 41 == 2 and texts:
+            texts.append(texts[-1] + " zz")  # near duplicate
+        else:
+            words = [rng.choice(pool_words) for _ in range(rng.randrange(0, 30))]
+            if rng.random() < 0.3 and words:
+                words[rng.randrange(len(words))] += rng.choice(uni)
+            texts.append(" ".join(words))
+    df = pd.DataFrame(
+        {
+            "doc_id": range(150),
+            "text": texts,
+            "lang": [rng.choice(["en", "de", "fr"]) for _ in range(150)],
+            "source": [rng.choice(["web", "book", "code"]) for _ in range(150)],
+        }
+    )
+    df["n_chars"] = df["text"].str.len().astype("int64")
+    path = os.path.join(str(tmp_path), "documents.parquet")
+    df.to_parquet(path)
+
+    names = _doc_only_query_names()
+    assert len(names) >= 15  # the family must stay covered
+    reg = load_all()
+    bad = []
+    for n in names:
+        q = reg[n]
+        sdf = q.fn(spark, str(tmp_path))
+        sc, sr = canon_rows(list(sdf.columns), [tuple(r) for r in sdf.collect()])
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+        cur = con.execute(q.oracle)
+        dc, dr = canon_rows([x[0] for x in cur.description], [tuple(r) for r in cur.fetchall()])
+        con.close()
+        if sc != dc or sr != dr:
+            bad.append(n)
+    assert not bad, bad
+
+
 def test_ansi_division_conventions_on_degenerate_data(spark, tmp_path):
     """Spark 4 runs ANSI mode, where ANY division by zero — double included
     — throws and kills the whole job. Legal-at-scale degenerate rows must
