@@ -185,6 +185,75 @@ def test_doc_queries_match_oracles_on_random_unicode_corpus(spark, tmp_path):
     assert not bad, bad
 
 
+def test_event_order_queries_match_oracles_on_tie_dense_data(spark, tmp_path):
+    """Companion net over the events/orders family: random data drawn from
+    tiny value pools (10 timestamps, 3 prices, 3 values) so every ranking,
+    window frame and session boundary is packed with TIES. This puts the
+    registry's 'all rankings carry a total-order tiebreaker' discipline
+    under load — a query relying on incidental order in the driver tables
+    diverges from its oracle here."""
+    import datetime
+    import os
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from n5_dask_spark.registry import load_all
+    from tests.oracle_harness import canon_rows
+
+    reg = load_all()
+    others = ("region", "nation", "customer", "supplier", "lineitem", "documents", "embeddings", "part ")
+    names = sorted(
+        n
+        for n, q in reg.items()
+        if q.oracle
+        and ("events" in q.oracle or "orders" in q.oracle)
+        and not any(t in q.oracle for t in others)
+        and "stream" not in n
+        and n != "join_asof"  # has its own randomized fuzz above
+    )
+    assert len(names) >= 12
+    rng = random.Random(11)
+    pool = [datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=6 * k) for k in range(10)]
+    events = pd.DataFrame(
+        {
+            "event_id": range(400),
+            "ts": [rng.choice(pool) for _ in range(400)],
+            "user_id": [rng.randrange(0, 12) for _ in range(400)],
+            "event_type": [rng.choice(["purchase", "view", "click"]) for _ in range(400)],
+            "value": [float(rng.choice([0.0, 1.5, 2.5])) for _ in range(400)],
+            "props": [rng.choice(['{"a":1}', '{"b":2}', ""]) for _ in range(400)],
+        }
+    )
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": range(300),
+            "o_custkey": [rng.randrange(0, 12) for _ in range(300)],
+            "o_orderstatus": [rng.choice(["O", "F", "P"]) for _ in range(300)],
+            "o_totalprice": [float(rng.choice([10.0, 20.0, 30.0])) for _ in range(300)],
+            "o_orderdate": [rng.choice(pool) for _ in range(300)],
+            "o_orderpriority": [rng.choice(["1-URGENT", "3-MEDIUM", "5-LOW"]) for _ in range(300)],
+        }
+    )
+    events.astype({"ts": "datetime64[us]"}).to_parquet(tmp_path / "events.parquet")
+    orders.astype({"o_orderdate": "datetime64[us]"}).to_parquet(tmp_path / "orders.parquet")
+    bad = []
+    for n in names:
+        q = reg[n]
+        sdf = q.fn(spark, str(tmp_path))
+        sc, sr = canon_rows(list(sdf.columns), [tuple(r) for r in sdf.collect()])
+        con = duckdb.connect()
+        for t in ("events", "orders"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(str(tmp_path), t + '.parquet')}'")
+        cur = con.execute(q.oracle)
+        dc, dr = canon_rows([x[0] for x in cur.description], [tuple(r) for r in cur.fetchall()])
+        con.close()
+        if sc != dc or sr != dr:
+            bad.append(n)
+    assert not bad, bad
+
+
 def test_ansi_division_conventions_on_degenerate_data(spark, tmp_path):
     """Spark 4 runs ANSI mode, where ANY division by zero — double included
     — throws and kills the whole job. Legal-at-scale degenerate rows must
