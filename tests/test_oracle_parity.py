@@ -254,6 +254,130 @@ def test_event_order_queries_match_oracles_on_tie_dense_data(spark, tmp_path):
     assert not bad, bad
 
 
+def test_tpch_family_matches_oracles_on_tie_dense_minidb(spark, tmp_path):
+    """Third net: a consistent random TPC-H mini-database (valid FKs, tiny
+    value pools so min-cost/top-supplier/rank boundaries are packed with
+    ties) through every relational-family registered query vs its own
+    oracle — ~75 queries. Proves the determinism discipline (decimal-exact
+    aggregation, total-order tiebreakers, engine-portable functions) holds
+    on data the driver tables don't resemble, not just on one lucky
+    corpus."""
+    import datetime
+    import os
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from n5_dask_spark.registry import load_all
+    from tests.oracle_harness import canon_rows
+
+    reg = load_all()
+    tpch = ("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+    names = sorted(
+        n
+        for n, q in reg.items()
+        if q.oracle
+        and not any(x in q.oracle for x in ("documents", "embeddings", "events"))
+        and any(t in q.oracle for t in tpch)
+        and "stream" not in n
+        and "n5" not in n
+        and "tif" not in n
+        and "formats" not in n  # write staging dirs, covered elsewhere
+        and "bucketed" not in n  # persists warehouse tables, covered elsewhere
+    )
+    assert len(names) >= 60
+    rng = random.Random(23)
+    dates = [datetime.datetime(2024, 1, 1) + datetime.timedelta(days=30 * k) for k in range(8)]
+    nc, ns, np_, no, nl = 60, 20, 40, 200, 800
+    tables = {
+        "region": pd.DataFrame(
+            {"r_regionkey": range(5), "r_name": [f"REGION{i}" for i in range(5)]}
+        ),
+        "nation": pd.DataFrame(
+            {
+                "n_nationkey": range(25),
+                "n_name": [f"NATION{i:02d}" for i in range(25)],
+                "n_regionkey": [i % 5 for i in range(25)],
+            }
+        ),
+        "customer": pd.DataFrame(
+            {
+                "c_custkey": range(nc),
+                "c_name": [f"Cust{i}" for i in range(nc)],
+                "c_nationkey": [rng.randrange(25) for _ in range(nc)],
+                "c_acctbal": [float(rng.choice([100.0, 200.0])) for _ in range(nc)],
+                "c_mktsegment": [rng.choice(["BUILDING", "AUTOMOBILE", "MACHINERY"]) for _ in range(nc)],
+            }
+        ),
+        "supplier": pd.DataFrame(
+            {
+                "s_suppkey": range(ns),
+                "s_name": [f"Supp{i}" for i in range(ns)],
+                "s_nationkey": [rng.randrange(25) for _ in range(ns)],
+                "s_acctbal": [float(rng.choice([50.0, 150.0])) for _ in range(ns)],
+            }
+        ),
+        "part": pd.DataFrame(
+            {
+                "p_partkey": range(np_),
+                "p_name": [f"part name {i}" for i in range(np_)],
+                "p_brand": [rng.choice(["Brand#1", "Brand#2", "Brand#3"]) for _ in range(np_)],
+                "p_type": [
+                    rng.choice(["PROMO BRUSHED", "STANDARD POLISHED", "ECONOMY ANODIZED"])
+                    for _ in range(np_)
+                ],
+                "p_size": [rng.choice([5, 15, 25]) for _ in range(np_)],
+                "p_retailprice": [float(rng.choice([910.0, 940.0, 970.0])) for _ in range(np_)],
+            }
+        ),
+        "orders": pd.DataFrame(
+            {
+                "o_orderkey": range(no),
+                "o_custkey": [rng.randrange(nc) for _ in range(no)],
+                "o_orderstatus": [rng.choice(["O", "F", "P"]) for _ in range(no)],
+                "o_totalprice": [float(rng.choice([1000.0, 2000.0, 3000.0])) for _ in range(no)],
+                "o_orderdate": [rng.choice(dates) for _ in range(no)],
+                "o_orderpriority": [rng.choice(["1-URGENT", "3-MEDIUM", "5-LOW"]) for _ in range(no)],
+            }
+        ),
+        "lineitem": pd.DataFrame(
+            {
+                "l_orderkey": [rng.randrange(no) for _ in range(nl)],
+                "l_partkey": [rng.randrange(np_) for _ in range(nl)],
+                "l_suppkey": [rng.randrange(ns) for _ in range(nl)],
+                "l_linenumber": [i % 7 + 1 for i in range(nl)],
+                "l_quantity": [float(rng.choice([1.0, 25.0, 49.0])) for _ in range(nl)],
+                "l_extendedprice": [float(rng.choice([100.0, 500.0, 900.0])) for _ in range(nl)],
+                "l_discount": [float(rng.choice([0.0, 0.05, 0.1])) for _ in range(nl)],
+                "l_tax": [float(rng.choice([0.0, 0.04])) for _ in range(nl)],
+                "l_returnflag": [rng.choice(["A", "N", "R"]) for _ in range(nl)],
+                "l_linestatus": [rng.choice(["O", "F"]) for _ in range(nl)],
+                "l_shipdate": [rng.choice(dates) for _ in range(nl)],
+            }
+        ),
+    }
+    for name, df in tables.items():
+        for c in df.columns:
+            if df[c].dtype.kind == "M":
+                df[c] = df[c].astype("datetime64[us]")
+        df.to_parquet(tmp_path / f"{name}.parquet")
+    bad = []
+    for n in names:
+        q = reg[n]
+        sdf = q.fn(spark, str(tmp_path))
+        sc, sr = canon_rows(list(sdf.columns), [tuple(r) for r in sdf.collect()])
+        con = duckdb.connect()
+        for t in tpch:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(str(tmp_path), t + '.parquet')}'")
+        cur = con.execute(q.oracle)
+        dc, dr = canon_rows([x[0] for x in cur.description], [tuple(r) for r in cur.fetchall()])
+        con.close()
+        if sc != dc or sr != dr:
+            bad.append(n)
+    assert not bad, bad
+
+
 def test_ansi_division_conventions_on_degenerate_data(spark, tmp_path):
     """Spark 4 runs ANSI mode, where ANY division by zero — double included
     — throws and kills the whole job. Legal-at-scale degenerate rows must
