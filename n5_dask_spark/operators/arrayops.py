@@ -19,7 +19,7 @@ from n5_dask_spark.registry import register
     SELECT vec_id,
            CAST(len(embedding) AS INT) AS dim,
            ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
-           ROUND(CAST(embedding[64] AS DOUBLE), 6) AS last_val,
+           ROUND(CAST(embedding[len(embedding)] AS DOUBLE), 6) AS last_val,
            ROUND(list_sum(CAST(embedding AS DOUBLE[])), 6) AS vec_sum,
            ROUND(list_max(CAST(embedding AS DOUBLE[])), 6) AS vec_max,
            ROUND(list_min(CAST(embedding AS DOUBLE[])), 6) AS vec_min,
@@ -31,14 +31,34 @@ from n5_dask_spark.registry import register
 def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("embeddings",))
     dbl = "transform(embedding, x -> CAST(x AS DOUBLE))"
+    # last_val indexes size(embedding), not a hard-coded dimension: the old
+    # element_at(embedding, 64) threw ANSI ArrayIndexOutOfBounds on ANY
+    # corpus whose vectors aren't 64-wide (found by the embeddings fuzz
+    # net); on 64-dim data the two are identical. try_element_at (NULL,
+    # never throw) + a NULL fold-sum on empty arrays match DuckDB's
+    # embedding[i] / list_sum conventions exactly.
     return (
         t["embeddings"]
         .select(
             "vec_id",
             F.size("embedding").cast("int").alias("dim"),
-            F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
-            F.round(F.element_at("embedding", 64).cast("double"), 6).alias("last_val"),
-            F.round(F.expr(f"aggregate({dbl}, CAST(0.0 AS DOUBLE), (a, v) -> a + v)"), 6).alias("vec_sum"),
+            F.round(F.expr("try_element_at(embedding, 1)").cast("double"), 6).alias("first_val"),
+            # the CASE guards size = 0: even try_element_at throws
+            # INVALID_INDEX_OF_ZERO on index 0
+            F.round(
+                F.expr(
+                    "CASE WHEN size(embedding) = 0 THEN NULL"
+                    " ELSE try_element_at(embedding, size(embedding)) END"
+                ).cast("double"),
+                6,
+            ).alias("last_val"),
+            F.round(
+                F.expr(
+                    f"CASE WHEN size(embedding) = 0 THEN NULL"
+                    f" ELSE aggregate({dbl}, CAST(0.0 AS DOUBLE), (a, v) -> a + v) END"
+                ),
+                6,
+            ).alias("vec_sum"),
             F.round(F.array_max(F.expr(dbl)), 6).alias("vec_max"),
             F.round(F.array_min(F.expr(dbl)), 6).alias("vec_min"),
             F.size(F.expr(f"filter({dbl}, x -> x > 0)")).cast("int").alias("n_positive"),

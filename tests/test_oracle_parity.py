@@ -378,6 +378,81 @@ def test_tpch_family_matches_oracles_on_tie_dense_minidb(spark, tmp_path):
     assert not bad, bad
 
 
+def test_embedding_queries_match_oracles_on_adversarial_vectors(spark, tmp_path):
+    """Fourth net: the embeddings family on 16-dim random vectors (the
+    driver's are 64-dim — this alone caught array_funcs' hard-coded
+    element_at(embedding, 64), an ANSI ArrayIndexOutOfBounds on any other
+    width) with a planted ZERO vector (the cosine = 0.0 convention
+    end-to-end), an exact-duplicate pair and a colinear pair (cosine 1.0
+    rank ties). Vectors are uniform-width and non-empty except one empty
+    row exercised on array_funcs only — ragged/empty embeddings are
+    malformed embedder output, a documented data contract for the pair
+    queries (DuckDB's list_cosine_similarity errors outright on length
+    mismatch)."""
+    import os
+    import random
+
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from n5_dask_spark.registry import load_all
+    from tests.oracle_harness import canon_rows
+
+    reg = load_all()
+    others = ("documents", "lineitem", "orders", "events", "customer", "supplier")
+    names = sorted(
+        n
+        for n, q in reg.items()
+        if q.oracle and "embeddings" in q.oracle and not any(t in q.oracle for t in others)
+        and "stream" not in n
+    )
+    assert "knn_bruteforce_cosine" in names and "array_funcs" in names
+
+    rng = np.random.default_rng(7)
+    n_vec, dim = 120, 16
+    emb = (rng.random((n_vec, dim), dtype=np.float32) * 2 - 1).astype(np.float32)
+    emb[5] = 0.0
+    emb[17] = emb[16]
+    emb[33] = emb[32] * 0.5
+
+    def write(path, vectors):
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(range(len(vectors)), pa.int64()),
+                "embedding": pa.array([list(map(float, r)) for r in vectors], pa.list_(pa.float32())),
+                "label": pa.array([int(i % 7) for i in range(len(vectors))], pa.int32()),
+            }
+        )
+        os.makedirs(path, exist_ok=True)
+        pq.write_table(tbl, os.path.join(path, "embeddings.parquet"))
+
+    write(str(tmp_path / "main"), [list(map(float, r)) for r in emb])
+    bad = []
+    for n in names:
+        q = reg[n]
+        sdf = q.fn(spark, str(tmp_path / "main"))
+        sc, sr = canon_rows(list(sdf.columns), [tuple(r) for r in sdf.collect()])
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM '{tmp_path / 'main' / 'embeddings.parquet'}'"
+        )
+        cur = con.execute(q.oracle)
+        dc, dr = canon_rows([x[0] for x in cur.description], [tuple(r) for r in cur.fetchall()])
+        con.close()
+        if sc != dc or sr != dr:
+            bad.append(n)
+    assert not bad, bad
+
+    # empty-vector row: array_funcs must yield NULL first/last/sum like the
+    # oracle, never an INVALID_INDEX error
+    write(str(tmp_path / "empty"), [[1.0, 2.0], []])
+    row = {r["vec_id"]: r for r in reg["array_funcs"].fn(spark, str(tmp_path / "empty")).collect()}
+    assert row[1]["dim"] == 0 and row[1]["first_val"] is None
+    assert row[1]["last_val"] is None and row[1]["vec_sum"] is None
+
+
 def test_ansi_division_conventions_on_degenerate_data(spark, tmp_path):
     """Spark 4 runs ANSI mode, where ANY division by zero — double included
     — throws and kills the whole job. Legal-at-scale degenerate rows must
