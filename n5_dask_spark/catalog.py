@@ -88,8 +88,17 @@ def widen(df: DataFrame) -> DataFrame:
     actually narrower than the cluster (partition inspection is pure
     planning — no job runs).
     """
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
+    try:
+        target = df.sparkSession.sparkContext.defaultParallelism
+    except Exception:
+        # Spark Connect: ``sparkContext`` itself raises, so it must be probed
+        # INSIDE a try or the fallback below is unreachable. shuffle.partitions
+        # is the Connect-safe width signal — tune_session() pins it to cluster
+        # parallelism in every session this engine configures.
+        try:
+            target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:
+            return df  # no parallelism signal at all: never add a blind shuffle
     try:
         width = df.rdd.getNumPartitions()  # exact planned width
     except Exception:

@@ -72,8 +72,8 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT label,
            COUNT(*) AS n_vecs,
-           ROUND(CAST(SUM(CAST(embedding[1] AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS centroid_d1,
-           ROUND(CAST(SUM(CAST(embedding[2] AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS centroid_d2
+           ROUND(CAST(SUM(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS centroid_d1,
+           ROUND(CAST(SUM(CAST(CAST(embedding[2] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS centroid_d2
     FROM embeddings GROUP BY label ORDER BY label
     """,
     doc="Per-label centroid components (decimal-exact mean of array elements).",
@@ -81,9 +81,19 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def array_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("embeddings",))
     def comp(i: int, alias: str):
+        # try_element_at: a short/empty embedding yields NULL (SUM skips it)
+        # instead of an ANSI ArrayIndexOutOfBounds that would kill the whole
+        # job on one malformed row — matching DuckDB's embedding[i] -> NULL.
+        # The explicit FLOAT -> DOUBLE hop before DECIMAL is load-bearing:
+        # DuckDB casts FLOAT to DECIMAL(18,9) by scaling in float32
+        # arithmetic (9.0f -> 8.999999488), Spark via the shortest decimal
+        # repr (9.0f -> 9.0) — a latent per-element divergence of up to
+        # ~3e-8. Both engines cast DOUBLE to DECIMAL consistently, and a
+        # double holds every float32 exactly, so double-first is stable.
         return F.round(
             F.expr(
-                f"CAST(SUM(CAST(element_at(embedding, {i}) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)"
+                f"CAST(SUM(CAST(CAST(try_element_at(embedding, {i}) AS DOUBLE)"
+                " AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)"
             ),
             6,
         ).alias(alias)

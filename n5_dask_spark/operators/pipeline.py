@@ -92,7 +92,7 @@ _NPROBE = 2
 
 def _duck_centroid_cols() -> str:
     return ", ".join(
-        f"CAST(SUM(CAST(embedding[{d + 1}] AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS c{d}"
+        f"CAST(SUM(CAST(CAST(embedding[{d + 1}] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS c{d}"
         for d in range(_N_CENTROID_DIMS)
     )
 
@@ -142,8 +142,13 @@ def knn_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = widen(t["embeddings"])
     cents = emb.groupBy("label").agg(
         *[
+            # try_element_at: one short embedding row must not ANSI-throw and
+            # kill the centroid job; NULL is skipped by SUM like DuckDB's [i].
+            # FLOAT -> DOUBLE before DECIMAL: DuckDB's direct float->decimal
+            # cast scales in float32 (a ~3e-8 divergence; see arrayops.py).
             F.expr(
-                f"CAST(SUM(CAST(element_at(embedding, {d + 1}) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)"
+                f"CAST(SUM(CAST(CAST(try_element_at(embedding, {d + 1}) AS DOUBLE)"
+                " AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)"
             ).alias(f"c{d}")
             for d in range(_N_CENTROID_DIMS)
         ]
@@ -153,7 +158,7 @@ def knn_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dist = F.round(
         sum(
-            F.pow(F.expr(f"CAST(element_at(qe, {d + 1}) AS DOUBLE)") - F.col(f"c{d}"), F.lit(2))
+            F.pow(F.expr(f"CAST(try_element_at(qe, {d + 1}) AS DOUBLE)") - F.col(f"c{d}"), F.lit(2))
             for d in range(_N_CENTROID_DIMS)
         ),
         6,

@@ -192,7 +192,7 @@ def join_range_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders GROUP BY o_custkey, o_orderdate
     )
     SELECT e.event_id, e.user_id, e.ts, od.o_orderkey, od.o_orderdate
-    FROM (SELECT * FROM events WHERE event_type = 'purchase') e
+    FROM (SELECT * FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL) e
     ASOF JOIN od ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
     ORDER BY e.event_id
     """,
@@ -210,9 +210,10 @@ def join_range_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "before events at equal timestamps (tag 0 < 1), matching the >= "
         "(inclusive) asof bound; events with no prior order drop, matching "
         "the inner ASOF JOIN oracle. NULL event timestamps drop too (the "
-        "SQL reading: NULL >= x is never true) — DuckDB's sort-based ASOF "
+        "SQL reading: NULL >= x is never true) — a bare DuckDB ASOF JOIN "
         "would instead match them to the user's latest order, a NULLS-LAST "
-        "artifact; the driver corpus has no null ts, and the boundary is "
+        "sort artifact, so the registered oracle filters ts IS NOT NULL to "
+        "encode the pinned drop semantics explicitly; the boundary is also "
         "pinned by the randomized-ties fuzz in tests/test_oracle_parity.py."
     ),
 )

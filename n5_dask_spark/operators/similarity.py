@@ -45,7 +45,13 @@ TOP_K = 10
 # list_cosine_similarity returns a nonsense -1.0 artifact. try_divide
 # evaluates dot and norms exactly once (no CASE re-evaluation) and is
 # bit-identical to plain division whenever the denominator is nonzero.
+# A NULL array propagates NULL (the outer if) rather than being folded to
+# 0.0 by the coalesce — DuckDB's CASE falls through to
+# list_cosine_similarity(NULL, ...) = NULL there, and NULL-in-NULL-out is
+# the SQL-natural reading; downstream cosine DESC rankings agree because
+# both engines place NULLS LAST on DESC.
 COSINE = """
+    if({a} IS NULL OR {b} IS NULL, CAST(NULL AS DOUBLE),
     coalesce(try_divide(
       aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
                 CAST(0.0 AS DOUBLE), (acc, v) -> acc + v),
@@ -53,7 +59,7 @@ COSINE = """
                      CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))
       * sqrt(aggregate(transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
                        CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))),
-    CAST(0.0 AS DOUBLE))
+    CAST(0.0 AS DOUBLE)))
 """
 
 

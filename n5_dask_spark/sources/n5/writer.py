@@ -115,7 +115,11 @@ def write_blocks(
         blocks.mapInPandas(sink, schema="gx int, gy int, gz int")
         .agg(
             F.count(F.lit(1)).alias("written"),
-            F.count_distinct("gx", "gy", "gz").alias("cells"),
+            # distinct over only the first ndim coords — the file path is
+            # built from coords[:ndim], so for a 2-D dataset two rows that
+            # differ only in gz collide on the SAME path and must count as
+            # ONE cell (a real last-writer-wins collision), not two.
+            F.count_distinct(*("gx", "gy", "gz")[:ndim]).alias("cells"),
         )
         .collect()
     )

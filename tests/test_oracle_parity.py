@@ -452,6 +452,28 @@ def test_embedding_queries_match_oracles_on_adversarial_vectors(spark, tmp_path)
     assert row[1]["dim"] == 0 and row[1]["first_val"] is None
     assert row[1]["last_val"] is None and row[1]["vec_sum"] is None
 
+    # short-vector rows on the AGGREGATE-ONLY subscripting queries: one
+    # width-1 and one empty vector among width-2 rows. try_element_at
+    # yields NULL (SUM skips it) exactly like DuckDB's embedding[i] — the
+    # query must hash-match its oracle, not ANSI-throw on the short row.
+    write(str(tmp_path / "short"), [[1.0, 2.0], [3.0], [], [5.0, 7.0], [9.0, 11.0]])
+    for agg_name in ("array_label_centroids",):
+        q = reg[agg_name]
+        sdf = q.fn(spark, str(tmp_path / "short"))
+        sc, sr = canon_rows(list(sdf.columns), [tuple(r) for r in sdf.collect()])
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM '{tmp_path / 'short' / 'embeddings.parquet'}'"
+        )
+        cur = con.execute(q.oracle)
+        dc, dr = canon_rows([x[0] for x in cur.description], [tuple(r) for r in cur.fetchall()])
+        con.close()
+        assert (sc, sr) == (dc, dr), agg_name
+    # knn_ivf_probe's centroid/distance legs share the same convention: a
+    # short vector must not kill the job (ranking on malformed pairs stays
+    # out of contract — pair cosine needs uniform width on both engines).
+    reg["knn_ivf_probe"].fn(spark, str(tmp_path / "short")).collect()
+
 
 def test_ansi_division_conventions_on_degenerate_data(spark, tmp_path):
     """Spark 4 runs ANSI mode, where ANY division by zero — double included

@@ -74,6 +74,31 @@ def test_write_blocks_refuses_duplicate_grid_cells(spark):
         write_blocks(doubled, c, "a/s0", read_attributes(c, "a/s0"))
 
 
+def test_write_blocks_guard_uses_path_key_not_all_coords(spark):
+    """For an ndim<3 dataset the block path is built from coords[:ndim], so
+    two rows that differ ONLY in the truncated gz collide on the SAME file
+    — the guard must count distinct over the path key, not all three grid
+    columns, or a real last-writer-wins collision slips through."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from n5_dask_spark.sources.n5.metadata import read_attributes
+    from n5_dask_spark.sources.n5.reader import decoded_blocks
+    from n5_dask_spark.sources.n5.writer import temp_container, write_array, write_blocks
+
+    rng = np.random.default_rng(12)
+    arr = (rng.random((16, 8)) * 255).astype("u1")  # 2-D: paths are gx/gy
+    c = temp_container()
+    write_array(spark, arr, c, "a/s0", [8, 8])
+    blocks = decoded_blocks(spark, c, "a/s0")
+    # same (gx, gy) emitted twice with distinct gz: same path, "distinct"
+    # over (gx,gy,gz) — the exact hole the truncated count must close
+    ghost = blocks.withColumn("gz", F.col("gz") + F.lit(1))
+    collided = blocks.unionByName(ghost).repartition(4).localCheckpoint()
+    with pytest.raises(RuntimeError, match="duplicate block producers"):
+        write_blocks(collided, c, "a/s0", read_attributes(c, "a/s0"))
+
+
 def test_empty_tif_dir_errors(spark):
     import tempfile
 
