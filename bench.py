@@ -52,6 +52,15 @@ HEADLINE = [
     "n5_rechunk_stats",
     # round 2: hash-checked N5 write->read roundtrip + sharded packing
     "n5_roundtrip_zprofile",
+    # DRIFT RE-BASELINE (r8, closes the r6/r7 watch entry): the r4 record
+    # of 0.292 s predates the r5 bench protocol (interleaved best-of-4 +
+    # calibration probe) — the query's source did not change between the
+    # r4 and r5 benches (git diff 2b0ca40..68099dd touches neither
+    # pipeline2.py nor dedup.py), yet the recorded time moved 0.292->0.473,
+    # so the jump is the measurement, not the plan. Steady state under the
+    # current protocol was 0.39-0.40; r8 also swaps size(split(...)) for a
+    # direct whitespace-run count (SPARK_N_TOKENS: no collapsed string, no
+    # token array), worth ~5-10% here and an allocation saving at scale.
     "pipeline_sequence_packing",
 ]
 

@@ -70,6 +70,15 @@ _ASCII_LOWER = f"translate(text, '{_UPPER}', '{_LOWER}')"
 SPARK_TOKENS = f"split(regexp_replace({_ASCII_LOWER}, '{_SPARK_WS}+', ' '), ' ')"
 DUCK_TOKENS = f"string_split(regexp_replace({_ASCII_LOWER}, '{_DUCK_WS}+', ' ', 'g'), ' ')"
 
+# Token COUNT without materializing the token array: split-after-collapse
+# yields exactly (#whitespace runs + 1) tokens for ANY input — each run
+# becomes one single-space separator, and split counts separators + 1
+# (empty string: 0 runs -> 1 token = [''], same as size(split(...))).
+# Counting the runs directly skips building both the collapsed string and
+# the array, and case folding can't change a count, so the translate()
+# drops out too. Used wherever only size(SPARK_TOKENS) was needed.
+SPARK_N_TOKENS = f"(regexp_count(text, '{_SPARK_WS}+') + 1)"
+
 # 3-token shingle expression over a `toks` column — ONE definition shared by
 # _spark_shingles and dedup_minhash_lsh so the two can never drift.
 SPARK_SHINGLE_EXPR = (

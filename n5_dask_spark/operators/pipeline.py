@@ -23,6 +23,7 @@ from n5_dask_spark.operators.dedup import (
     DUCK_TOKENS,
     N_BANDS,
     N_PERM,
+    SPARK_N_TOKENS,
     SPARK_TOKENS,
 )
 from n5_dask_spark.operators.similarity import DUCK_COSINE, N_QUERIES, TOP_K, cosine_col
@@ -64,7 +65,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from n5_dask_spark.operators.dedup import dedup_minhash_lsh
 
     t = load_tables(spark, sf_dir, ("documents",))
-    n_tokens = F.size(F.expr(SPARK_TOKENS)).cast("int")
+    n_tokens = F.expr(SPARK_N_TOKENS).cast("int")
     quality = (
         t["documents"]
         .select("doc_id", "lang", "source", n_tokens.alias("n_tokens"))

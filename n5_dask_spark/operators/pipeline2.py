@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from n5_dask_spark.catalog import load_tables
-from n5_dask_spark.operators.dedup import DUCK_TOKENS, SPARK_TOKENS
+from n5_dask_spark.operators.dedup import DUCK_TOKENS, SPARK_N_TOKENS
 from n5_dask_spark.registry import register
 
 PACK_BUDGET = 512  # tokens per packed sequence
@@ -94,7 +94,7 @@ def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = t["documents"].select(
         shard.alias("shard"),
         "doc_id",
-        F.size(F.expr(SPARK_TOKENS)).cast("bigint").alias("n_tokens"),
+        F.expr(SPARK_N_TOKENS).cast("bigint").alias("n_tokens"),
     )
     w = (
         Window.partitionBy("shard")

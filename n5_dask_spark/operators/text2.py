@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from n5_dask_spark.catalog import load_tables, widen
 from n5_dask_spark.operators._exact import dsum
-from n5_dask_spark.operators.dedup import DUCK_TOKENS, SPARK_TOKENS
+from n5_dask_spark.operators.dedup import DUCK_TOKENS, SPARK_N_TOKENS, SPARK_TOKENS
 from n5_dask_spark.registry import register
 
 SALT_BUCKETS = 8
@@ -149,7 +149,7 @@ BPE_PATTERN = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
 def text_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
     n_bpe = F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0))
-    n_ws = F.size(F.expr(SPARK_TOKENS))
+    n_ws = F.expr(SPARK_N_TOKENS)
     return (
         t["documents"]
         .select(

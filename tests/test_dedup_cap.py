@@ -185,6 +185,30 @@ def test_tokenization_engine_parity_on_random_unicode(spark):
         assert st == dt, (repr(p), st, dt)
 
 
+def test_token_count_shortcut_equals_materialized_split(spark):
+    """SPARK_N_TOKENS (whitespace-run count + 1, no collapsed string and no
+    token array) must equal size(SPARK_TOKENS) on ANY input — split after
+    run-collapse yields exactly one separator per run, so counts agree on
+    empty strings, pure-whitespace strings, and leading/trailing runs. The
+    cheap form feeds packing/clean-corpus/bpe; this pins the equivalence."""
+    import random
+    import string
+
+    from n5_dask_spark.operators.dedup import SPARK_N_TOKENS, SPARK_TOKENS
+
+    rng = random.Random(9)
+    pool = string.printable + "中𝔘 ß\t\n\x0b\f\r"
+    probes = ["", " ", "  \t\n ", "a", " a ", "\ta\nb\r"] + [
+        "".join(rng.choice(pool) for _ in range(rng.randrange(0, 40))) for _ in range(300)
+    ]
+    sdf = spark.createDataFrame([(p,) for p in probes], "text string")
+    rows = sdf.selectExpr(
+        f"size({SPARK_TOKENS}) AS via_split", f"{SPARK_N_TOKENS} AS via_count"
+    ).collect()
+    for p, r in zip(probes, rows):
+        assert r["via_split"] == r["via_count"], repr(p)
+
+
 def test_simhash_signature_engine_parity_on_random_unicode():
     """Differential fuzz of the fused Python SimHash signature against the
     DuckDB vote expression (the oracle's source of truth): on random
