@@ -124,8 +124,12 @@ def run_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH flagged AS (
       SELECT user_id, ts, value,
-             CASE WHEN ts >= COALESCE(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts),
-                                      TIMESTAMP '1900-01-01') + INTERVAL 8 HOUR
+             -- STRICT >: an event at exactly last_ts + gap still MERGES in
+             -- Spark's session_window (the session interval end is
+             -- inclusive for merging) — pinned by the tie-dense streaming
+             -- fuzz net, which diverged under the previous >= split
+             CASE WHEN ts > COALESCE(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                                     TIMESTAMP '1900-01-01') + INTERVAL 8 HOUR
                   THEN 1 ELSE 0 END AS new_session
       FROM events WHERE user_id < 30
     ), sessions AS (

@@ -508,3 +508,79 @@ def test_ansi_division_conventions_on_degenerate_data(spark, tmp_path):
 
     zero = spark.createDataFrame([([0.0, 0.0], [1.0, 2.0])], "a array<double>, b array<double>")
     assert zero.select(cosine_col("a", "b").alias("c")).collect()[0]["c"] == 0.0
+
+
+def test_streaming_queries_match_oracles_on_tie_dense_boundaries(spark, tmp_path):
+    """Fifth net: the streaming family (the four batch nets deliberately
+    exclude ``stream*``, so these 10 rows otherwise hold only driver-corpus
+    greens). Timestamps come from an HOUR-ALIGNED pool, so the classic
+    stateful bug sites all get exact collisions: events exactly ON 1h/1d
+    window edges, session gaps of exactly 8h (the >= boundary between
+    merge and new-session), purchases exactly AT the stream-stream global
+    watermark (the oracle's strict ``p.ts < wm`` cutoff), and windows
+    whose end lands exactly on the append-mode watermark (max ts - 6h).
+    Tiny user/value/type pools pile ties onto every groupBy key. All three
+    event types are guaranteed present (an absent side would stall the
+    stream-stream watermark at epoch while DuckDB's LEAST skips NULLs — a
+    legal divergence this net keeps out of scope)."""
+    import datetime
+    import os
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from n5_dask_spark.registry import load_all
+    from tests.oracle_harness import canon_rows
+
+    reg = load_all()
+    names = sorted(n for n in reg if n.startswith("streaming_") and reg[n].oracle)
+    assert len(names) >= 8
+    rng = random.Random(13)
+    base = datetime.datetime(2024, 3, 1)
+    # hours chosen so 8h session gaps, 1h tumbling edges, the 6h append
+    # watermark and the 2h join watermark all land exactly on pool points:
+    # with max ts = h31, the append watermark is h25 (window [24,25) ends
+    # exactly ON it) and the stream-stream global watermark is h29
+    # (purchases exactly AT the strict p.ts < wm cutoff exist)
+    pool = [
+        base + datetime.timedelta(hours=k)
+        for k in (0, 1, 2, 8, 9, 16, 17, 24, 25, 29, 30, 31)
+    ]
+    n = 400
+    events = pd.DataFrame(
+        {
+            "event_id": range(n),
+            "ts": [rng.choice(pool) for _ in range(n)],
+            "user_id": [rng.randrange(0, 10) for _ in range(n)],
+            "event_type": [rng.choice(["purchase", "view", "click"]) for _ in range(n)],
+            "value": [float(rng.choice([0.0, 1.5, 2.5])) for _ in range(n)],
+            "props": [rng.choice(['{"a":1}', "", '{"b":2}']) for _ in range(n)],
+        }
+    )
+    assert set(events["event_type"]) == {"purchase", "view", "click"}
+    customer = pd.DataFrame(
+        {
+            "c_custkey": range(8),  # user_id 8-9 deliberately dimensionless
+            "c_name": [f"Customer#{i}" for i in range(8)],
+            "c_mktsegment": [rng.choice(["BUILDING", "MACHINERY"]) for _ in range(8)],
+        }
+    )
+    events.astype({"ts": "datetime64[us]"}).to_parquet(tmp_path / "events.parquet")
+    customer.to_parquet(tmp_path / "customer.parquet")
+    bad = []
+    for name in names:
+        q = reg[name]
+        sdf = q.fn(spark, str(tmp_path))
+        sc, sr = canon_rows(list(sdf.columns), [tuple(r) for r in sdf.collect()])
+        con = duckdb.connect()
+        for t in ("events", "customer"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(str(tmp_path), t + '.parquet')}'"
+            )
+        cur = con.execute(q.oracle)
+        dc, dr = canon_rows([x[0] for x in cur.description], [tuple(r) for r in cur.fetchall()])
+        con.close()
+        if sc != dc or sr != dr:
+            bad.append(name)
+    assert not bad, bad
