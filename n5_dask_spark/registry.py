@@ -58,79 +58,71 @@ REGISTRY: dict[str, Query] = {}
 # stale. Build the next rotation from CORRECTNESS_r*.json last-green ages,
 # not from family coverage — cumulative coverage is already total.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- round 7 policy (VERDICT r6 #1): (a) everything CHANGED this
-    # round — the asof union+last_value rewrite, the fused-signature
-    # simhash, the refactored minhash band stage, and two write-path
-    # representatives for the new duplicate-producer sink guard (the guard
-    # is one shared sink, so two roundtrips re-prove it for every writer);
-    # (b) all 27 round-3-stale greens; (c) fill with round-4-stale greens,
-    # write-path and streaming families first. After r7, no query's last
-    # green predates round 4.
-    # (a) changed in r7
-    "join_asof",  # union + last_value rewrite (also r4-stale)
-    "dedup_simhash",  # Arrow-fused signature, barrier shuffle deleted
-    "dedup_minhash_lsh",  # band stage refactored into minhash_per_band
-    "n5_roundtrip_zprofile",  # write_blocks duplicate-cell guard
-    "tiff_roundtrip_zprofile",  # same guard, TIFF import path
-    # ANSI-division hardening (try_divide + zero-vector cosine convention,
-    # found by the random-corpus fuzz): representatives of each shared
-    # path — the guarded ratio queries, the rewritten COSINE/DUCK_COSINE
-    # template (also covers knn_signbucket/ivf), and the try_divide
-    # micro_avg/davg helpers (q1)
-    "text_quality_score",
-    "pipeline_outlier_filter",
-    "knn_bruteforce_cosine",
-    "embedding_near_duplicates",
-    "q1_pricing_summary",
-    # (b) all 27 round-3-stale greens
-    "agg_approx_distinct",
-    "agg_argminmax_bool",
-    "embedding_dimension_stats",
-    "events_cohort_retention",
-    "formats_csv_roundtrip",
-    "formats_json_roundtrip",
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_value",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_part_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
-    "q19_discounted_revenue",
-    "q20_potential_promotion",
-    "q21_suppliers_kept_waiting",
-    "q22_global_sales_opportunity",
-    "scalar_bitwise_funcs",
-    "streaming_dedup_events",
-    "streaming_static_dim_join",
-    "text_bigram_lm_score",
-    "text_fingerprint",
-    "window_distribution_funcs",
-    # (c) round-4-stale fill: write-path queries first (they also re-prove
-    # the sink guard), then the five streaming rows, then the pipelines.
-    # Five unchanged r4-stale fillers (q6, q12, window_row_number,
-    # dedup_exact, n5_zprofile — their r4 greens stand) rotated out for
-    # the five division-hardening representatives above; they are the
-    # oldest cohort for the r8 rotation.
-    "n5_template_copy_zprofile",
-    "n5_multiscale_levels",
-    "n5_datasource_write_zprofile",
-    "n5_datasource_zprofile",
-    "n5_region_tif_checksum",
-    "ome_channels_zprofile",
-    "streaming_foreachbatch_parquet",
-    "streaming_watermark_append",
-    "streaming_session_window",
-    "streaming_tumbling_agg",
-    "streaming_stream_stream_left_join",
-    "pipeline_corpus_e2e",
-    "pipeline_sequence_packing",
+    # --- round 8 policy (VERDICT r7 #1): (a) everything CHANGED this
+    # round — the try_element_at + float->double->DECIMAL centroid fix
+    # (both engines' casts now route through DOUBLE), the NULL-aware
+    # COSINE template, the SPARK_N_TOKENS array-free token count, the
+    # session-window oracle's exact-gap boundary fix, the asof oracle's
+    # explicit NULL-ts filter, and two roundtrips re-proving the
+    # path-key-scoped sink guard; (b) all 21 round-4-stale greens;
+    # (c) fill with round-5-stale greens, one per family first. After r8,
+    # no query's last green predates round 5.
+    # (a) changed in r8
+    "join_asof",  # oracle now encodes the NULL-ts drop explicitly
+    "array_label_centroids",  # try_element_at + double-hop decimal cast
+    "knn_ivf_probe",  # same centroid conventions
+    "knn_bruteforce_cosine",  # NULL-propagating COSINE template
+    "embedding_near_duplicates",  # same template
+    "pipeline_sequence_packing",  # SPARK_N_TOKENS + drift re-baseline
+    "pipeline_clean_corpus",  # SPARK_N_TOKENS
+    "pipeline_corpus_e2e",  # composes the clean-corpus stage
+    "text_bpe_pretokenize",  # SPARK_N_TOKENS denominator (also r4-stale)
+    "streaming_session_window",  # oracle exact-gap boundary fix (fuzz find)
+    "n5_roundtrip_zprofile",  # sink guard now counts the path key
+    "tiff_roundtrip_zprofile",  # same guard, ndim<3 import path
+    # (b) the 20 remaining round-4-stale greens
+    "agg_approx_quantiles",
+    "agg_histogram_numeric",
+    "decontaminate_ngram_overlap",
+    "dedup_exact",
+    "embedding_quantize_int8",
+    "formats_partitioned_pruning",
+    "join_bucketed_colocated",
+    "join_null_safe_eq",
+    "join_range_binned",
+    "knn_signbucket_lsh",
+    "multimodal_audio_frame_energy",
+    "n5_zprofile",
+    "q6_forecast_revenue",
+    "q12_late_shipment",
+    "sample_pergroup_topk_hash",
+    "sample_stratified_hash",
+    "scalar_url_funcs",
+    "udf_pandas_zscore",
+    "upsert_orders_snapshot",
+    "window_row_number",
+    # (c) round-5-stale fill, family-spread: aggs, dedup pipelines, the
+    # events/session family, join types, TPC-H anchors, scalars, the
+    # streaming restart row, and a window representative
+    "agg_cube",
+    "agg_grouping_sets",
+    "dedup_cc_star",
+    "dedup_connected_clusters",
+    "dedup_ngram_jaccard",
+    "dedup_subset_key",
+    "events_sessionization_funnel",
+    "events_session_window",
+    "join_full_outer",
+    "join_range_nonequi",
+    "join_left_anti",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "scalar_date_funcs",
+    "streaming_incremental_restart",
+    "window_first_last",
 )
-
 
 def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkFn], SparkFn]:
     """Decorator: register a (spark, sf_dir) -> DataFrame query."""
