@@ -44,11 +44,14 @@ pure-Python reach, but pyarrow is already a dependency of the
 Arrow/pandas-UDF path, so the leg is real wherever the engine runs);
 both split and unsplit block layouts, byte-shuffle, bit-shuffle or no
 shuffle, multi-block chunks, stored-stream and whole-chunk-memcpy
-fallbacks. ENCODE emits lz4, zlib or (pyarrow-gated) zstd, always
-unsplit, with flag bit 4 set so real c-blosc decoders read the
-single-stream layout. Unsupported variants (zstd without pyarrow,
-snappy/blosclz *encode*) raise loudly rather than guess; the refusal
-boundary is pinned by recorded chunk vectors in ``tests/test_blosc.py``.
+fallbacks. ENCODE emits blosclz (pure-Python greedy LZ over the same
+token grammar the decoder accepts — a compatibility leg for containers
+whose attributes pin cname=blosclz; the default write path stays lz4),
+lz4, zlib or (pyarrow-gated) zstd, always unsplit, with flag bit 4 set
+so real c-blosc decoders read the single-stream layout. Unsupported
+variants (zstd without pyarrow, snappy *encode*) raise loudly rather
+than guess; the refusal boundary is pinned by recorded chunk vectors in
+``tests/test_blosc.py``.
 
 Validation: the lz4 and snappy stream decoders (and the lz4 encoder) are
 cross-checked against pyarrow's real liblz4/libsnappy in
@@ -247,6 +250,72 @@ def blosclz_decompress(data: bytes, expected: int) -> bytes:
             ip += 1
     if len(out) != expected:
         raise ValueError(f"blosclz stream decoded to {len(out)} bytes, expected {expected}")
+    return bytes(out)
+
+
+def blosclz_compress(data: bytes) -> bytes:
+    """Encode one blosclz stream the token loop above accepts.
+
+    Greedy hash-table LZ emitting only the documented token grammar:
+    literal runs of <= 32 bytes (ctrl = run - 1) and matches of length
+    >= 3 at distance <= 8191 — the 13-bit ctrl/code offset field. The
+    far-mode escape (code 255 with the offset field saturated) is
+    deliberately never emitted: with distance - 1 <= 8190, a saturated
+    high field (31) caps the low byte at 254, so every emitted
+    (ofs, code) pair is unambiguous by construction. Length fields
+    beyond 6 use the 255-terminated extension chain, written BEFORE the
+    offset low byte exactly as the decoder consumes them. The first
+    token is always a literal run (position 0 has no prior match), which
+    is what the decoder's ``data[0] & 31`` read assumes.
+
+    Compatibility leg: pure Python (~MB/s), for re-encoding into a
+    container whose attributes pin cname=blosclz; the engine's default
+    write path stays lz4.
+    """
+    n = len(data)
+    out = bytearray()
+    lit_start = 0  # start of the pending literal run
+
+    def flush(end: int) -> None:
+        i = lit_start
+        while i < end:
+            run = min(32, end - i)
+            out.append(run - 1)
+            out.extend(data[i : i + run])
+            i += run
+
+    table: dict[bytes, int] = {}
+    i = 0
+    while i + 3 <= n:
+        key = data[i : i + 3]
+        cand = table.get(key)
+        table[key] = i
+        if cand is None or i - cand > 8191:
+            i += 1
+            continue
+        # extend the match greedily
+        length = 3
+        while i + length < n and data[cand + length] == data[i + length]:
+            length += 1
+        flush(i)
+        dm1 = i - cand - 1  # <= 8190: far-mode pattern unreachable
+        code_l = length - 3
+        if code_l < 6:
+            out.append(((code_l + 1) << 5) | (dm1 >> 8))
+        else:
+            out.append((7 << 5) | (dm1 >> 8))
+            rem = code_l - 6
+            while rem >= 255:
+                out.append(255)
+                rem -= 255
+            out.append(rem)  # may be 0; any byte != 255 ends the chain
+        out.append(dm1 & 255)
+        # index the covered positions so later matches can start inside
+        for j in range(i + 1, min(i + length, n - 2)):
+            table[data[j : j + 3]] = j
+        i += length
+        lit_start = i
+    flush(n)
     return bytes(out)
 
 
@@ -472,11 +541,11 @@ def compress(
             "blosc cname 'zstd' needs pyarrow's bundled libzstd, which is "
             "unavailable in this environment; use lz4 or zlib"
         )
-    if cname not in ("lz4", "zlib", "zstd"):
+    if cname not in ("lz4", "zlib", "zstd", "blosclz"):
         raise NotImplementedError(
             f"blosc cname {cname!r} is not supported for encoding by the "
-            "pure-Python codec (lz4, zlib and zstd are; blosclz and snappy "
-            "are decode-only); or use the lz4/gzip/xz N5 codecs directly"
+            "pure-Python codec (blosclz, lz4, zlib and zstd are; snappy "
+            "is decode-only); or use the lz4/gzip/xz N5 codecs directly"
         )
     if shuffle not in (0, 1, 2):
         raise ValueError(f"shuffle must be 0 (none), 1 (byte) or 2 (bit), got {shuffle}")
@@ -501,7 +570,12 @@ def compress(
     do_shuffle = shuffle == 1 and typesize > 1 and blocksize >= typesize
     do_bitshuffle = shuffle == 2 and blocksize >= typesize
 
-    codec_id = {"lz4": _CODEC_LZ4, "zlib": _CODEC_ZLIB, "zstd": _CODEC_ZSTD}[cname]
+    codec_id = {
+        "blosclz": _CODEC_BLOSCLZ,
+        "lz4": _CODEC_LZ4,
+        "zlib": _CODEC_ZLIB,
+        "zstd": _CODEC_ZSTD,
+    }[cname]
     # blosc clevel 1-9 maps onto zstd's low levels; clamp to the same range
     # zlib uses so one knob means one thing across cnames
     zstd_codec = _zstd(min(max(clevel, 1), 9)) if cname == "zstd" else None
@@ -516,6 +590,8 @@ def compress(
             block = _bitshuffle(block, typesize)
         if cname == "lz4":
             comp = lz4_block_compress(block)
+        elif cname == "blosclz":
+            comp = blosclz_compress(block)
         elif zstd_codec is not None:
             comp = zstd_codec.compress(block, asbytes=True)
         else:
