@@ -132,10 +132,16 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN doc_id % 3 = 0 THEN 'image/png'
                 WHEN doc_id % 3 = 1 THEN 'audio/wav'
                 ELSE 'video/mp4' END AS media_type,
-           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            md5(text) AS content_md5,
-           CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte,
-           CAST(ascii(substr(text, length(text), 1)) AS INT) AS last_byte
+           -- empty payload pins first/last byte = -1 on BOTH engines (the
+           -- Python side's "no byte" sentinel; DuckDB's bare ascii('')
+           -- returns 0, ambiguous with a real NUL byte) — found by the
+           -- degenerate-corpus multimodal fuzz net
+           CASE WHEN length(text) = 0 THEN -1
+                ELSE CAST(ascii(substr(text, 1, 1)) AS INT) END AS first_byte,
+           CASE WHEN length(text) = 0 THEN -1
+                ELSE CAST(ascii(substr(text, length(text), 1)) AS INT) END AS last_byte
     FROM documents ORDER BY doc_id
     """,
     doc=(
@@ -232,8 +238,8 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN doc_id % 3 = 1 THEN 'audio/wav'
                 ELSE 'video/mp4' END AS media_type,
            COUNT(*) AS n_items,
-           CAST(SUM(CAST(octet_length(CAST(text AS BLOB)) AS BIGINT)) AS BIGINT) AS total_bytes,
-           CAST(MAX(octet_length(CAST(text AS BLOB))) AS BIGINT) AS max_bytes
+           CAST(SUM(CAST(octet_length(encode(text)) AS BIGINT)) AS BIGINT) AS total_bytes,
+           CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
     FROM documents GROUP BY 1 ORDER BY media_type
     """,
     doc="Typed-metadata aggregation over the multimodal table (JVM-side only).",

@@ -91,8 +91,16 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE doc_id % 3 = 0
       ) GROUP BY doc_id
     )
-    SELECT doc_id, resized_md5, CAST(n_out AS BIGINT) AS n_bytes_out
-    FROM strided ORDER BY doc_id
+    -- LEFT JOIN from the doc set: an EMPTY payload still yields a result
+    -- row (md5(''), 0) exactly like the Python resize of b'' — the bare
+    -- strided agg would silently drop the doc (zero UNNEST rows), a
+    -- divergence found by the degenerate-corpus multimodal fuzz net
+    SELECT d.doc_id,
+           COALESCE(s.resized_md5, md5('')) AS resized_md5,
+           CAST(COALESCE(s.n_out, 0) AS BIGINT) AS n_bytes_out
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+    LEFT JOIN strided s USING (doc_id)
+    ORDER BY doc_id
     """,
     doc=(
         "Resize plumbing over image payloads: payload -> smaller payload "

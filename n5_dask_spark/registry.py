@@ -102,26 +102,29 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "upsert_orders_snapshot",
     "window_row_number",
     # (c) round-5-stale fill, family-spread: aggs, dedup pipelines, the
-    # events/session family, join types, TPC-H anchors, scalars, the
-    # streaming restart row, and a window representative
+    # events/session family, join types, TPC-H anchors, scalars and the
+    # streaming restart row — three slots re-taken late-r8 by the
+    # multimodal queries whose oracles changed (changed-first policy);
+    # join_left_anti / dedup_subset_key / window_first_last stay r5-stale
+    # and lead the r9 rotation
     "agg_cube",
     "agg_grouping_sets",
     "dedup_cc_star",
     "dedup_connected_clusters",
     "dedup_ngram_jaccard",
-    "dedup_subset_key",
+    "multimodal_resize",  # oracle: empty doc keeps its output row (r8)
     "events_sessionization_funnel",
     "events_session_window",
     "join_full_outer",
     "join_range_nonequi",
-    "join_left_anti",
+    "multimodal_feature_extract",  # oracle: encode() + empty-payload -1 (r8)
     "q3_shipping_priority",
     "q4_order_priority",
     "q5_local_supplier_volume",
     "q10_returned_items",
     "scalar_date_funcs",
     "streaming_incremental_restart",
-    "window_first_last",
+    "multimodal_metadata_stats",  # oracle: encode() byte length (r8)
 )
 
 def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkFn], SparkFn]:

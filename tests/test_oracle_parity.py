@@ -584,3 +584,68 @@ def test_streaming_queries_match_oracles_on_tie_dense_boundaries(spark, tmp_path
         if sc != dc or sr != dr:
             bad.append(name)
     assert not bad, bad
+
+
+def test_multimodal_queries_match_oracles_on_degenerate_ascii_corpus(spark, tmp_path):
+    """Sixth net: the multimodal byte-contract family (excluded from the
+    random-unicode doc net BY DESIGN — its oracles use ascii()/substr as
+    byte accessors, an ASCII-only equivalence) on a corpus that honors the
+    contract but is adversarial everywhere else: EMPTY texts, 1-3 char
+    texts, lengths exactly straddling every internal boundary (the PNG
+    16-byte row, the 80-byte frame, the 256-byte image cap), and random
+    printable ASCII with tabs/newlines. First run caught two real
+    empty-payload divergences (feature_extract's ascii('')=0 vs the
+    Python -1 sentinel; resize dropping the empty doc the Python side
+    emits). Also runs n5_region_tif_checksum — documents-dependent but
+    shut out of the doc net because its oracle mentions the WORD 'region'
+    (the N5 region read, not the TPC-H table)."""
+    import os
+    import random
+    import string
+
+    import duckdb
+    import pandas as pd
+
+    from n5_dask_spark.registry import load_all
+    from tests.oracle_harness import canon_rows
+
+    reg = load_all()
+    names = [
+        "multimodal_feature_extract",
+        "multimodal_png_decode",
+        "multimodal_metadata_stats",
+        "multimodal_frame_sample",
+        "multimodal_resize",
+        "multimodal_audio_frame_energy",
+        "n5_region_tif_checksum",
+    ]
+    rng = random.Random(29)
+    pool = string.ascii_letters + string.digits + string.punctuation + " \t\n"
+    fixed = [0, 1, 2, 3, 15, 16, 17, 79, 80, 81, 159, 160, 255, 256, 257, 320]
+    lengths = fixed + [rng.randrange(0, 400) for _ in range(150 - len(fixed))]
+    rng.shuffle(lengths)
+    texts = ["".join(rng.choice(pool) for _ in range(L)) for L in lengths]
+    df = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": [rng.choice(["en", "de", "", "x" * 30]) for _ in texts],
+            "source": [rng.choice(["web", "book"]) for _ in texts],
+        }
+    )
+    df["n_chars"] = df["text"].str.len().astype("int64")
+    path = os.path.join(str(tmp_path), "documents.parquet")
+    df.to_parquet(path)
+    bad = []
+    for n in names:
+        q = reg[n]
+        sdf = q.fn(spark, str(tmp_path))
+        sc, sr = canon_rows(list(sdf.columns), [tuple(r) for r in sdf.collect()])
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+        cur = con.execute(q.oracle)
+        dc, dr = canon_rows([x[0] for x in cur.description], [tuple(r) for r in cur.fetchall()])
+        con.close()
+        if sc != dc or sr != dr:
+            bad.append(n)
+    assert not bad, bad
