@@ -119,9 +119,14 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Sign bucket over first 8 dims: bit d set iff embedding[d] > 0.
+# try_element_at (1-based, NULL out of bounds): a vector shorter than 8
+# dims contributes 0 for its missing bits — exactly DuckDB's NULL
+# subscript falling to ELSE 0 — instead of an ANSI ArrayIndexOutOfBounds
+# killing the whole job (embeddings-sweep find, dim-3 corpus).
 SPARK_BUCKET = (
-    "aggregate(sequence(0, 7), 0, (acc, d) ->"
-    " acc + CASE WHEN embedding[d] > 0 THEN CAST(round(pow(2, d)) AS INT) ELSE 0 END)"
+    "aggregate(sequence(1, 8), 0, (acc, d) ->"
+    " acc + CASE WHEN try_element_at(embedding, d) > 0"
+    " THEN CAST(round(pow(2, d - 1)) AS INT) ELSE 0 END)"
 )
 DUCK_BUCKET = (
     "list_sum(list_transform(range(1, 9), d ->"

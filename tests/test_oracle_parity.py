@@ -429,20 +429,29 @@ def test_embedding_queries_match_oracles_on_adversarial_vectors(spark, tmp_path)
         pq.write_table(tbl, os.path.join(path, "embeddings.parquet"))
 
     write(str(tmp_path / "main"), [list(map(float, r)) for r in emb])
+    # narrow corpus: uniform dim-3 vectors keep pair cosines in contract
+    # while starving every fixed-leading-dims assumption — this pass (as a
+    # sweep) caught SPARK_BUCKET's bare 0-based embedding[d] over dims
+    # 0..7, an ANSI ArrayIndexOutOfBounds on any corpus narrower than 8
+    # where DuckDB's 1-based NULL subscript just contributes 0
+    emb3 = (rng.random((60, 3), dtype=np.float32) * 2 - 1).astype(np.float32)
+    emb3[5] = 0.0
+    write(str(tmp_path / "narrow"), [list(map(float, r)) for r in emb3])
     bad = []
     for n in names:
-        q = reg[n]
-        sdf = q.fn(spark, str(tmp_path / "main"))
-        sc, sr = canon_rows(list(sdf.columns), [tuple(r) for r in sdf.collect()])
-        con = duckdb.connect()
-        con.execute(
-            f"CREATE VIEW embeddings AS SELECT * FROM '{tmp_path / 'main' / 'embeddings.parquet'}'"
-        )
-        cur = con.execute(q.oracle)
-        dc, dr = canon_rows([x[0] for x in cur.description], [tuple(r) for r in cur.fetchall()])
-        con.close()
-        if sc != dc or sr != dr:
-            bad.append(n)
+        for table in ("main", "narrow"):
+            q = reg[n]
+            sdf = q.fn(spark, str(tmp_path / table))
+            sc, sr = canon_rows(list(sdf.columns), [tuple(r) for r in sdf.collect()])
+            con = duckdb.connect()
+            con.execute(
+                f"CREATE VIEW embeddings AS SELECT * FROM '{tmp_path / table / 'embeddings.parquet'}'"
+            )
+            cur = con.execute(q.oracle)
+            dc, dr = canon_rows([x[0] for x in cur.description], [tuple(r) for r in cur.fetchall()])
+            con.close()
+            if sc != dc or sr != dr:
+                bad.append((n, table))
     assert not bad, bad
 
     # empty-vector row: array_funcs must yield NULL first/last/sum like the
