@@ -254,14 +254,11 @@ def test_event_order_queries_match_oracles_on_tie_dense_data(spark, tmp_path):
     assert not bad, bad
 
 
-def test_tpch_family_matches_oracles_on_tie_dense_minidb(spark, tmp_path):
-    """Third net: a consistent random TPC-H mini-database (valid FKs, tiny
-    value pools so min-cost/top-supplier/rank boundaries are packed with
-    ties) through every relational-family registered query vs its own
-    oracle — ~75 queries. Proves the determinism discipline (decimal-exact
-    aggregation, total-order tiebreakers, engine-portable functions) holds
-    on data the driver tables don't resemble, not just on one lucky
-    corpus."""
+def run_tpch_minidb_net(spark, base_dir, seed):
+    """Body of the TPC-H tie-dense net, seed-parameterized so ad-hoc
+    multi-seed sweeps (tools, driver-sim sessions) reuse the exact graded
+    generator instead of a drifting copy. Returns the list of queries that
+    diverged from their oracle (empty = green)."""
     import datetime
     import os
     import random
@@ -287,7 +284,7 @@ def test_tpch_family_matches_oracles_on_tie_dense_minidb(spark, tmp_path):
         and "bucketed" not in n  # persists warehouse tables, covered elsewhere
     )
     assert len(names) >= 60
-    rng = random.Random(23)
+    rng = random.Random(seed)
     dates = [datetime.datetime(2024, 1, 1) + datetime.timedelta(days=30 * k) for k in range(8)]
     nc, ns, np_, no, nl = 60, 20, 40, 200, 800
     tables = {
@@ -361,21 +358,32 @@ def test_tpch_family_matches_oracles_on_tie_dense_minidb(spark, tmp_path):
         for c in df.columns:
             if df[c].dtype.kind == "M":
                 df[c] = df[c].astype("datetime64[us]")
-        df.to_parquet(tmp_path / f"{name}.parquet")
+        df.to_parquet(os.path.join(base_dir, f"{name}.parquet"))
     bad = []
     for n in names:
         q = reg[n]
-        sdf = q.fn(spark, str(tmp_path))
+        sdf = q.fn(spark, str(base_dir))
         sc, sr = canon_rows(list(sdf.columns), [tuple(r) for r in sdf.collect()])
         con = duckdb.connect()
         for t in tpch:
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(str(tmp_path), t + '.parquet')}'")
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(str(base_dir), t + '.parquet')}'")
         cur = con.execute(q.oracle)
         dc, dr = canon_rows([x[0] for x in cur.description], [tuple(r) for r in cur.fetchall()])
         con.close()
         if sc != dc or sr != dr:
             bad.append(n)
-    assert not bad, bad
+    return bad
+
+
+def test_tpch_family_matches_oracles_on_tie_dense_minidb(spark, tmp_path):
+    """Third net: a consistent random TPC-H mini-database (valid FKs, tiny
+    value pools so min-cost/top-supplier/rank boundaries are packed with
+    ties) through every relational-family registered query vs its own
+    oracle — ~75 queries. Proves the determinism discipline (decimal-exact
+    aggregation, total-order tiebreakers, engine-portable functions) holds
+    on data the driver tables don't resemble, not just on one lucky
+    corpus."""
+    assert run_tpch_minidb_net(spark, str(tmp_path), 23) == []
 
 
 def test_embedding_queries_match_oracles_on_adversarial_vectors(spark, tmp_path):
