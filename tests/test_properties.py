@@ -102,7 +102,7 @@ def test_fragment_cover_property(dims, old_bs, new_bs):
 @given(
     data=st.binary(min_size=0, max_size=5000),
     typesize=st.sampled_from([1, 2, 3, 4, 8, 16]),
-    cname=st.sampled_from(["lz4", "zlib"]),
+    cname=st.sampled_from(["lz4", "zlib", "blosclz"]),
     shuffle=st.sampled_from([0, 1]),
     blocksize=st.sampled_from([0, 64, 257, 4096]),
 )
@@ -199,3 +199,27 @@ def test_snappy_decode_property(n_elements, seed):
             expected.append(expected[-off])
     stream = snappy_varint(len(expected)) + bytes(body)
     assert blosc.snappy_decompress(stream, len(expected)) == bytes(expected)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    chunks=st.lists(
+        st.one_of(
+            st.binary(min_size=0, max_size=60),  # literal-run territory
+            st.tuples(st.binary(min_size=1, max_size=6), st.integers(1, 400)).map(
+                lambda t: t[0] * t[1]  # periodic: overlap-copy matches, RLE
+            ),
+        ),
+        min_size=0,
+        max_size=8,
+    )
+)
+def test_blosclz_stream_roundtrip_property(chunks):
+    """blosclz_compress -> blosclz_decompress is the identity for any byte
+    stream — mixed literal runs, periodic matches (RLE overlap copies),
+    and long repeats that force the 255-chained length extension."""
+    from n5_dask_spark.sources.n5 import blosc
+
+    data = b"".join(chunks)
+    enc = blosc.blosclz_compress(data)
+    assert blosc.blosclz_decompress(enc, len(data)) == data
