@@ -47,3 +47,13 @@ def test_streaming_stress_smoke(spark, tmp_path):
     out = stress.streaming_stress(spark, str(tmp_path), rows=200_000)
     assert out["streaming_20m_batches"] >= 2
     assert out["streaming_20m_t1"] > 0 and out["streaming_20m_t2"] > 0
+
+
+@pytest.mark.skipif(not os.environ.get("N5DS_STRESS"), reason="set N5DS_STRESS=1 to run")
+def test_streaming_state_stress_smoke(spark, tmp_path):
+    stress = _stress_module()
+    out = stress.streaming_state_stress(spark, str(tmp_path), rows=320_000)
+    assert out["stream_state_rows_emitted"] > 0
+    # the core claim: peak state ~ one slice's windows, not the full history
+    assert 0 < out["stream_state_peak_rows"] <= 4 * 60
+    assert out["stream_state_total_windows"] == 16 * 60
