@@ -44,14 +44,14 @@ pure-Python reach, but pyarrow is already a dependency of the
 Arrow/pandas-UDF path, so the leg is real wherever the engine runs);
 both split and unsplit block layouts, byte-shuffle, bit-shuffle or no
 shuffle, multi-block chunks, stored-stream and whole-chunk-memcpy
-fallbacks. ENCODE emits blosclz (pure-Python greedy LZ over the same
-token grammar the decoder accepts — a compatibility leg for containers
-whose attributes pin cname=blosclz; the default write path stays lz4),
-lz4, zlib or (pyarrow-gated) zstd, always unsplit, with flag bit 4 set
-so real c-blosc decoders read the single-stream layout. Unsupported
-variants (zstd without pyarrow, snappy *encode*) raise loudly rather
-than guess; the refusal boundary is pinned by recorded chunk vectors in
-``tests/test_blosc.py``.
+fallbacks. ENCODE covers every Blosc1 internal codec: blosclz and snappy
+(pure-Python greedy LZ over the same grammars the decoders accept —
+compatibility legs for containers whose attributes pin those cnames; the
+default write path stays lz4), lz4, zlib and (pyarrow-gated) zstd —
+always unsplit, with flag bit 4 set so real c-blosc decoders read the
+single-stream layout. The one refusal left is zstd without pyarrow
+(entropy coding is out of pure-Python reach), pinned by a recorded chunk
+vector in ``tests/test_blosc.py``.
 
 Validation: the lz4 and snappy stream decoders (and the lz4 encoder) are
 cross-checked against pyarrow's real liblz4/libsnappy in
@@ -401,6 +401,76 @@ def snappy_decompress(data: bytes, expected: int) -> bytes:
     return bytes(out)
 
 
+def snappy_compress(data: bytes) -> bytes:
+    """Encode one raw-format snappy stream (the layout the decoder above
+    and real libsnappy's ``snappy_uncompress`` accept).
+
+    Varint uncompressed-length preamble, then greedy hash-table LZ over
+    the documented tag grammar: literal runs (inline 6-bit length, or the
+    60/61 escapes for 1-/2-byte lengths; chunked at 65536 so the 3-/4-byte
+    escapes are never needed) and copy-2 elements only — length 4..64,
+    2-byte little-endian offset within a 65535-byte window; longer matches
+    emit consecutive copy-2s at the same distance. Copy-1/copy-4 are legal
+    output a conformant encoder may simply never produce (real snappy
+    decoders must accept any mix). Cross-validated in tests against
+    pyarrow's bundled REAL libsnappy decoder — non-circular evidence for
+    the emitted byte stream, not just a self-roundtrip.
+    """
+    n = len(data)
+    out = bytearray()
+    # varint preamble
+    v = n
+    while v >= 0x80:
+        out.append((v & 0x7F) | 0x80)
+        v >>= 7
+    out.append(v)
+    lit_start = 0
+
+    def flush(end: int) -> None:
+        i = lit_start
+        while i < end:
+            run = min(65536, end - i)
+            if run <= 60:
+                out.append((run - 1) << 2)
+            elif run <= 256:
+                out.append(60 << 2)
+                out.append(run - 1)
+            else:
+                out.append(61 << 2)
+                out.extend((run - 1).to_bytes(2, "little"))
+            out.extend(data[i : i + run])
+            i += run
+
+    table: dict[bytes, int] = {}
+    i = 0
+    while i + 4 <= n:
+        key = data[i : i + 4]
+        cand = table.get(key)
+        table[key] = i
+        if cand is None or i - cand > 65535:
+            i += 1
+            continue
+        length = 4
+        while i + length < n and data[cand + length] == data[i + length]:
+            length += 1
+        flush(i)
+        off = (i - cand).to_bytes(2, "little")
+        rem = length
+        while rem > 0:
+            take = min(64, rem)
+            if rem - take in (1, 2, 3) and take == 64:
+                take = 61  # keep every emitted copy >= 4 long
+            out.append(((take - 1) << 2) | 2)
+            out.extend(off)
+            rem -= take
+        for j in range(i + 1, min(i + length, n - 3)):
+            table[data[j : j + 4]] = j
+        i += length
+        lit_start = i
+    flush(n)
+    return bytes(out)
+
+
 def _nstreams(flags: int, typesize: int, neblock: int, blocksize: int) -> int:
     """Sub-streams per block, mirroring c-blosc ``blosc_d``: the header's
     'not split' bit wins; otherwise non-leftover blocks split into
@@ -541,11 +611,11 @@ def compress(
             "blosc cname 'zstd' needs pyarrow's bundled libzstd, which is "
             "unavailable in this environment; use lz4 or zlib"
         )
-    if cname not in ("lz4", "zlib", "zstd", "blosclz"):
+    if cname not in ("blosclz", "lz4", "snappy", "zlib", "zstd"):
         raise NotImplementedError(
-            f"blosc cname {cname!r} is not supported for encoding by the "
-            "pure-Python codec (blosclz, lz4, zlib and zstd are; snappy "
-            "is decode-only); or use the lz4/gzip/xz N5 codecs directly"
+            f"blosc cname {cname!r} is not a Blosc1 internal codec "
+            "(blosclz, lz4, snappy, zlib and zstd are); or use the "
+            "lz4/gzip/xz N5 codecs directly"
         )
     if shuffle not in (0, 1, 2):
         raise ValueError(f"shuffle must be 0 (none), 1 (byte) or 2 (bit), got {shuffle}")
@@ -573,6 +643,7 @@ def compress(
     codec_id = {
         "blosclz": _CODEC_BLOSCLZ,
         "lz4": _CODEC_LZ4,
+        "snappy": _CODEC_SNAPPY,
         "zlib": _CODEC_ZLIB,
         "zstd": _CODEC_ZSTD,
     }[cname]
@@ -592,6 +663,8 @@ def compress(
             comp = lz4_block_compress(block)
         elif cname == "blosclz":
             comp = blosclz_compress(block)
+        elif cname == "snappy":
+            comp = snappy_compress(block)
         elif zstd_codec is not None:
             comp = zstd_codec.compress(block, asbytes=True)
         else:

@@ -23,9 +23,9 @@ that array IS the x-fastest payload.
 Compression ids: raw, gzip (useZlib:false = gzip member framing,
 useZlib:true = raw zlib stream), bz2, xz, lz4 (pure-Python lz4-java
 LZ4Block framing — see lz4.py), blosc (pure-Python Blosc1 chunks:
-blosclz/lz4/snappy/zlib decode + pyarrow-gated zstd both directions,
-lz4/zlib/zstd encode, byte- and bit-shuffle — see blosc.py; unsupported
-variants raise NotImplementedError rather than failing silently), and
+blosclz/lz4/snappy/zlib both directions + pyarrow-gated zstd, byte- and
+bit-shuffle — see blosc.py; the one refusal left, zstd without pyarrow,
+raises NotImplementedError rather than failing silently), and
 zstd (the n5-zstd ecosystem extension: a bare zstd frame per block,
 pyarrow-gated like the blosc leg).
 """

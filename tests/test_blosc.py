@@ -115,8 +115,8 @@ def test_unsupported_internal_codec_raises(monkeypatch):
     chunk[2] = (chunk[2] & 0x1F) | (5 << 5)
     with pytest.raises(NotImplementedError, match="not"):
         blosc.decompress(bytes(chunk))
-    with pytest.raises(NotImplementedError, match="decode-only"):
-        blosc.compress(payload, cname="snappy")
+    with pytest.raises(NotImplementedError, match="not"):
+        blosc.compress(payload, cname="lzma")  # not a Blosc1 internal codec
 
 
 # Recorded boundary vector: a byte-literal chunk with the zstd internal
@@ -689,15 +689,30 @@ def test_blosclz_chunk_decode_end_to_end():
     assert blosc.decompress(bytes(chunk)) == payload
 
 
-def test_decode_only_cnames_refuse_encode_loudly():
-    """snappy is DECODE-only (VERDICT r6 residue #1, narrowed in r8 when
-    the blosclz encoder landed): interop reads any c-blosc container, but
-    re-encoding into a third-party snappy preference must refuse with the
-    documented message — never fall back silently to another codec, which
-    would ship chunks a strict snappy-expecting consumer cannot
-    attribute."""
-    with pytest.raises(NotImplementedError, match="decode-only"):
-        blosc.compress(b"refusal-vector" * 16, typesize=2, cname="snappy")
+def test_snappy_encoder_matches_real_libsnappy():
+    """The snappy ENCODER's streams must decode with pyarrow's bundled
+    REAL libsnappy — non-circular evidence for the emitted bytes (the
+    blosclz leg can only self-roundtrip; no real blosclz ships in this
+    container). Closes the last decode-only cname (r6 residue #1)."""
+    import random
+
+    pa_codec = _pa_codec("snappy")
+    if pa_codec is None:
+        pytest.skip("pyarrow libsnappy unavailable")
+    rng = random.Random(41)
+    cases = [
+        b"",
+        b"a",
+        b"abc",
+        b"a" * 70_000,  # copies spanning many 64-length elements + RLE
+        b"0123456789abcdef" * 5000,  # offsets near/above 64k window edge
+        bytes(rng.randrange(256) for _ in range(5000)),  # incompressible
+        (b"word " * 30 + bytes(rng.randrange(256) for _ in range(300))) * 40,
+    ]
+    for raw in cases:
+        enc = blosc.snappy_compress(raw)
+        assert bytes(pa_codec.decompress(enc, len(raw))) == raw  # real libsnappy
+        assert blosc.snappy_decompress(enc, len(raw)) == raw  # our decoder
 
 
 # --- N5 codec integration -------------------------------------------------
@@ -707,7 +722,7 @@ def test_n5_codec_dispatch_roundtrip():
     from n5_dask_spark.sources.n5.codec import _compress, _decompress
 
     payload = (np.arange(10_000, dtype=np.uint16) % 300).tobytes()
-    for cname in ("lz4", "blosclz"):
+    for cname in ("lz4", "blosclz", "snappy"):
         spec = {"type": "blosc", "cname": cname, "clevel": 5, "shuffle": 1, "typesize": 2}
         assert _decompress(_compress(payload, spec), spec) == payload
 

@@ -233,8 +233,12 @@ def test_blosc_now_supported_but_exotic_variants_raise():
         np.testing.assert_array_equal(
             decode_block(encode_block(arr, "uint8", spec_z), "uint8", spec_z), arr
         )
-    with pytest.raises(NotImplementedError, match="decode-only"):
-        encode_block(arr, "uint8", {"type": "blosc", "cname": "blosclz"})
+    # every Blosc1 internal codec now encodes (blosclz/snappy landed r8)
+    for cname in ("blosclz", "snappy"):
+        spec_c = {"type": "blosc", "cname": cname, "typesize": 1}
+        np.testing.assert_array_equal(
+            decode_block(encode_block(arr, "uint8", spec_c), "uint8", spec_c), arr
+        )
 
 
 # ---------------------------------------------------------------------------

@@ -102,7 +102,7 @@ def test_fragment_cover_property(dims, old_bs, new_bs):
 @given(
     data=st.binary(min_size=0, max_size=5000),
     typesize=st.sampled_from([1, 2, 3, 4, 8, 16]),
-    cname=st.sampled_from(["lz4", "zlib", "blosclz"]),
+    cname=st.sampled_from(["lz4", "zlib", "blosclz", "snappy"]),
     shuffle=st.sampled_from([0, 1]),
     blocksize=st.sampled_from([0, 64, 257, 4096]),
 )
