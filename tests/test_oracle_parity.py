@@ -95,26 +95,30 @@ def test_asof_union_plan_matches_duckdb_asof_on_randomized_ties(spark, seed, tmp
     assert null_ids and not null_ids & {g[0] for g in got}  # drop semantics pinned
 
 
+# byte-contract family: the multimodal oracles use ascii()/substr as BYTE
+# accessors, a documented ASCII-only equivalence (payload bytes vs
+# codepoints diverge on non-ASCII text by design) — excluded from the
+# unicode doc net, covered by the degenerate-ASCII net below. Every
+# multimodal_* query must be listed here so it lands in exactly one net.
+BYTE_CONTRACT = {
+    "multimodal_feature_extract",
+    "multimodal_png_decode",
+    "multimodal_metadata_stats",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "multimodal_audio_frame_energy",
+}
+
+
 def _doc_only_query_names():
     """Registered queries whose oracle reads ONLY the documents table —
     runnable against an arbitrary synthetic corpus."""
     from n5_dask_spark.registry import load_all
 
     others = ("region", "nation", "customer", "supplier", "lineitem", "orders", "events", "embeddings", "'part'", " part ")
-    # byte-contract exclusions: the multimodal oracles use ascii()/substr
-    # as BYTE accessors, a documented ASCII-only equivalence (payload
-    # bytes vs codepoints diverge on non-ASCII text by design)
-    byte_contract = {
-        "multimodal_feature_extract",
-        "multimodal_png_decode",
-        "multimodal_metadata_stats",
-        "multimodal_frame_sample",
-        "multimodal_resize",
-        "multimodal_audio_frame_energy",
-    }
     out = []
     for n, q in load_all().items():
-        if q.oracle and "documents" in q.oracle and n not in byte_contract:
+        if q.oracle and "documents" in q.oracle and n not in BYTE_CONTRACT:
             if not any(t in q.oracle for t in others):
                 out.append(n)
     return sorted(out)
@@ -627,15 +631,10 @@ def test_multimodal_queries_match_oracles_on_degenerate_ascii_corpus(spark, tmp_
     from tests.oracle_harness import canon_rows
 
     reg = load_all()
-    names = [
-        "multimodal_feature_extract",
-        "multimodal_png_decode",
-        "multimodal_metadata_stats",
-        "multimodal_frame_sample",
-        "multimodal_resize",
-        "multimodal_audio_frame_energy",
-        "n5_region_tif_checksum",
-    ]
+    reg_names = set(load_all())
+    missing = {n for n in reg_names if n.startswith("multimodal_")} - BYTE_CONTRACT
+    assert not missing, f"new multimodal queries must join BYTE_CONTRACT: {missing}"
+    names = sorted(BYTE_CONTRACT) + ["n5_region_tif_checksum"]
     rng = random.Random(29)
     pool = string.ascii_letters + string.digits + string.punctuation + " \t\n"
     fixed = [0, 1, 2, 3, 15, 16, 17, 79, 80, 81, 159, 160, 255, 256, 257, 320]
