@@ -57,3 +57,12 @@ def test_streaming_state_stress_smoke(spark, tmp_path):
     # the core claim: peak state ~ one slice's windows, not the full history
     assert 0 < out["stream_state_peak_rows"] <= 4 * 60
     assert out["stream_state_total_windows"] == 16 * 60
+
+
+@pytest.mark.skipif(not os.environ.get("N5DS_STRESS"), reason="set N5DS_STRESS=1 to run")
+def test_streaming_join_state_stress_smoke(spark, tmp_path):
+    stress = _stress_module()
+    out = stress.streaming_join_state_stress(spark, str(tmp_path), rows=320_000)
+    assert out["stream_join_matches"] > 0
+    # peak join state ~ one micro-batch (+ watermark horizon), not history
+    assert 0 < out["stream_join_peak_state_rows"] <= 2 * (320_000 // 16)

@@ -192,6 +192,10 @@ def main(rows: int = 20_000_000) -> None:
     # across 16 time-ordered micro-batches (r8)
     out.update(streaming_state_stress(spark, base, rows))
 
+    # --- stream-stream join state at scale: watermark-bounded buffering
+    # on BOTH sides of a time-range join (r8)
+    out.update(streaming_join_state_stress(spark, base, rows))
+
     print(json.dumps({"rows": rows, "shapes": out}))
 
 
@@ -536,6 +540,122 @@ def streaming_state_stress(spark, base: str, rows: int) -> dict[str, float]:
     if got != expect:
         raise SystemExit(f"append output {got} != batch closed-window total {expect}")
     out["stream_state_rows_emitted"] = int(got)
+    return out
+
+
+def streaming_join_state_stress(spark, base: str, rows: int) -> dict[str, float]:
+    """Stream-stream JOIN state bounded by the watermark — the hairiest
+    stateful operator's 100-TB claim. `rows` events (alternating purchase/
+    click over 100k users, time-ordered in 16 slices of 60h each) run
+    through the registered queries' join shape: both sides watermarked 2h,
+    clicks matched within [p_ts - 1h, p_ts]. Peak join-state rows must be
+    on the order of ONE micro-batch plus the watermark horizon — never
+    history-sized buffering of both streams, which is what an unbounded
+    stream-stream join degenerates to. The streamed inner-join count must
+    equal the batch join (time-ordered arrival + a 2h watermark over a 1h
+    range means no late matches are droppable)."""
+    import shutil
+
+    from n5_dask_spark.session import tune_session
+
+    tune_session(spark)
+    out: dict[str, float] = {}
+    sbase = os.path.join(base, "stream_join")
+    shutil.rmtree(sbase, ignore_errors=True)
+    src = os.path.join(sbase, "src")
+    slices, files_per_slice = 16, 4
+    per = rows // slices
+    hours_per_slice = 60
+
+    for k in range(slices):
+        (
+            spark.range(k * per, (k + 1) * per)
+            .select(
+                F.col("id").alias("event_id"),
+                # id // 2: both parities (= both event types) share the full
+                # user range — a bare id % 100000 would strand purchases on
+                # even users and clicks on odd ones, a zero-match join
+                ((F.col("id") / 2).cast("long") % 100_000).alias("user_id"),
+                F.when(F.col("id") % 2 == 0, "purchase").otherwise("click").alias("event_type"),
+                F.timestamp_seconds(
+                    F.lit(k * hours_per_slice * 3600)
+                    + F.pmod(F.xxhash64("id"), F.lit(hours_per_slice * 3600))
+                ).alias("ts"),
+            )
+            .coalesce(files_per_slice)
+            .write.mode("append")
+            .parquet(src)
+        )
+
+    schema = spark.read.parquet(src).schema
+
+    def sides(df):
+        p = (
+            df.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("p_ts"),
+            )
+        )
+        c = (
+            df.filter(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("c_ts"),
+            )
+        )
+        return p, c
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", files_per_slice).parquet(src)
+    sp, sc_ = sides(stream)
+    joined = sp.withWatermark("p_ts", "2 hours").join(
+        sc_.withWatermark("c_ts", "2 hours"),
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    )
+    sink_dir, ckpt = os.path.join(sbase, "out"), os.path.join(sbase, "ckpt")
+    t0 = time.perf_counter()
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out["stream_join_20m_sec"] = round(time.perf_counter() - t0, 2)
+
+    peaks = [
+        op["numRowsTotal"]
+        for p in q.recentProgress
+        for op in (p.get("stateOperators") or [])
+    ]
+    peak = max(peaks) if peaks else -1
+    out["stream_join_peak_state_rows"] = peak
+    # bounded-state evidence: one micro-batch enters state before the
+    # watermark advances, plus the <= 3h eviction horizon carried over —
+    # 2 batches of slack is generous; history-sized buffering (~rows)
+    # fails by an order of magnitude
+    if not 0 < peak <= 2 * per:
+        raise SystemExit(f"join state not watermark-bounded: peak {peak} rows vs {rows} events")
+
+    got = spark.read.parquet(sink_dir).count()
+    bp, bc = sides(spark.read.parquet(src))
+    expect = bp.join(
+        bc,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    ).count()
+    if got != expect:
+        raise SystemExit(f"streamed join count {got} != batch join count {expect}")
+    out["stream_join_matches"] = int(got)
     return out
 
 
