@@ -208,10 +208,41 @@ def embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lsh_planes(n_planes: int, dim: int) -> list[list[float]]:
+    """The md5-seeded plane matrix, computed once driver-side.
+
+    plane[p][d] in [-1, 1): first 8 hex digits of md5(f"{p}|{d}") / 16^8,
+    scaled — the exact value the old in-plan SQL expression
+    (conv(substring(md5(concat(p,'|',d)),1,8),16,10) / 2^32 * 2 - 1)
+    produced, so bucket assignments are unchanged."""
+    import hashlib as _hashlib
+
+    return [
+        [
+            int(_hashlib.md5(f"{p}|{d}".encode()).hexdigest()[:8], 16)
+            / 4294967296.0
+            * 2.0
+            - 1.0
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
 def random_hyperplane_lsh(spark: SparkSession, sf_dir: str, n_planes: int = 16) -> DataFrame:
-    """Production-shape LSH: md5-seeded pseudo-random hyperplanes (deterministic
-    but not practically SQL-expressible), signature = sign bits of plane dot
-    products. Same bucket-join plan as knn_signbucket_lsh. Used by tests."""
+    """Production-shape LSH: md5-seeded pseudo-random hyperplanes
+    (deterministic but not practically SQL-expressible), signature = sign
+    bits of plane dot products. Same bucket-join plan as
+    knn_signbucket_lsh; stress-driven at 5M vectors (tools/stress.py).
+
+    The plane matrix is computed ONCE on the driver and embedded as a
+    nested array literal. The previous formulation built it with an
+    in-plan md5 lambda expression over constant sequences — row-invariant,
+    but lambda bodies sit outside Catalyst's constant folding, so every
+    ROW re-derived all n_planes x dim md5s: ~1.3 BILLION md5 calls at 5M
+    vectors (found by the similarity stress leg timing out). repr() round
+    trips every double exactly, so the literal is bit-identical to the
+    old expression and bucket assignments are unchanged (pinned by test)."""
     t = load_tables(spark, sf_dir, ("embeddings",))
     # derive the plane length from the data: zip_with NULL-pads a length
     # mismatch, w * NULL = NULL, and the sign bit silently reads 0 —
@@ -220,20 +251,18 @@ def random_hyperplane_lsh(spark: SparkSession, sf_dir: str, n_planes: int = 16) 
     if first is None:
         raise ValueError("embeddings table is empty; cannot derive the LSH plane length")
     dim = int(first["d"])
-    # plane[p][d] in [-1, 1): seeded by md5(p|d) -> first 8 hex digits / 16^8.
-    plane = F.expr(
-        f"transform(sequence(0, {n_planes - 1}), p -> transform(sequence(0, {dim - 1}),"
-        " d -> CAST(conv(substring(md5(concat(p, '|', d)), 1, 8), 16, 10) AS DOUBLE)"
-        " / 4294967296.0 * 2.0 - 1.0))"
+    planes_lit = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{v!r}D" for v in row) + ")"
+            for row in lsh_planes(n_planes, dim)
+        )
+        + ")"
     )
     sig = F.expr(
         f"aggregate(sequence(0, {n_planes - 1}), CAST(0 AS BIGINT), (acc, p) -> acc + "
-        "CASE WHEN aggregate(zip_with(planes[p], embedding, (w, x) -> w * CAST(x AS DOUBLE)),"
+        f"CASE WHEN aggregate(zip_with({planes_lit}[p], embedding, (w, x) -> w * CAST(x AS DOUBLE)),"
         " CAST(0.0 AS DOUBLE), (a, v) -> a + v) > 0"
         " THEN shiftleft(CAST(1 AS BIGINT), p) ELSE CAST(0 AS BIGINT) END)"
     )
-    return (
-        t["embeddings"]
-        .withColumn("planes", plane)
-        .select("vec_id", "embedding", sig.alias("bucket"))
-    )
+    return t["embeddings"].select("vec_id", "embedding", sig.alias("bucket"))

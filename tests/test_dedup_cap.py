@@ -364,3 +364,50 @@ def test_string_funcs_parity_scope(spark):
         F.upper("t").alias("u")
     ).collect()[0]["u"] == "SS"
     assert con.execute("SELECT UPPER('ß')").fetchone()[0] == "ẞ"
+
+
+def test_lsh_literal_planes_match_seed_expression(spark):
+    """random_hyperplane_lsh embeds a driver-computed plane literal; its
+    buckets must stay bit-identical to the original md5-seeded in-plan
+    expression (which cost n_planes x dim md5s PER ROW — ~1.3e9 calls at
+    5M vectors, found by the similarity stress leg timing out). Pins both
+    the Python/SQL md5-scaling equivalence and repr()'s exact double
+    round-trip through the SQL literal parser."""
+    from pyspark.sql import functions as F
+
+    from n5_dask_spark.catalog import load_tables
+    from n5_dask_spark.operators.similarity import lsh_planes, random_hyperplane_lsh
+    from tests.conftest import SF_SMALL
+
+    new = {
+        r["vec_id"]: r["bucket"]
+        for r in random_hyperplane_lsh(spark, SF_SMALL).collect()
+    }
+    t = load_tables(spark, SF_SMALL, ("embeddings",))
+    dim = t["embeddings"].select(F.size("embedding").alias("d")).first()["d"]
+    n_planes = 16
+    plane = F.expr(
+        f"transform(sequence(0, {n_planes - 1}), p -> transform(sequence(0, {dim - 1}),"
+        " d -> CAST(conv(substring(md5(concat(p, '|', d)), 1, 8), 16, 10) AS DOUBLE)"
+        " / 4294967296.0 * 2.0 - 1.0))"
+    )
+    sig = F.expr(
+        f"aggregate(sequence(0, {n_planes - 1}), CAST(0 AS BIGINT), (acc, p) -> acc + "
+        "CASE WHEN aggregate(zip_with(planes[p], embedding, (w, x) -> w * CAST(x AS DOUBLE)),"
+        " CAST(0.0 AS DOUBLE), (a, v) -> a + v) > 0"
+        " THEN shiftleft(CAST(1 AS BIGINT), p) ELSE CAST(0 AS BIGINT) END)"
+    )
+    old = {
+        r["vec_id"]: r["bucket"]
+        for r in t["embeddings"]
+        .withColumn("planes", plane)
+        .select("vec_id", sig.alias("bucket"))
+        .collect()
+    }
+    assert new and new == old
+    # and the Python matrix itself reproduces one SQL-computed value
+    sql_v = spark.sql(
+        "SELECT CAST(conv(substring(md5('3|7'), 1, 8), 16, 10) AS DOUBLE)"
+        " / 4294967296.0 * 2.0 - 1.0 AS v"
+    ).first()["v"]
+    assert lsh_planes(4, 8)[3][7] == sql_v

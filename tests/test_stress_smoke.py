@@ -66,3 +66,12 @@ def test_streaming_join_state_stress_smoke(spark, tmp_path):
     assert out["stream_join_matches"] > 0
     # peak join state ~ one micro-batch (+ watermark horizon), not history
     assert 0 < out["stream_join_peak_state_rows"] <= 2 * (320_000 // 16)
+
+
+@pytest.mark.skipif(not os.environ.get("N5DS_STRESS"), reason="set N5DS_STRESS=1 to run")
+def test_similarity_lsh_stress_smoke(spark, tmp_path):
+    stress = _stress_module()
+    out = stress.similarity_lsh_stress(spark, str(tmp_path), n_vec=50_000, n_planted=500)
+    assert out["lsh_planted_recall"] >= 0.85
+    assert out["lsh_candidate_fraction"] < 1e-3  # candidates ~ buckets, not n^2
+    assert out["lsh_bucket_max_over_mean"] <= 50  # Poisson tail at sparse smoke scale

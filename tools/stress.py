@@ -196,6 +196,10 @@ def main(rows: int = 20_000_000) -> None:
     # on BOTH sides of a time-range join (r8)
     out.update(streaming_join_state_stress(spark, base, rows))
 
+    # --- similarity family at scale: registered sign-hyperplane LSH over
+    # 5M embeddings with planted near-dups (r8)
+    out.update(similarity_lsh_stress(spark, base, n_vec=rows // 4, n_planted=rows // 400))
+
     print(json.dumps({"rows": rows, "shapes": out}))
 
 
@@ -656,6 +660,99 @@ def streaming_join_state_stress(spark, base: str, rows: int) -> dict[str, float]
     if got != expect:
         raise SystemExit(f"streamed join count {got} != batch join count {expect}")
     out["stream_join_matches"] = int(got)
+    return out
+
+
+def similarity_lsh_stress(spark, base: str, n_vec: int = 5_000_000, n_planted: int = 50_000) -> dict[str, float]:
+    """Embedding near-dup at corpus scale through the REGISTERED
+    sign-hyperplane LSH (similarity.random_hyperplane_lsh — the documented
+    scale path that replaces the bench-scale BroadcastNestedLoop pair
+    join). `n_vec` synthetic 16-dim vectors plus `n_planted` near-identical
+    pairs (relative noise ~1e-2, cosine ~0.9999) are bucketed by the
+    16-plane signature; candidates = in-bucket pairs only. Evidence:
+    bucket census balance (the partition-killing skew check), candidate
+    volume ~ n·bucket_size not n² (the whole point of LSH), and planted-
+    pair recall through the sign signature (expected (1 - theta/pi)^16 ~
+    0.95 at this noise level)."""
+    import shutil
+
+    from n5_dask_spark.operators.similarity import random_hyperplane_lsh
+    from n5_dask_spark.session import tune_session
+
+    tune_session(spark)
+    out: dict[str, float] = {}
+    d = os.path.join(base, "lsh")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    dim = 16
+    # base vectors: xxhash-derived uniform [-1, 1) per (id, dim); planted
+    # rows copy vector (id - n_vec) with a small per-component perturbation
+    comp = " , ".join(
+        f"CAST(pmod(xxhash64(src_id, {j}), 2000001) - 1000000 AS DOUBLE) / 1000000.0"
+        f" + noise * (CAST(pmod(xxhash64(vec_id, {j}, 7), 2001) - 1000 AS DOUBLE) / 100000.0)"
+        for j in range(dim)
+    )
+    (
+        spark.range(n_vec + n_planted)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.when(F.col("id") < n_vec, F.col("id")).otherwise(F.col("id") - n_vec).alias("src_id"),
+            F.when(F.col("id") < n_vec, F.lit(0.0)).otherwise(F.lit(1.0)).alias("noise"),
+        )
+        .select(
+            "vec_id",
+            F.expr(f"transform(array({comp}), x -> CAST(x AS FLOAT))").alias("embedding"),
+            F.lit(0).alias("label"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(d, "embeddings.parquet"))
+    )
+
+    t0 = time.perf_counter()
+    sig = random_hyperplane_lsh(spark, d).select("vec_id", "bucket").localCheckpoint()
+    out["lsh_signature_sec"] = round(time.perf_counter() - t0, 2)
+
+    census = (
+        sig.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.max("n").alias("mx"),
+            F.count(F.lit(1)).alias("buckets"),
+            F.expr("CAST(SUM(n * (n - 1)) / 2 AS BIGINT)").alias("cand_pairs"),
+        )
+        .collect()[0]
+    )
+    n_total = n_vec + n_planted
+    out["lsh_buckets"] = int(census["buckets"])
+    out["lsh_max_bucket"] = int(census["mx"])
+    # skew gate vs the MEAN occupied-bucket size (median degenerates to 1
+    # when buckets outnumber vectors, as in the smoke): the max bucket is
+    # what lands on one shuffle task, so it must stay a small multiple of
+    # the average plus Poisson tail slack
+    mean_bucket = n_total / max(census["buckets"], 1)
+    out["lsh_bucket_max_over_mean"] = round(census["mx"] / mean_bucket, 2)
+    out["lsh_candidate_pairs"] = int(census["cand_pairs"])
+    all_pairs = n_total * (n_total - 1) // 2
+    out["lsh_candidate_fraction"] = round(census["cand_pairs"] / all_pairs, 8)
+    if census["cand_pairs"] > all_pairs * 1e-3:
+        raise SystemExit(
+            f"LSH did not prune: {census['cand_pairs']} candidate pairs "
+            f"of {all_pairs} — bucketing is not the scale path it claims"
+        )
+
+    # planted recall THROUGH the signature: pair (i, i + n_vec) is
+    # recovered iff both land in the same bucket
+    t0 = time.perf_counter()
+    a = sig.filter(F.col("vec_id") >= n_vec).select(
+        (F.col("vec_id") - n_vec).alias("vec_id"), F.col("bucket").alias("b2")
+    )
+    recovered = sig.join(a, "vec_id").filter(F.col("bucket") == F.col("b2")).count()
+    out["lsh_planted_recall"] = round(recovered / n_planted, 4)
+    out["lsh_recall_check_sec"] = round(time.perf_counter() - t0, 2)
+    if recovered < n_planted * 0.85:
+        raise SystemExit(
+            f"sign-LSH recall collapsed: {recovered}/{n_planted} planted pairs share a bucket"
+        )
     return out
 
 
