@@ -21,6 +21,18 @@ Determinism discipline (so value-hashes match the oracle EXACTLY):
   engines default null ordering differently (Spark ASC = NULLS FIRST,
   DuckDB = NULLS LAST), so a rank over a nullable key would silently
   diverge; spell NULLS FIRST/LAST on both sides if one is ever needed.
+- ROUND(double, s) boundary (characterized r8, never observed in a
+  query): Spark rounds the double's SHORTEST DECIMAL REPR (HALF_UP on
+  what java.math.BigDecimal.valueOf reads), DuckDB the BINARY value —
+  they disagree exactly when a double's shortest repr terminates in a
+  "...5" at scale s+1 while the binary value sits just below/above it
+  (round(-2.445, 2): Spark -2.45, DuckDB -2.44; probe-pinned in
+  tests/test_dedup_cap.py). Computed doubles (sums/ratios/sqrt) have
+  ~17-digit reprs and essentially never terminate on such a boundary —
+  8 rounds of driver hash gates and 30+ fuzz-net seeds never hit it —
+  and decimal-exact aggregation (dsum/davg) sidesteps it for the money
+  columns. Treat any future hash flip on a ROUND(...) column as this
+  boundary first.
 - Cross-engine string-function scope (differential-fuzzed in
   tests/test_dedup_cap.py): tokenization lowering is ASCII-translate
   (fully portable); upper()/levenshtein() agree only on ASCII inputs

@@ -411,3 +411,39 @@ def test_lsh_literal_planes_match_seed_expression(spark):
         " / 4294967296.0 * 2.0 - 1.0 AS v"
     ).first()["v"]
     assert lsh_planes(4, 8)[3][7] == sql_v
+
+
+def test_round_double_repr_boundary_is_characterized(spark):
+    """Documentation pin for the registry's ROUND(double) boundary note:
+    Spark rounds the shortest decimal repr (BigDecimal.valueOf), DuckDB
+    the binary value, so a double whose repr terminates in '...5' at
+    scale s+1 while its binary value sits below the half diverges — and
+    values without such a repr agree. If either engine changes behavior,
+    this test localizes it before a driver hash flip does."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    # -2.445 as a double is -2.44499999999999995...; repr is '-2.445'
+    probes = [(-2.445, 2, -2.45, -2.44), (0.00015, 4, 0.0002, 0.0001)]
+    con = duckdb.connect()
+    for v, s, spark_want, duck_want in probes:
+        got_s = (
+            spark.createDataFrame([(v,)], "v double")
+            .select(F.round("v", s).alias("r"))
+            .first()["r"]
+        )
+        got_d = con.execute(f"SELECT round(CAST(? AS DOUBLE), {s})", [v]).fetchone()[0]
+        assert got_s == spark_want and got_d == duck_want, (v, s, got_s, got_d)
+    # off-boundary values agree (the overwhelmingly common case)
+    import random
+
+    rng = random.Random(19)
+    vals = [rng.uniform(-1000, 1000) for _ in range(100)]
+    rows = (
+        spark.createDataFrame([(v,) for v in vals], "v double")
+        .select(F.round("v", 6).alias("r"))
+        .collect()
+    )
+    for v, r in zip(vals, rows):
+        assert r["r"] == con.execute("SELECT round(CAST(? AS DOUBLE), 6)", [v]).fetchone()[0]
