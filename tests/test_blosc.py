@@ -872,7 +872,10 @@ def test_blosclz_chunk_roundtrip_all_shuffles():
     for shuffle in (0, 1, 2):
         chunk = blosc.compress(payload, typesize=2, cname="blosclz", shuffle=shuffle)
         assert blosc.decompress(chunk) == payload
-        assert (chunk[2] >> 5) in (0, None) or True
+        # codec id (bits 5-7) must be 0 = blosclz unless the chunk was
+        # stored memcpyed (flag bit 1), where the codec bits are zeroed
+        if not chunk[2] & 0x2:
+            assert (chunk[2] >> 5) == 0
     # compressible input must actually compress through the blosclz leg
     chunk = blosc.compress(b"ab" * 8192, typesize=2, cname="blosclz", shuffle=1)
     assert len(chunk) < 1000 and (chunk[2] >> 5) == 0  # codec id 0 = blosclz
