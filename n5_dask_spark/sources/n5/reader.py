@@ -171,12 +171,14 @@ def scan_block_files(
     # grid coords are the last `ndim` path segments: .../gx/gy/gz
     pat = r"/(\d+)" * ndim + r"$"
     cols = [
-        F.regexp_extract("path", pat, i + 1).cast("int").alias(c)
+        F.regexp_extract("path", pat, i + 1).try_cast("int").alias(c)
         for i, c in enumerate(("gx", "gy", "gz")[:ndim])
     ] + [F.lit(0).alias(c) for c in ("gx", "gy", "gz")[ndim:]]
     out = df.select(*cols, F.col("length"), F.col("content").alias("raw"), F.col("path"))
     # a non-numeric tail (attributes.json swept up by a short glob, stray
-    # files) extracts "" -> null after the int cast: drop, don't decode
+    # files) extracts "" -> null via try_cast (a plain cast ANSI-throws on
+    # '' — the ndim=1 glob crash the r9 geometry net found): drop, don't
+    # decode
     return out.filter(
         F.col("gx").isNotNull() & F.col("gy").isNotNull() & F.col("gz").isNotNull()
     )
