@@ -731,6 +731,18 @@ def similarity_lsh_stress(spark, base: str, n_vec: int = 5_000_000, n_planted: i
     # the average plus Poisson tail slack
     mean_bucket = n_total / max(census["buckets"], 1)
     out["lsh_bucket_max_over_mean"] = round(census["mx"] / mean_bucket, 2)
+    # documented skew bound (r9, VERDICT r8 #5): sign-LSH's correlated
+    # planes make the heaviest bucket ~50x the occupied-bucket mean at 5M
+    # vectors (measured r8/r9) — inherent, and harmless while one bucket
+    # fits one shuffle task. Gate at 3x the observed ceiling so silent
+    # structural growth (plane collapse, a degenerate corpus) fails loudly
+    # instead of becoming a straggler task at 100 TB.
+    if census["mx"] / mean_bucket > 150:
+        raise SystemExit(
+            f"sign-LSH bucket skew grew past the documented bound: max bucket "
+            f"{census['mx']} = {census['mx'] / mean_bucket:.0f}x the occupied-"
+            f"bucket mean {mean_bucket:.1f} (bound 150x, observed ~50x at 5M)"
+        )
     out["lsh_candidate_pairs"] = int(census["cand_pairs"])
     all_pairs = n_total * (n_total - 1) // 2
     out["lsh_candidate_fraction"] = round(census["cand_pairs"] / all_pairs, 8)
