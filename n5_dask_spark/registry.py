@@ -70,73 +70,69 @@ REGISTRY: dict[str, Query] = {}
 # stale. Build the next rotation from CORRECTNESS_r*.json last-green ages,
 # not from family coverage — cumulative coverage is already total.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- round 8 policy (VERDICT r7 #1): (a) everything CHANGED this
-    # round — the try_element_at + float->double->DECIMAL centroid fix
-    # (both engines' casts now route through DOUBLE), the NULL-aware
-    # COSINE template, the SPARK_N_TOKENS array-free token count, the
-    # session-window oracle's exact-gap boundary fix, the asof oracle's
-    # explicit NULL-ts filter, and two roundtrips re-proving the
-    # path-key-scoped sink guard; (b) all 21 round-4-stale greens;
-    # (c) fill with round-5-stale greens, one per family first. After r8,
-    # no query's last green predates round 5.
-    # (a) changed in r8
-    "join_asof",  # oracle now encodes the NULL-ts drop explicitly
-    "array_label_centroids",  # try_element_at + double-hop decimal cast
-    "knn_ivf_probe",  # same centroid conventions
-    "knn_bruteforce_cosine",  # NULL-propagating COSINE template
-    "embedding_near_duplicates",  # same template
-    "pipeline_sequence_packing",  # SPARK_N_TOKENS + drift re-baseline
-    "pipeline_clean_corpus",  # SPARK_N_TOKENS
-    "pipeline_corpus_e2e",  # composes the clean-corpus stage
-    "text_bpe_pretokenize",  # SPARK_N_TOKENS denominator (also r4-stale)
-    "streaming_session_window",  # oracle exact-gap boundary fix (fuzz find)
-    "n5_roundtrip_zprofile",  # sink guard now counts the path key
-    "tiff_roundtrip_zprofile",  # same guard, ndim<3 import path
-    # (b) the 20 remaining round-4-stale greens
-    "agg_approx_quantiles",
-    "agg_histogram_numeric",
-    "decontaminate_ngram_overlap",
-    "dedup_exact",
-    "embedding_quantize_int8",
-    "formats_partitioned_pruning",
-    "join_bucketed_colocated",
-    "join_null_safe_eq",
-    "join_range_binned",
-    "knn_signbucket_lsh",
-    "multimodal_audio_frame_energy",
-    "n5_zprofile",
-    "q6_forecast_revenue",
-    "q12_late_shipment",
-    "sample_pergroup_topk_hash",
-    "sample_stratified_hash",
-    "scalar_url_funcs",
-    "udf_pandas_zscore",
-    "upsert_orders_snapshot",
-    "window_row_number",
-    # (c) round-5-stale fill, family-spread: aggs, dedup pipelines, the
-    # events/session family, join types, TPC-H anchors, scalars and the
-    # streaming restart row — three slots re-taken late-r8 by the
-    # multimodal queries whose oracles changed (changed-first policy);
-    # join_left_anti / dedup_subset_key / window_first_last stay r5-stale
-    # and lead the r9 rotation
-    "agg_cube",
-    "agg_grouping_sets",
-    "dedup_cc_star",
-    "dedup_connected_clusters",
-    "dedup_ngram_jaccard",
-    "multimodal_resize",  # oracle: empty doc keeps its output row (r8)
-    "events_sessionization_funnel",
-    "events_session_window",
-    "join_full_outer",
-    "join_range_nonequi",
-    "multimodal_feature_extract",  # oracle: encode() + empty-payload -1 (r8)
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q10_returned_items",
-    "scalar_date_funcs",
-    "streaming_incremental_restart",
-    "multimodal_metadata_stats",  # oracle: encode() byte length (r8)
+    # --- round 9 policy (VERDICT r8 #1): (a) queries over code CHANGED
+    # this round — scan_block_files' numeric-path filter moved to
+    # try_cast (the 1-D glob ANSI crash the new geometry net found), a
+    # line every glob-scan N5 query traverses, so the canonical glob-scan
+    # roundtrip leads and the r6-stale fill takes the WHOLE N5 cohort;
+    # (b) all 28 round-5-stale greens; (c) r6-stale fill — the 11 N5
+    # queries (every one re-proves the changed scan) plus family-spread
+    # fillers. After r9 no query's last green predates round 6.
+    # (a) changed in r9
+    "n5_roundtrip_zprofile",  # canonical glob-scan write->scan->profile
+    # (b) the 28 round-5-stale greens
+    "agg_distinct",
+    "agg_rollup",
+    "agg_stats",
+    "dedup_subset_key",
+    "distinct_pairs",
+    "events_json_extract",
+    "events_sliding_window",
+    "events_tumbling_window",
+    "join_cross",
+    "join_inner",
+    "join_left_anti",
+    "join_left_outer",
+    "join_left_semi",
+    "n5_roundtrip_lz4",  # also traverses the changed scan filter
+    "orderby_limit_topk",
+    "scalar_case_when",
+    "scalar_math_funcs",
+    "scalar_string_funcs",
+    "set_except",
+    "set_intersect",
+    "set_union_all",
+    "text_tf_top_terms",
+    "text_token_stats",
+    "topk_per_group",
+    "window_first_last",
+    "window_lag_lead",
+    "window_rank_dense",
+    "window_running_sum",
+    # (c) round-6-stale fill: the full N5 cohort first (all traverse the
+    # r9-changed scan filter), then one-per-family fillers; the 18
+    # remaining r6-stale greens lead the r10 rotation
+    "n5_block_inventory",
+    "n5_block_stats",
+    "n5_downsample_stats",
+    "n5_downsample_zprofile",
+    "n5_intensity_histogram",
+    "n5_rechunk_blocksums",
+    "n5_rechunk_stats",
+    "n5_region_export_zprofile",
+    "n5_region_read",
+    "n5_roundtrip_blosc",
+    "n5_roundtrip_blosc_zstd",
+    "agg_corr_covar",
+    "join_salted",
+    "join_sort_merge_largelarge",
+    "formats_orc_roundtrip",
+    "multimodal_png_decode",
+    "multimodal_frame_sample",
+    "streaming_stateful_running_totals",
+    "streaming_stream_stream_join",
+    "text_langid",
+    "text_tfidf_top_terms",
 )
 
 def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkFn], SparkFn]:
