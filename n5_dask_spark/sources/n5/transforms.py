@@ -251,11 +251,17 @@ def downsample(
     """One downsample level (T7): block-local windowed mean (no shuffle),
     then rechunk the reduced blocks back to the original block size.
 
-    Requires factors to divide the block size (the default 2 divides 128 —
-    the general case rechunks first; build_multiscale handles that)."""
-    for b, f in zip(attrs.block_size, factors_xyz):
-        if b % f != 0:
-            raise ValueError(f"factor {f} must divide block size {b}; rechunk first")
+    Block-local application needs every window inside one block, i.e.
+    factors dividing the block size (true for the canonical 2-divides-128
+    case, where this costs zero extra shuffles). A non-divisible chunking
+    — any block_size the r9 geometry net draws — first rechunks to the
+    nearest factor-aligned grid (one extra full-data shuffle, only when
+    needed); the final rechunk restores the CALLER's block size either
+    way, so the output chunking contract is unchanged."""
+    target_bs = list(attrs.block_size)
+    if any(b % f != 0 for b, f in zip(attrs.block_size, factors_xyz)):
+        aligned = [max(f, b - b % f) for b, f in zip(attrs.block_size, factors_xyz)]
+        blocks, attrs = rechunk(blocks, attrs, aligned)
     dt = np_dtype(attrs.data_type)
     ndim = attrs.ndim
     f_zyx = list(reversed(factors_xyz))
@@ -282,8 +288,9 @@ def downsample(
         extra=dict(attrs.extra),
     )
     # restore the canonical chunking (reference keeps chunks=chunk_size,
-    # src/n5_multiscale.py:96)
-    return rechunk(reduced, mid_attrs, list(attrs.block_size))
+    # src/n5_multiscale.py:96) — the CALLER's block size, not the
+    # factor-aligned staging grid
+    return rechunk(reduced, mid_attrs, target_bs)
 
 
 def cast_blocks(

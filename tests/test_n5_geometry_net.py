@@ -125,29 +125,26 @@ def test_net_rechunk_any_geometry(spark, tmp_path, seed):
 
 @pytest.mark.parametrize("seed", _seeds())
 def test_net_downsample_any_geometry(spark, tmp_path, seed):
-    """Block-local windowed mean + rechunk == whole-array windowed mean for
-    random factors and non-divisible dims (partial edge windows). The
-    whole-array oracle is legitimate layering: the kernel itself is
-    brute-force-checked in test_properties; block-decomposition equality
-    is the distributed invariant under test. Factors must divide the
-    block size (the documented downsample() precondition), so the staged
-    block size is re-derived as factor * random."""
-    from n5_dask_spark.sources.n5.metadata import read_attributes
+    """Block-decomposed windowed mean == whole-array windowed mean for
+    random factors on the staged ARBITRARY block size — including
+    non-divisible chunkings, which exercise downsample's internal
+    factor-aligned rechunk (added r9 after this net exposed the
+    'build_multiscale handles that' docstring as fiction) — and
+    non-divisible dims (partial edge windows). The whole-array oracle is
+    legitimate layering: the kernel itself is brute-force-checked in
+    test_properties; block-decomposition equality is the distributed
+    invariant under test."""
     from n5_dask_spark.sources.n5.reader import decoded_blocks, read_full
     from n5_dask_spark.sources.n5.transforms import downsample, windowed_mean_zyx
-    from n5_dask_spark.sources.n5.writer import write_array, write_blocks
+    from n5_dask_spark.sources.n5.writer import write_blocks
 
-    dims, _, dtype, codec = _geometry(seed)
+    container, dataset, arr, attrs = _stage(spark, tmp_path, seed, "ds")
     rng = random.Random(seed * 53 + 3)
-    factors = [rng.randint(1, 3) for _ in dims]
-    block = [f * rng.randint(1, 6) for f in factors]
-    arr = _random_array(seed, dims, dtype)
-    container = str(tmp_path / f"ds-{seed}.n5")
-    write_array(spark, arr, container, "vol/s0", block, compression=codec)
-    attrs = read_attributes(container, "vol/s0")
+    factors = [rng.randint(1, 3) for _ in arr.shape]
+    dtype = attrs.data_type
 
     out_blocks, out_attrs = downsample(
-        decoded_blocks(spark, container, "vol/s0"), attrs, factors
+        decoded_blocks(spark, container, dataset), attrs, factors
     )
     out = str(tmp_path / f"ds-out-{seed}.n5")
     write_blocks(out_blocks, out, "vol/s0", out_attrs)
@@ -158,6 +155,7 @@ def test_net_downsample_any_geometry(spark, tmp_path, seed):
     want = want_zyx.transpose(tuple(range(want_zyx.ndim - 1, -1, -1)))
     np.testing.assert_array_equal(got, want)
     assert list(got.shape) == out_attrs.dimensions
+    assert out_attrs.block_size == attrs.block_size  # caller chunking kept
 
 
 @pytest.mark.parametrize("seed", _seeds())
@@ -214,3 +212,73 @@ def test_net_sparse_block_reads_as_fill_any_geometry(spark, tmp_path, seed):
     got = read_full(spark, out, "roi/s0")
     want = expected[tuple(slice(s, e) for s, e in zip(start, end))]
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("seed", _seeds())
+def test_net_multiscale_any_geometry(spark, tmp_path, seed):
+    """build_multiscale on an arbitrary (usually factor-UNALIGNED) block
+    size: every written level equals iterated whole-array windowed means
+    (astype per level, matching the per-level storage truncation), and
+    the loop terminates at the thumbnail cutoff with axis-capped factors
+    honored. Before r9 any non-divisible chunking crashed the pyramid."""
+    from n5_dask_spark.sources.n5.metadata import read_attributes
+    from n5_dask_spark.sources.n5.reader import read_full
+    from n5_dask_spark.sources.n5.transforms import build_multiscale, windowed_mean_zyx
+
+    container, dataset, arr, attrs = _stage(spark, tmp_path, seed, "ms")
+    rng = random.Random(seed * 211 + 13)
+    factors = [rng.randint(1, 3) for _ in arr.shape]
+    factors[rng.randrange(len(factors))] = rng.randint(2, 3)  # must shrink
+    thumb = [rng.randint(2, 8) for _ in arr.shape]
+
+    levels = build_multiscale(
+        spark, container, "vol", tuple(factors), thumbnail_size_xyz=thumb
+    )
+    want_zyx = arr.transpose(tuple(range(arr.ndim - 1, -1, -1))).astype(attrs.data_type)
+    f_zyx = list(reversed(factors))
+    for i, lv in enumerate(levels):
+        if i > 0:
+            want_zyx = windowed_mean_zyx(want_zyx, f_zyx).astype(attrs.data_type)
+        got = read_full(spark, container, f"vol/{lv}")
+        np.testing.assert_array_equal(
+            got.transpose(tuple(range(got.ndim - 1, -1, -1))), want_zyx, err_msg=f"level {lv}"
+        )
+        lv_attrs = read_attributes(container, f"vol/{lv}")
+        assert lv_attrs.block_size == attrs.block_size  # canonical chunking
+    # cutoff honored: the last level is final (every axis small or capped)
+    assert all(
+        d <= t or f <= 1
+        for d, t, f in zip(want_zyx.shape[::-1], thumb, factors)
+    )
+
+
+@pytest.mark.parametrize("seed", _seeds())
+def test_net_write_region_any_geometry(spark, tmp_path, seed):
+    """write_region read-modify-writes a random unaligned region into a
+    dataset with one block sparsified first: fully-covered blocks slice
+    from the region, edge blocks merge stored bytes, and the absent block
+    resolves to fill-value zeros under the merge — numpy assignment onto
+    the hole-zeroed array is the oracle."""
+    from n5_dask_spark.sources.n5.reader import read_full
+    from n5_dask_spark.sources.n5.writer import write_region
+
+    container, dataset, arr, attrs = _stage(spark, tmp_path, seed, "wr")
+    rng = random.Random(seed * 307 + 23)
+    grid = [
+        rng.randrange(0, -(-d // b)) for d, b in zip(attrs.dimensions, attrs.block_size)
+    ]
+    os.remove(os.path.join(container, dataset, *map(str, grid)))
+    expected = arr.copy()
+    expected[
+        tuple(
+            slice(g * b, min((g + 1) * b, d))
+            for g, b, d in zip(grid, attrs.block_size, arr.shape)
+        )
+    ] = 0
+
+    start = [rng.randrange(0, d) for d in arr.shape]
+    end = [rng.randint(s + 1, d) for s, d in zip(start, arr.shape)]
+    region = _random_array(seed + 5000, [e - s for s, e in zip(start, end)], attrs.data_type)
+    write_region(spark, container, dataset, region, start)
+    expected[tuple(slice(s, e) for s, e in zip(start, end))] = region
+    np.testing.assert_array_equal(read_full(spark, container, dataset), expected)
