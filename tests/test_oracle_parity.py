@@ -124,8 +124,11 @@ def _doc_only_query_names():
     return sorted(out)
 
 
-def test_doc_queries_match_oracles_on_random_unicode_corpus(spark, tmp_path):
-    """Regression net for the whole documents family: every doc-only
+def run_unicode_doc_net(spark, tmp_path, seed):
+    """Body of the unicode documents net, seed-parameterized for sweeps;
+    the pytest wrapper below pins seed 5.
+
+    Regression net for the whole documents family: every doc-only
     registered query runs against its OWN registered oracle on a random
     corpus the driver tables don't resemble — unicode suffixes, EMPTY
     texts, exact and near duplicates. This harness is what caught
@@ -142,7 +145,7 @@ def test_doc_queries_match_oracles_on_random_unicode_corpus(spark, tmp_path):
     from n5_dask_spark.registry import load_all
     from tests.oracle_harness import canon_rows
 
-    rng = random.Random(5)
+    rng = random.Random(seed)
     pool_words = [
         "".join(rng.choice(string.ascii_letters) for _ in range(rng.randrange(1, 8)))
         for _ in range(200)
@@ -189,8 +192,15 @@ def test_doc_queries_match_oracles_on_random_unicode_corpus(spark, tmp_path):
     assert not bad, bad
 
 
-def test_event_order_queries_match_oracles_on_tie_dense_data(spark, tmp_path):
-    """Companion net over the events/orders family: random data drawn from
+def test_doc_queries_match_oracles_on_random_unicode_corpus(spark, tmp_path):
+    run_unicode_doc_net(spark, tmp_path, 5)
+
+
+def run_event_tie_dense_net(spark, tmp_path, seed):
+    """Body of the events/orders tie-dense net, seed-parameterized for
+    sweeps; the pytest wrapper below pins seed 11.
+
+    Companion net over the events/orders family: random data drawn from
     tiny value pools (10 timestamps, 3 prices, 3 values) so every ranking,
     window frame and session boundary is packed with TIES. This puts the
     registry's 'all rankings carry a total-order tiebreaker' discipline
@@ -218,7 +228,7 @@ def test_event_order_queries_match_oracles_on_tie_dense_data(spark, tmp_path):
         and n != "join_asof"  # has its own randomized fuzz above
     )
     assert len(names) >= 12
-    rng = random.Random(11)
+    rng = random.Random(seed)
     pool = [datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=6 * k) for k in range(10)]
     events = pd.DataFrame(
         {
@@ -256,6 +266,10 @@ def test_event_order_queries_match_oracles_on_tie_dense_data(spark, tmp_path):
         if sc != dc or sr != dr:
             bad.append(n)
     assert not bad, bad
+
+
+def test_event_order_queries_match_oracles_on_tie_dense_data(spark, tmp_path):
+    run_event_tie_dense_net(spark, tmp_path, 11)
 
 
 def run_tpch_minidb_net(spark, base_dir, seed):
@@ -390,8 +404,11 @@ def test_tpch_family_matches_oracles_on_tie_dense_minidb(spark, tmp_path):
     assert run_tpch_minidb_net(spark, str(tmp_path), 23) == []
 
 
-def test_embedding_queries_match_oracles_on_adversarial_vectors(spark, tmp_path):
-    """Fourth net: the embeddings family on 16-dim random vectors (the
+def run_embedding_adversarial_net(spark, tmp_path, seed):
+    """Body of the adversarial-embeddings net, seed-parameterized for
+    sweeps; the pytest wrapper below pins seed 7.
+
+    Fourth net: the embeddings family on 16-dim random vectors (the
     driver's are 64-dim — this alone caught array_funcs' hard-coded
     element_at(embedding, 64), an ANSI ArrayIndexOutOfBounds on any other
     width) with a planted ZERO vector (the cosine = 0.0 convention
@@ -422,7 +439,7 @@ def test_embedding_queries_match_oracles_on_adversarial_vectors(spark, tmp_path)
     )
     assert "knn_bruteforce_cosine" in names and "array_funcs" in names
 
-    rng = np.random.default_rng(7)
+    rng = np.random.default_rng(seed)
     n_vec, dim = 120, 16
     emb = (rng.random((n_vec, dim), dtype=np.float32) * 2 - 1).astype(np.float32)
     emb[5] = 0.0
@@ -494,6 +511,10 @@ def test_embedding_queries_match_oracles_on_adversarial_vectors(spark, tmp_path)
     # short vector must not kill the job (ranking on malformed pairs stays
     # out of contract — pair cosine needs uniform width on both engines).
     reg["knn_ivf_probe"].fn(spark, str(tmp_path / "short")).collect()
+
+
+def test_embedding_queries_match_oracles_on_adversarial_vectors(spark, tmp_path):
+    run_embedding_adversarial_net(spark, tmp_path, 7)
 
 
 def test_ansi_division_conventions_on_degenerate_data(spark, tmp_path):
