@@ -282,3 +282,38 @@ def test_net_write_region_any_geometry(spark, tmp_path, seed):
     write_region(spark, container, dataset, region, start)
     expected[tuple(slice(s, e) for s, e in zip(start, end))] = region
     np.testing.assert_array_equal(read_full(spark, container, dataset), expected)
+
+
+@pytest.mark.parametrize("seed", _seeds())
+def test_net_tiff_series_roundtrip_any_geometry(spark, tmp_path, seed):
+    """TIFF family on random geometry (the fixture tests pin one shape):
+    a z-slice series imports through tif_series_to_n5 (decode -> rechunk
+    shuffle -> N5 write) to the exact source array, and n5_to_tif_series
+    exports it back to per-slice TIFFs byte-equal to the source slices —
+    numpy + the vector-tested 2-D codec as the oracle on both ends."""
+    from n5_dask_spark.sources.n5.reader import read_full
+    from n5_dask_spark.sources.tiff import n5_to_tif_series, read_tiff, tif_series_to_n5, write_tiff
+
+    rng = random.Random(seed * 409 + 29)
+    dims = [rng.randint(1, 40), rng.randint(1, 40), rng.randint(1, 10)]  # x, y, z
+    block = [rng.randint(1, 17) for _ in range(3)]
+    dtype = ["uint8", "uint16", "int32", "float32", "float64"][seed % 5]
+    codec = CODECS[seed % len(CODECS)]
+    arr = _random_array(seed + 900, dims, dtype)
+
+    src = tmp_path / f"tif-src-{seed}"
+    src.mkdir()
+    for z in range(dims[2]):
+        write_tiff(str(src / f"s{z:05d}.tif"), arr[:, :, z].T)  # (Y, X) slice
+
+    container = str(tmp_path / f"tif-{seed}.n5")
+    attrs = tif_series_to_n5(spark, str(src), container, "vol/s0", block, compression=codec)
+    assert attrs.dimensions == dims and attrs.block_size == block
+    np.testing.assert_array_equal(read_full(spark, container, "vol/s0"), arr)
+
+    out = tmp_path / f"tif-out-{seed}"
+    n = n5_to_tif_series(spark, container, "vol/s0", str(out))
+    assert n == dims[2]
+    for z in range(dims[2]):
+        got = read_tiff(str(out / f"slice{z:05d}.tif"))
+        np.testing.assert_array_equal(got, arr[:, :, z].T, err_msg=f"slice {z}")
