@@ -317,3 +317,47 @@ def test_net_tiff_series_roundtrip_any_geometry(spark, tmp_path, seed):
     for z in range(dims[2]):
         got = read_tiff(str(out / f"slice{z:05d}.tif"))
         np.testing.assert_array_equal(got, arr[:, :, z].T, err_msg=f"slice {z}")
+
+
+@pytest.mark.parametrize("seed", _seeds())
+def test_net_ome_multichannel_any_geometry(spark, tmp_path, seed):
+    """OME family on random geometry: a multichannel multi-page TIFF with
+    embedded OME-XML (random SizeC/SizeZ/dims/dtype and BOTH page
+    orders) splits into per-channel N5 volumes equal to the numpy
+    source channels, with the page->(c,z) assignment derived from the
+    XML's DimensionOrder."""
+    from n5_dask_spark.sources.n5.reader import read_full
+    from n5_dask_spark.sources.ome import ome_tif_to_n5
+    from n5_dask_spark.sources.tiff import encode_tiff_pages
+
+    rng = random.Random(seed * 521 + 31)
+    n_c, n_z = rng.randint(1, 4), rng.randint(1, 6)
+    dims = [rng.randint(1, 30), rng.randint(1, 30), n_z]  # x, y, z
+    block = [rng.randint(1, 13) for _ in range(3)]
+    dtype = ["uint8", "uint16", "int32", "float32", "float64"][seed % 5]
+    codec = CODECS[seed % len(CODECS)]
+    order = ["XYCZT", "XYZCT"][seed % 2]  # zc / cz page assignment
+    channels = [_random_array(seed * 7 + c, dims, dtype) for c in range(n_c)]
+
+    if order == "XYCZT":  # C fastest: page p -> (c = p % C, z = p // C)
+        pages = [channels[p % n_c][:, :, p // n_c].T for p in range(n_c * n_z)]
+    else:  # z fastest: page p -> (c = p // Z, z = p % Z)
+        pages = [channels[p // n_z][:, :, p % n_z].T for p in range(n_c * n_z)]
+    xml = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<OME xmlns="http://www.openmicroscopy.org/Schemas/OME/2016-06">'
+        '<Image ID="Image:0"><Pixels ID="Pixels:0" '
+        f'DimensionOrder="{order}" SizeX="{dims[0]}" SizeY="{dims[1]}" '
+        f'SizeC="{n_c}" SizeZ="{n_z}" SizeT="1"/></Image></OME>'
+    )
+    path = str(tmp_path / f"ome-{seed}.tif")
+    with open(path, "wb") as f:
+        f.write(encode_tiff_pages(pages, description=xml))
+
+    container = str(tmp_path / f"ome-{seed}.n5")
+    attrs = ome_tif_to_n5(spark, path, container, "vol", block, compression=codec)
+    assert len(attrs) == n_c
+    for c in range(n_c):
+        got = read_full(spark, container, f"vol/c{c}/s0")
+        np.testing.assert_array_equal(got, channels[c], err_msg=f"channel {c}")
+        assert attrs[c].dimensions == dims and attrs[c].block_size == block
