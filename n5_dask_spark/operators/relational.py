@@ -538,10 +538,19 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(EXTRACT(month FROM o_orderdate) AS INT) AS order_month,
            CAST(EXTRACT(dow FROM o_orderdate) AS INT) AS order_dow,
            CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
-           o_orderdate + INTERVAL 90 DAY AS due_date
+           CAST(o_orderdate AS TIMESTAMP) + INTERVAL 90 DAY AS due_date
     FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey
     """,
-    doc="Date/time functions: extract, date_trunc, interval arithmetic.",
+    doc=(
+        "Date/time functions: extract, date_trunc, interval arithmetic. "
+        "due_date is cast to TIMESTAMP on BOTH engines before the interval "
+        "add: on a DATE-typed column Spark's date + INTERVAL stays DATE "
+        "while DuckDB's promotes to TIMESTAMP (type-tagged hash flip) — "
+        "the driver corpus stores o_orderdate as timestamp[us] so the old "
+        "form was green only by corpus luck (r9 extreme-date probe). "
+        "Values agree on any proleptic-Gregorian date incl. year 1 and "
+        "the 1582 cutover week (probe-pinned in test_oracle_parity)."
+    ),
 )
 def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("orders",))
@@ -555,7 +564,9 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.month("o_orderdate").cast("int").alias("order_month"),
             (F.dayofweek("o_orderdate") - 1).cast("int").alias("order_dow"),
             F.date_trunc("month", "o_orderdate").cast("timestamp_ntz").alias("month_start"),
-            (F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")).alias("due_date"),
+            (F.col("o_orderdate").cast("timestamp_ntz") + F.expr("INTERVAL 90 DAY")).alias(
+                "due_date"
+            ),
         )
         .orderBy("o_orderkey")
     )

@@ -80,6 +80,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # fillers. After r9 no query's last green predates round 6.
     # (a) changed in r9
     "n5_roundtrip_zprofile",  # canonical glob-scan write->scan->profile
+    "scalar_date_funcs",  # due_date type-stabilized (TIMESTAMP both engines)
     # (b) the 28 round-5-stale greens
     "agg_distinct",
     "agg_rollup",
@@ -132,7 +133,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "streaming_stateful_running_totals",
     "streaming_stream_stream_join",
     "text_langid",
-    "text_tfidf_top_terms",
 )
 
 def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkFn], SparkFn]:

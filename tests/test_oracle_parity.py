@@ -702,3 +702,50 @@ def run_multimodal_ascii_net(spark, tmp_path, seed):
 
 def test_multimodal_queries_match_oracles_on_degenerate_ascii_corpus(spark, tmp_path):
     run_multimodal_ascii_net(spark, tmp_path, 29)
+
+
+def test_date_funcs_match_oracle_on_extreme_dates_and_date_typed_column(spark, tmp_path):
+    """Extreme-date probe (r9): scalar_date_funcs vs its oracle on a
+    DATE-typed o_orderdate column (the driver corpus stores timestamp[us],
+    so this exercises the type lane the corpus never does) spanning year
+    1, the 1582 Julian->Gregorian cutover week (both engines are
+    proleptic — the skipped days exist), leap days, and 9999. The probe
+    found due_date's type divergence: on DATE input Spark's
+    date + INTERVAL stays DATE while DuckDB promotes to TIMESTAMP — both
+    sides now cast to TIMESTAMP first."""
+    import datetime
+    import os
+
+    import duckdb
+    import pandas as pd
+
+    from n5_dask_spark.registry import load_all
+    from tests.oracle_harness import canon_rows
+
+    dates = [
+        datetime.date(1, 1, 1), datetime.date(1, 12, 31),
+        datetime.date(1582, 10, 4), datetime.date(1582, 10, 15),
+        datetime.date(1752, 9, 2), datetime.date(1899, 12, 31),
+        datetime.date(1900, 2, 28), datetime.date(1970, 1, 1),
+        datetime.date(2000, 2, 29), datetime.date(2024, 12, 31),
+        datetime.date(9999, 9, 30),  # +90d stays inside the calendar
+    ]
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": range(1, len(dates) + 1),
+            "o_orderdate": dates,  # pandas date objects -> parquet DATE
+            "o_custkey": [1] * len(dates),
+            "o_totalprice": [1.0] * len(dates),
+        }
+    )
+    path = os.path.join(str(tmp_path), "orders.parquet")
+    orders.to_parquet(path)
+    q = load_all()["scalar_date_funcs"]
+    sdf = q.fn(spark, str(tmp_path))
+    sc, sr = canon_rows(list(sdf.columns), [tuple(r) for r in sdf.collect()])
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{path}'")
+    cur = con.execute(q.oracle)
+    dc, dr = canon_rows([x[0] for x in cur.description], [tuple(r) for r in cur.fetchall()])
+    con.close()
+    assert sc == dc and sr == dr
