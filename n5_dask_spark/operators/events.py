@@ -22,14 +22,24 @@ from n5_dask_spark.registry import register
 @register(
     "events_json_extract",
     oracle="""
-    -- sign class + NULLIF: Spark's from_json yields -5 for {"k": -5} and
-    -- NULL for a missing key; a sign-less regexp would drop the minus and
-    -- CAST('' AS INT) would error instead of NULL
+    -- real JSON semantics, not a substring regexp (r9 probe): the old
+    -- regexp oracle matched "k" tokens inside NESTED objects/arrays and
+    -- truncated floats ('1.5' -> 1) where Spark's typed from_json yields
+    -- NULL, and CAST would error on bigint overflow. json_valid guards
+    -- malformed/empty props; the integer-token regexp keeps DuckDB's
+    -- TRY_CAST from rounding floats ('1.5' -> 2) or accepting '1e2';
+    -- TRY_CAST nulls int32 overflow exactly like from_json's k INT.
+    -- Out of contract: duplicate keys ({"k":1,"k":2}) — Jackson takes the
+    -- last, yyjson the first; JSON leaves it undefined.
     SELECT event_id, event_type,
-           CAST(NULLIF(REGEXP_EXTRACT(props, '"k":\\s*(-?[0-9]+)', 1), '') AS INT) AS k_val
+           CASE WHEN json_valid(props)
+                 AND regexp_matches(CAST(json_extract(props, '$.k') AS VARCHAR),
+                                    '^-?[0-9]+$')
+                THEN TRY_CAST(CAST(json_extract(props, '$.k') AS VARCHAR) AS INT)
+           END AS k_val
     FROM events WHERE event_id < 500 ORDER BY event_id
     """,
-    doc="JSON field extraction: Spark from_json (typed struct) vs oracle regexp.",
+    doc="JSON field extraction: Spark from_json (typed struct) vs oracle JSON path.",
 )
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("events",))

@@ -749,3 +749,53 @@ def test_date_funcs_match_oracle_on_extreme_dates_and_date_typed_column(spark, t
     dc, dr = canon_rows([x[0] for x in cur.description], [tuple(r) for r in cur.fetchall()])
     con.close()
     assert sc == dc and sr == dr
+
+
+def test_json_extract_matches_oracle_on_adversarial_props(spark, tmp_path):
+    """Adversarial-JSON probe (r9): events_json_extract vs its oracle on
+    props the driver corpus and nets never produce — floats, scientific
+    notation, string-typed numbers, nested objects, array roots, int32
+    and bigint overflow, -0, leading zeros (invalid JSON), unquoted keys,
+    empty and non-JSON strings. The probe found the old regexp oracle
+    matching nested "k" tokens and truncating floats where Spark's typed
+    from_json yields NULL; the oracle now uses real JSON-path semantics
+    with an integer-token guard. Duplicate keys stay out of contract
+    (Jackson last-wins vs yyjson first-wins; JSON leaves it undefined)."""
+    import os
+
+    import duckdb
+    import pandas as pd
+
+    from n5_dask_spark.registry import load_all
+    from tests.oracle_harness import canon_rows
+
+    props = [
+        '{"k": 5}', '{"k":-5}', '{"k": 0}', '{"k": -0}', '{"k": 1.5}',
+        '{"k": "12"}', '{"k": null}', '{"k": true}', '{"k": 1e2}',
+        '{"k": 007}', '{"k": 2147483648}', '{"k": -2147483648}',
+        '{"k": 99999999999999999999}', '{"j": {"k": 7}}', '[{"k": 1}]',
+        '{"kk": 3}', '{k: 5}', '', 'not json', '{"k": []}',
+        '{"a": 1, "k": 42}', '{"k": 5, "a": 1}', '   {"k": 9}   ',
+    ]
+    events = pd.DataFrame(
+        {
+            "event_id": range(len(props)),
+            "ts": pd.to_datetime(["2024-03-01"] * len(props)).astype("datetime64[us]"),
+            "user_id": [1] * len(props),
+            "event_type": ["view"] * len(props),
+            "value": [1.0] * len(props),
+            "props": props,
+        }
+    )
+    events.to_parquet(os.path.join(str(tmp_path), "events.parquet"))
+    q = load_all()["events_json_extract"]
+    sdf = q.fn(spark, str(tmp_path))
+    sc, sr = canon_rows(list(sdf.columns), [tuple(r) for r in sdf.collect()])
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{os.path.join(str(tmp_path), 'events.parquet')}'"
+    )
+    cur = con.execute(q.oracle)
+    dc, dr = canon_rows([x[0] for x in cur.description], [tuple(r) for r in cur.fetchall()])
+    con.close()
+    assert sc == dc and sr == dr
