@@ -46,10 +46,32 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     writer = docs.write.mode("overwrite").format(fmt)
     reader = spark.read.format(fmt)
     if fmt == "csv":
-        writer = writer.option("header", "true")
+        # Total-escaping CSV contract (r9 hostile-lang probe found all
+        # three): (a) Spark's CSV WRITER trims leading/trailing whitespace
+        # by default — turn it off both ways; (b) an empty string reads
+        # back as NULL unless a distinct nullValue sentinel frees '' to
+        # mean itself; (c) embedded newlines are quoted on write but need
+        # multiLine on read. multiLine makes each FILE unsplittable — at
+        # scale parallelism comes from the many per-task files, not
+        # intra-file splits, so the plan shape survives. Documented
+        # boundary (probe-pinned): a LITERAL string equal to the \\N
+        # sentinel still reads back as NULL — Spark matches nullValue
+        # after unquoting, so no quoting convention protects it; this is
+        # the standard Hive/MySQL-export CSV limitation.
+        csv_opts = {
+            "header": "true",
+            "nullValue": "\\N",
+            "ignoreLeadingWhiteSpace": "false",
+            "ignoreTrailingWhiteSpace": "false",
+        }
+        writer = writer.options(**csv_opts)
         # explicit schema: a CSV roundtrip that silently infers LongType as
         # string would still count rows right but corrupt the sums
-        reader = reader.option("header", "true").schema("doc_id long, lang string, n_chars long")
+        reader = (
+            reader.options(**csv_opts)
+            .option("multiLine", "true")
+            .schema("doc_id long, lang string, n_chars long")
+        )
     elif fmt == "json":
         reader = reader.schema("doc_id long, lang string, n_chars long")
     writer.save(path)

@@ -81,6 +81,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (a) changed in r9
     "n5_roundtrip_zprofile",  # canonical glob-scan write->scan->profile
     "scalar_date_funcs",  # due_date type-stabilized (TIMESTAMP both engines)
+    "formats_csv_roundtrip",  # total-escaping CSV option contract (r9)
     # (b) the 28 round-5-stale greens
     "agg_distinct",
     "agg_rollup",
@@ -124,7 +125,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "n5_region_read",
     "n5_roundtrip_blosc",
     "n5_roundtrip_blosc_zstd",
-    "agg_corr_covar",
     "join_salted",
     "join_sort_merge_largelarge",
     "formats_orc_roundtrip",

@@ -799,3 +799,57 @@ def test_json_extract_matches_oracle_on_adversarial_props(spark, tmp_path):
     dc, dr = canon_rows([x[0] for x in cur.description], [tuple(r) for r in cur.fetchall()])
     con.close()
     assert sc == dc and sr == dr
+
+
+def test_csv_roundtrip_matches_oracle_on_hostile_strings(spark, tmp_path):
+    """Hostile-string probe (r9): the format roundtrips vs their oracle on
+    lang values the doc net never draws — empty string, embedded
+    comma/quote/newline, leading/trailing whitespace, tabs, unicode, and
+    the literal string 'NULL'. The probe found THREE real CSV lanes:
+    Spark's CSV writer trims whitespace by default, '' read back as NULL,
+    and embedded newlines split records without multiLine — all fixed via
+    the roundtrip's explicit option contract. The one documented residual
+    (pinned below): a literal \\N — the nullValue sentinel — still maps
+    to NULL on read; Spark matches nullValue after unquoting, so no
+    quoting convention can protect it (the Hive/MySQL-export limitation)."""
+    import os
+
+    import duckdb
+    import pandas as pd
+
+    from n5_dask_spark.registry import load_all
+    from tests.oracle_harness import canon_rows
+
+    langs = [
+        "en", "", "with,comma", 'with"quote', "with\nnewline", "uñicode",
+        "  padded  ", "x" * 30, "NULL", "\t tab",
+    ]
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(len(langs) * 3),
+            "text": ["t"] * len(langs) * 3,
+            "lang": langs * 3,
+            "source": ["web"] * len(langs) * 3,
+        }
+    )
+    docs["n_chars"] = docs["text"].str.len().astype("int64")
+    path = os.path.join(str(tmp_path), "documents.parquet")
+    docs.to_parquet(path)
+    reg = load_all()
+    for name in ("formats_csv_roundtrip", "formats_json_roundtrip", "formats_orc_roundtrip"):
+        q = reg[name]
+        sdf = q.fn(spark, str(tmp_path))
+        sc, sr = canon_rows(list(sdf.columns), [tuple(r) for r in sdf.collect()])
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+        cur = con.execute(q.oracle)
+        dc, dr = canon_rows([x[0] for x in cur.description], [tuple(r) for r in cur.fetchall()])
+        con.close()
+        assert (sc, sr) == (dc, dr), name
+
+    # the documented sentinel boundary: literal \N reads back as NULL
+    docs2 = docs.copy()
+    docs2["lang"] = ["\\N"] * len(docs2)
+    docs2.to_parquet(path)
+    rows = reg["formats_csv_roundtrip"].fn(spark, str(tmp_path)).collect()
+    assert len(rows) == 1 and rows[0]["lang"] is None
