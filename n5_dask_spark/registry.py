@@ -38,6 +38,21 @@ Determinism discipline (so value-hashes match the oracle EXACTLY):
   (fully portable); upper()/levenshtein() agree only on ASCII inputs
   (Java vs utf8proc case mapping; codepoints vs bytes) — fine for the
   ASCII driver tables, documented per query where used.
+- DATE + INTERVAL type promotion (r9 probe): Spark keeps DATE, DuckDB
+  promotes to TIMESTAMP — any interval sum SURFACED as an output column
+  must cast to TIMESTAMP on both engines first (values agree on every
+  proleptic-Gregorian date, year 1 through 9999, cutover week included;
+  pinned in test_oracle_parity). Interval sums inside comparisons are
+  unaffected (coercion keeps the predicate equal).
+- JSON duplicate keys are OUT OF CONTRACT: Jackson (Spark from_json)
+  takes the last occurrence, yyjson (DuckDB) the first; RFC 8259 leaves
+  it undefined. Every other adversarial-JSON lane (nested, array root,
+  floats, overflow, malformed) is engine-matched via the guarded
+  json_extract oracle (events.py) and probe-pinned.
+- CSV sentinel boundary: the total-escaping CSV roundtrip contract
+  (formats.py) survives every string except a literal \\N — Spark
+  matches nullValue after unquoting, so the sentinel itself reads back
+  as NULL (the Hive/MySQL-export limitation; probe-pinned).
 """
 
 from __future__ import annotations
