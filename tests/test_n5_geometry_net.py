@@ -361,3 +361,51 @@ def test_net_ome_multichannel_any_geometry(spark, tmp_path, seed):
         got = read_full(spark, container, f"vol/c{c}/s0")
         np.testing.assert_array_equal(got, channels[c], err_msg=f"channel {c}")
         assert attrs[c].dimensions == dims and attrs[c].block_size == block
+
+
+@pytest.mark.parametrize("seed", _seeds())
+def test_net_datasource_read_write_any_geometry(spark, tmp_path, seed):
+    """The Spark 4 Python DataSource lane on random geometry: reading the
+    staged container through format('n5') yields blocks that reassemble
+    to the exact source array (one InputPartition per block, decode
+    inside the source), and writing those blocks through
+    df.write.format('n5') into a template-created dataset roundtrips
+    byte-identically — 1-D/2-D grids ride the same padded-coordinate
+    schema as 3-D."""
+    from n5_dask_spark.sources.n5.datasource import register_n5_source
+    from n5_dask_spark.sources.n5.metadata import read_attributes
+    from n5_dask_spark.sources.n5.reader import read_full
+    from n5_dask_spark.sources.n5.writer import create_from_template
+
+    container, dataset, arr, attrs = _stage(spark, tmp_path, seed, "dsrc")
+    register_n5_source(spark)
+    blocks = (
+        spark.read.format("n5").option("path", container).option("dataset", dataset).load()
+    )
+    got = np.zeros(tuple(reversed(arr.shape)), dtype=arr.dtype)  # zyx
+    n_rows = 0
+    for r in blocks.collect():
+        n_rows += 1
+        grid = (r["gx"], r["gy"], r["gz"])[: attrs.ndim]
+        block = np.frombuffer(bytes(r["data"]), dtype=arr.dtype).reshape(list(r["shape_zyx"]))
+        sel = tuple(
+            slice(g * b, g * b + s)
+            for g, b, s in zip(reversed(grid), reversed(attrs.block_size), block.shape)
+        )
+        got[sel] = block
+    assert n_rows == len(
+        [1 for _ in np.ndindex(*[-(-d // b) for d, b in zip(arr.shape, attrs.block_size)])]
+    )
+    np.testing.assert_array_equal(got.transpose(tuple(range(got.ndim - 1, -1, -1))), arr)
+
+    out_ds = "vol/dscopy"
+    create_from_template(container, dataset, container, out_ds, compression="gzip")
+    (
+        blocks.write.format("n5")
+        .option("path", container)
+        .option("dataset", out_ds)
+        .mode("append")
+        .save()
+    )
+    np.testing.assert_array_equal(read_full(spark, container, out_ds), arr)
+    assert read_attributes(container, out_ds).compression["type"] == "gzip"
