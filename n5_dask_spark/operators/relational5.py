@@ -60,7 +60,7 @@ def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(ROUND(v, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_val,
            ROUND(MIN(v), 6) AS min_val,
            ROUND(MAX(v), 6) AS max_val
-    FROM ex GROUP BY dim ORDER BY dim
+    FROM ex WHERE isfinite(v) GROUP BY dim ORDER BY dim
     """,
     doc=(
         "Per-dimension corpus statistics over the embedding column "
@@ -68,15 +68,23 @@ def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pipeline runs per batch. Elements rounded to 6dp then summed as "
         "exact decimals (float32 -> double promotion is exact; the "
         "order-independent decimal sum keeps both engines bit-identical); "
-        "mean = exact sum / count in double."
+        "mean = exact sum / count in double. Stats run over FINITE "
+        "elements only (r9 probe: a single NaN element crashed DuckDB's "
+        "decimal cast while Spark kept aggregating — the finite filter is "
+        "the engine-agreed convention for malformed embedder output; "
+        "n_vecs counts finite contributions per dim)."
     ),
 )
 def embedding_dimension_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("embeddings",))
     emb = widen(t["embeddings"])
-    exploded = emb.select(F.posexplode("embedding").alias("pos", "v")).select(
-        (F.col("pos") + 1).cast("int").alias("dim"),  # WITH ORDINALITY is 1-based
-        F.col("v").cast("double").alias("v"),
+    exploded = (
+        emb.select(F.posexplode("embedding").alias("pos", "v"))
+        .select(
+            (F.col("pos") + 1).cast("int").alias("dim"),  # WITH ORDINALITY is 1-based
+            F.col("v").cast("double").alias("v"),
+        )
+        .filter("NOT isnan(v) AND abs(v) <> CAST('Infinity' AS DOUBLE)")
     )
     return (
         exploded.groupBy("dim")

@@ -97,6 +97,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "n5_roundtrip_zprofile",  # canonical glob-scan write->scan->profile
     "scalar_date_funcs",  # due_date type-stabilized (TIMESTAMP both engines)
     "formats_csv_roundtrip",  # total-escaping CSV option contract (r9)
+    "embedding_quantize_int8",  # malformed-vector guard (NaN probe, r9)
+    "embedding_dimension_stats",  # finite-elements convention (r9)
     # (b) the 28 round-5-stale greens
     "agg_distinct",
     "agg_rollup",
@@ -141,10 +143,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "n5_roundtrip_blosc",
     "n5_roundtrip_blosc_zstd",
     "join_salted",
-    "join_sort_merge_largelarge",
     "formats_orc_roundtrip",
     "multimodal_png_decode",
-    "multimodal_frame_sample",
     "streaming_stateful_running_totals",
     "streaming_stream_stream_join",
     "text_langid",

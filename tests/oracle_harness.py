@@ -63,7 +63,10 @@ def canon_rows(cols: list[str], rows: list[tuple]) -> tuple[list[str], list[tupl
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     sorted_cols = [cols[i] for i in order]
     out = [tuple(_canon_cell(r[i]) for i in order) for r in rows]
-    out.sort(key=lambda r: tuple((x is None, str(type(x)), x if x is not None else 0) for x in r))
+    # repr-based tiebreak: any DETERMINISTIC total order preserves
+    # multiset equality, and mixed cells (the "NaN" string inside an
+    # ("f", ...) tag) must not TypeError the sort — r9 NaN probes hit that
+    out.sort(key=lambda r: tuple((x is None, str(type(x)), repr(x)) for x in r))
     return sorted_cols, out
 
 

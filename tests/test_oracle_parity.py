@@ -853,3 +853,57 @@ def test_csv_roundtrip_matches_oracle_on_hostile_strings(spark, tmp_path):
     docs2.to_parquet(path)
     rows = reg["formats_csv_roundtrip"].fn(spark, str(tmp_path)).collect()
     assert len(rows) == 1 and rows[0]["lang"] is None
+
+
+def test_embedding_stats_match_oracles_on_nonfinite_vectors(spark, tmp_path):
+    """Non-finite-embedding probe (r9): NaN/Inf elements and empty vectors
+    — legal-at-scale embedder failures — through the two single-vector
+    statistics queries. The probe found embedding_quantize_int8
+    ANSI-killing the whole job on one NaN row (bare CAST(NaN AS INT), on
+    BOTH engines) and empty vectors diverging (Spark aggregate seed 0 vs
+    DuckDB list_sum NULL); malformed vectors now keep their row with NULL
+    stats. embedding_dimension_stats crashed DuckDB's decimal cast on
+    NaN; stats now run over finite elements only on both engines. The
+    PAIR-cosine queries (knn_*, near-dup) keep non-finite vectors out of
+    contract like ragged ones — pair ranking with NaN has no portable
+    order."""
+    import os
+
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from n5_dask_spark.registry import load_all
+    from tests.oracle_harness import canon_rows
+
+    rng = np.random.default_rng(3)
+    emb_rows = [list(map(float, (rng.random(8) * 2 - 1).astype(np.float32))) for _ in range(40)]
+    emb_rows[3][2] = float("nan")
+    emb_rows[7][0] = float("inf")
+    emb_rows[11][5] = float("-inf")
+    emb_rows[15] = []
+    emb_rows[19] = [float("nan")] * 8
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(emb_rows)), pa.int64()),
+            "embedding": pa.array(emb_rows, pa.list_(pa.float32())),
+            "label": pa.array([i % 7 for i in range(len(emb_rows))], pa.int32()),
+        }
+    )
+    path = os.path.join(str(tmp_path), "embeddings.parquet")
+    pq.write_table(tbl, path)
+    reg = load_all()
+    for name in ("embedding_quantize_int8", "embedding_dimension_stats"):
+        q = reg[name]
+        sdf = q.fn(spark, str(tmp_path))
+        sc, sr = canon_rows(list(sdf.columns), [tuple(r) for r in sdf.collect()])
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{path}'")
+        cur = con.execute(q.oracle)
+        dc, dr = canon_rows([x[0] for x in cur.description], [tuple(r) for r in cur.fetchall()])
+        con.close()
+        assert (sc, sr) == (dc, dr), name
+        # malformed rows kept, stats NULLed (not dropped, not a crash)
+        if name == "embedding_quantize_int8":
+            assert len(sr) == 40 and any(None in r for r in sr)
