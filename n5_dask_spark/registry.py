@@ -53,6 +53,14 @@ Determinism discipline (so value-hashes match the oracle EXACTLY):
   (formats.py) survives every string except a literal \\N — Spark
   matches nullValue after unquoting, so the sentinel itself reads back
   as NULL (the Hive/MySQL-export limitation; probe-pinned).
+- Decimal-exact aggregation data contract (r9 probe, pinned in
+  test_oracle_parity): columns summed via the dsum/davg pattern (money,
+  event values) must be FINITE. On NaN/Inf, Spark's CAST(x AS DECIMAL)
+  yields NULL (the row silently drops out of the sum) while DuckDB's
+  refuses loudly — an asymmetric lane kept OUT OF CONTRACT rather than
+  guarded in ~30 oracle strings; the embeddings family, where non-finite
+  input is actually plausible (embedder failures), carries real finite
+  guards (embeddings.py, relational5.py).
 """
 
 from __future__ import annotations

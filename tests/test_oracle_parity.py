@@ -907,3 +907,27 @@ def test_embedding_stats_match_oracles_on_nonfinite_vectors(spark, tmp_path):
         # malformed rows kept, stats NULLed (not dropped, not a crash)
         if name == "embedding_quantize_int8":
             assert len(sr) == 40 and any(None in r for r in sr)
+
+
+def test_dsum_nonfinite_boundary_is_characterized(spark):
+    """Pins the r9-probed dsum asymmetry the registry notes document:
+    CAST(NaN AS DECIMAL) is NULL on Spark (the row silently leaves the
+    sum) but an error on DuckDB — so decimal-exact aggregated columns
+    (money, event values) are contractually finite. If either engine
+    changes this behavior, this test flips and the contract note must be
+    revisited."""
+    import duckdb
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1.0,), (float("nan",),)], "v double")
+    got = df.agg(
+        F.expr("CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)").alias("s")
+    ).collect()[0]["s"]
+    assert got == 1.0  # Spark: NaN -> NULL decimal -> skipped by SUM
+    with pytest.raises(duckdb.Error):
+        duckdb.sql(
+            "SELECT CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)"
+            " FROM (VALUES (1.0), (CAST('nan' AS DOUBLE))) t(v)"
+        ).fetchone()
