@@ -931,3 +931,42 @@ def test_dsum_nonfinite_boundary_is_characterized(spark):
             "SELECT CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)"
             " FROM (VALUES (1.0), (CAST('nan' AS DOUBLE))) t(v)"
         ).fetchone()
+
+
+def test_partitioned_pruning_matches_oracle_on_hostile_partition_values(spark, tmp_path):
+    """Hostile partition-value probe (r9, clean): o_orderpriority values
+    containing '/', '=', spaces, unicode and '%' go through
+    partitionBy's Hive-style directory escaping and read back exactly —
+    the escaped-path decode agrees with the parquet oracle, and the
+    pruned filter still selects the right two partitions."""
+    import os
+
+    import duckdb
+    import pandas as pd
+
+    from n5_dask_spark.registry import load_all
+    from tests.oracle_harness import canon_rows
+
+    pris = ["1-URGENT", "2-HIGH", "3/SLASH", "4=EQ", "5 SP ACE", "6-üni", "7:colon", "8%pct"]
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": range(len(pris) * 5),
+            "o_totalprice": [100.5] * len(pris) * 5,
+            "o_orderpriority": pris * 5,
+            "o_custkey": [1] * len(pris) * 5,
+            "o_orderdate": pd.to_datetime(["2024-01-01"] * len(pris) * 5).astype(
+                "datetime64[us]"
+            ),
+        }
+    )
+    path = os.path.join(str(tmp_path), "orders.parquet")
+    orders.to_parquet(path)
+    q = load_all()["formats_partitioned_pruning"]
+    sdf = q.fn(spark, str(tmp_path))
+    sc, sr = canon_rows(list(sdf.columns), [tuple(r) for r in sdf.collect()])
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{path}'")
+    cur = con.execute(q.oracle)
+    dc, dr = canon_rows([x[0] for x in cur.description], [tuple(r) for r in cur.fetchall()])
+    con.close()
+    assert (sc, sr) == (dc, dr)
