@@ -31,6 +31,15 @@ from pyspark.sql import functions as F
 
 from n5_dask_spark.session import get_spark
 
+# Streaming-leg event-time base: 2024-01-01T00:00Z (hour-aligned, so window
+# counts are unchanged vs an epoch base). NOT epoch 0: a 40M run caught
+# Spark's stream-stream join dropping a row whose event time was EXACTLY
+# the epoch — the range-bounded side's state watermark (wm - 1h) clamps
+# negative to 0 and the late-input filter then classes ts=0 as late
+# (single-batch minimal repro; off-epoch control keeps the row). Real
+# telemetry never sits at the epoch; the generator shouldn't either.
+_TS_BASE = 1_704_067_200
+
 
 def main(rows: int = 20_000_000) -> None:
     spark = get_spark("n5ds-stress")  # get_spark owns the SPARK_GRAFT_CPUS policy
@@ -479,7 +488,7 @@ def streaming_state_stress(spark, base: str, rows: int) -> dict[str, float]:
             .select(
                 F.col("id").alias("event_id"),
                 F.timestamp_seconds(
-                    F.lit(k * hours_per_slice * 3600)
+                    F.lit(_TS_BASE + k * hours_per_slice * 3600)
                     + F.pmod(F.xxhash64("id"), F.lit(hours_per_slice * 3600))
                 ).alias("ts"),
             )
@@ -582,7 +591,7 @@ def streaming_join_state_stress(spark, base: str, rows: int) -> dict[str, float]
                 ((F.col("id") / 2).cast("long") % 100_000).alias("user_id"),
                 F.when(F.col("id") % 2 == 0, "purchase").otherwise("click").alias("event_type"),
                 F.timestamp_seconds(
-                    F.lit(k * hours_per_slice * 3600)
+                    F.lit(_TS_BASE + k * hours_per_slice * 3600)
                     + F.pmod(F.xxhash64("id"), F.lit(hours_per_slice * 3600))
                 ).alias("ts"),
             )
