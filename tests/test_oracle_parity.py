@@ -150,7 +150,17 @@ def run_unicode_doc_net(spark, tmp_path, seed):
         "".join(rng.choice(string.ascii_letters) for _ in range(rng.randrange(1, 8)))
         for _ in range(200)
     ]
-    uni = "ÀßΣσς中文אבג٦ İı"
+    # BMP multilingual + the lanes only hostile text exercises: astral-plane
+    # surrogate pairs (emoji, math alphanumerics, a ZWJ family sequence),
+    # combining marks (both on a base and BARE), unicode separators that are
+    # NOT in the contracted ASCII whitespace class (NBSP, U+2028/U+2029 —
+    # they must stay INSIDE tokens on both engines), and literal ASCII
+    # whitespace-class chars (\x0B \f \r) that must collapse on both.
+    uni = (
+        "ÀßΣσς中文אבג٦ İı"
+        "😀🇺🇸𝔘𝕏𝟘👩‍👩‍👧é́"
+        "́‍   \x0b\f\r"
+    )
     texts = []
     for i in range(150):
         if i % 37 == 1 and texts:
