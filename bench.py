@@ -106,6 +106,48 @@ _CAL_ROWS = 2_000_000_000
 CAL_REFERENCE_SEC = 0.35
 
 
+# Diagnostic-only probes (recorded in the JSON, NOT used for
+# normalization — changing the normalization basis would break
+# cross-round comparability). They exist because the CPU probe above is
+# blind to the two other cost regimes headline queries live in, and the
+# r8->r9 drift episodes showed exactly that signature: CPU probe flat
+# while shuffle/Python-heavy queries moved 15-25% (fresh-boot cold page
+# cache / memory-bandwidth state). One sample of each per bench run
+# (after warmup) turns "which regime moved" from inference into data:
+# - shuffle probe: 20M rows -> 1M-group hash aggregate. Partial agg,
+#   one exchange (serialization + local shuffle files), final agg; no
+#   Python.
+# - python probe: 2M rows through an Arrow mapInPandas identity across
+#   all workers. Worker pool reuse, Arrow encode/decode; no shuffle.
+# First recorded readings (r9, during a live contended episode: CPU
+# probe healthy 0.32-0.36 while headline shuffle/Python queries sat
+# 15-25% over their bests): shuffle 3.3 s / python 2.0 s end-of-run;
+# an isolated-session sweep minutes later bounced shuffle 1.5-7.1 s,
+# python 1.0-4.2 s, CPU probe 0.42-1.48 s with the VM 97% idle and 3%
+# iowait — i.e. host/disk-level noise, not code. Treat roughly
+# sub-second readings as healthy; large probe values mean the pass's
+# RAW numbers are inflated in the regime that probe measures.
+_SHUFFLE_PROBE_ROWS = 20_000_000
+_PY_PROBE_ROWS = 2_000_000
+
+
+def _aux_probes(spark, cpus: int) -> dict[str, float]:
+    t0 = time.perf_counter()
+    spark.range(_SHUFFLE_PROBE_ROWS).selectExpr("id % 1000000 AS k").groupBy(
+        "k"
+    ).count().selectExpr("sum(count) AS s").collect()
+    shuffle_sec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    spark.range(_PY_PROBE_ROWS).repartition(cpus).mapInPandas(
+        lambda it: it, "id long"
+    ).selectExpr("count(*) AS n").collect()
+    py_sec = time.perf_counter() - t0
+    return {
+        "shuffle_probe_sec": round(shuffle_sec, 3),
+        "python_probe_sec": round(py_sec, 3),
+    }
+
+
 def _calibration(spark) -> float:
     """Best of two probe runs. A GC/C2 hiccup can only make a probe
     SLOWER, never faster, and a slow probe inflates scale = ref/cal —
@@ -150,6 +192,7 @@ def main() -> None:
     t_warm = time.perf_counter()
     spark.range(256).repartition(int(cpus)).mapInPandas(lambda it: it, "id long").collect()
     _calibration(spark)  # compile the probe plan too
+    _aux_probes(spark, int(cpus))  # compile the diagnostic probe plans too
     for name in HEADLINE + PIPELINES:
         registry[name].fn(spark, sf_dir).collect()
     time.sleep(5)  # let background C2 compilation + /tmp writeback drain
@@ -198,6 +241,10 @@ def main() -> None:
 
     per, per_norm = time_set(HEADLINE)
     pipelines, pipelines_norm = time_set(PIPELINES)
+    # best-of-2, same single-hiccup argument as the CPU probe
+    aux = _aux_probes(spark, int(cpus))
+    aux2 = _aux_probes(spark, int(cpus))
+    aux = {k: min(aux[k], aux2[k]) for k in aux}
     print(
         json.dumps(
             {
@@ -216,6 +263,7 @@ def main() -> None:
                 "runs_per_query": runs,
                 "calibration_sec": calibration_secs,
                 "calibration_ref_sec": CAL_REFERENCE_SEC,
+                **aux,
             }
         )
     )
