@@ -71,6 +71,20 @@ def _voxels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(i, x, y, z, val) — fully distributed; no window, no collect."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     n_docs = docs.count()  # driver scalar (table cardinality), not data
+    if n_docs == 0:
+        # i % 0 is undefined, so an EMPTY corpus has no defined volume.
+        # Left unguarded the engines diverge SILENTLY: DuckDB's `% 0 ->
+        # NULL` empties every oracle, while the Spark paths variously
+        # short-circuit to 0 rows (AQE empty-side), emit an all-zeros
+        # volume (the OME page build), or crash in a worker — three
+        # different wrong answers. Refuse loudly instead, for the whole
+        # corpus-derived fixture family in its one shared derivation
+        # point (r9 empty-corpus probe, pinned in test_oracle_parity).
+        raise ValueError(
+            "n5/tiff/ome fixture queries derive voxel values from the "
+            "documents table (val = md5(i ':' lang(doc i % n_docs))); "
+            "the documents table at this sf_dir is empty"
+        )
     g = spark.range(N_VOX).select(
         F.col("id").alias("i"),
         (F.col("id") % VOL).cast("int").alias("x"),

@@ -206,6 +206,67 @@ def test_doc_queries_match_oracles_on_random_unicode_corpus(spark, tmp_path):
     run_unicode_doc_net(spark, tmp_path, 5)
 
 
+def test_doc_queries_on_empty_corpus(spark, tmp_path):
+    """A 0-row documents table is a legal production state (an empty day
+    of a date-partitioned corpus), and no net drew it: every generator
+    produces >=1 row. The r9 empty-corpus probe found the text/pipeline/
+    sampling/multimodal doc queries all engine-equal (0 rows both sides —
+    the driver-side 1-row-aggregate collects are guarded), but the
+    corpus-DERIVED fixture family (voxel value = md5(i ':' lang(doc
+    i % n_docs))) hit `i % 0`: DuckDB's `% 0 -> NULL` silently emptied
+    the oracles while Spark variously short-circuited, built an all-zeros
+    OME volume (64 rows vs 0 — a silent hash flip), or crashed in a
+    worker. _voxels now refuses loudly; this test pins BOTH halves.
+
+    NOTE the schema: an empty pandas `object` column round-trips through
+    parquet as INT32, which binds `text` as an integer on BOTH engines —
+    the table must be written with an explicit arrow schema.
+    """
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from n5_dask_spark.registry import load_all
+    from tests.oracle_harness import canon_rows
+
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+            ("source", pa.string()),
+            ("n_chars", pa.int64()),
+        ]
+    )
+    path = os.path.join(str(tmp_path), "documents.parquet")
+    pq.write_table(pa.table({n: [] for n in schema.names}, schema=schema), path)
+
+    names = sorted(set(_doc_only_query_names()) | BYTE_CONTRACT)
+    fixture = {n for n in names if n.startswith(("n5_", "tiff_", "ome_"))}
+    assert len(fixture) >= 10  # the guard must keep covering the family
+    reg = load_all()
+    bad = []
+    for n in names:
+        q = reg[n]
+        if n in fixture:
+            with pytest.raises(ValueError, match="documents table .* is empty"):
+                q.fn(spark, str(tmp_path)).collect()
+            continue
+        sdf = q.fn(spark, str(tmp_path))
+        sc, sr = canon_rows(list(sdf.columns), [tuple(r) for r in sdf.collect()])
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+        cur = con.execute(q.oracle)
+        dc, dr = canon_rows([x[0] for x in cur.description], [tuple(r) for r in cur.fetchall()])
+        con.close()
+        if sc != dc or sr != dr:
+            bad.append(n)
+    assert not bad, bad
+
+
 def run_event_tie_dense_net(spark, tmp_path, seed):
     """Body of the events/orders tie-dense net, seed-parameterized for
     sweeps; the pytest wrapper below pins seed 11.
