@@ -140,7 +140,12 @@ def formats_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"n5ds-fmt-part-{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}-p{os.getpid()}",
     )
     orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
-    back = spark.read.parquet(path)
+    # the writer's own schema, not inference: skips the schema-inference
+    # footer reads (at 100 TB you never want inference on read), and an
+    # EMPTY input relation — a legal corpus whose partitioned write emits
+    # only _SUCCESS — reads back as 0 rows instead of throwing
+    # UNABLE_TO_INFER_SCHEMA (r9 empty-table probe)
+    back = spark.read.schema(orders.schema).parquet(path)
     return (
         back.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
         .groupBy("o_orderpriority")

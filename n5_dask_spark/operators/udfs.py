@@ -65,6 +65,15 @@ def udf_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)").alias("mu"),
         F.round(F.stddev_samp("o_totalprice"), 6).alias("sigma"),
     ).collect()[0]
+    if row["mu"] is None or row["sigma"] is None:
+        # mu is NULL on an empty table (or all-NULL totals); sigma is NULL
+        # on a SINGLE-row table too (stddev_samp's n-1 = 0) — all legal
+        # corpora where float(None) crashed the job (r9 empty-table
+        # probe). The oracle's per-row arithmetic against a NULL stat is
+        # NULL, so the engine-equal answer is a NULL zscore per row.
+        return orders.select(
+            "o_orderkey", F.lit(None).cast("double").alias("zscore")
+        ).orderBy("o_orderkey")
     mu, sigma = float(row["mu"]), float(row["sigma"])
 
     @pandas_udf(DoubleType())

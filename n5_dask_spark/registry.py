@@ -61,6 +61,18 @@ Determinism discipline (so value-hashes match the oracle EXACTLY):
   guarded in ~30 oracle strings; the embeddings family, where non-finite
   input is actually plausible (embedder failures), carries real finite
   guards (embeddings.py, relational5.py).
+- Grouping-set totals over an EMPTY relation are OUT OF CONTRACT (r9
+  empty-table probe, pinned in test_oracle_parity): Spark's
+  Expand-based ROLLUP/CUBE/GROUPING SETS emits ZERO rows on empty
+  input — including the () grand-total group — where the SQL standard
+  (and DuckDB, Postgres) emits one global row with COUNT 0 and NULL
+  sums. Verified engine-level (a bare
+  ``GROUP BY GROUPING SETS ((a), ())`` reproduces it); a Spark-side
+  workaround would mean synthesizing the grand-total row with a
+  count-then-union plan warp for a degenerate lane. Plain global
+  aggregates (no grouping sets) agree on empty input and stay IN
+  contract — the empty-table probe pins the whole doc/embeddings/
+  events families engine-equal on 0-row tables.
 """
 
 from __future__ import annotations

@@ -267,6 +267,99 @@ def test_doc_queries_on_empty_corpus(spark, tmp_path):
     assert not bad, bad
 
 
+def test_event_embedding_queries_on_empty_tables(spark, tmp_path):
+    """Empty-table lane for the events/orders and embeddings families
+    (companion to the doc-family empty-corpus net above). The r9 probe
+    found and fixed two real crashes on legal corpora — udf_pandas_zscore
+    float(None)'d its collected stats (mu NULL on an empty table; sigma
+    NULL even on a SINGLE-row one, stddev_samp's n-1 = 0) and
+    formats_partitioned_pruning's read-back of an empty partitioned write
+    threw UNABLE_TO_INFER_SCHEMA (now reads with the writer's schema) —
+    and characterized one engine-level boundary this test pins verbatim:
+    Spark's Expand-based grouping sets emit ZERO rows on empty input
+    where the standard (DuckDB, Postgres) emits the () grand-total row
+    (registry determinism notes). Everything else must be engine-equal.
+    """
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from n5_dask_spark.registry import load_all
+    from tests.oracle_harness import canon_rows
+
+    ev = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    od = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("o_custkey", pa.int64()),
+            ("o_orderstatus", pa.string()),
+            ("o_totalprice", pa.float64()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("o_orderpriority", pa.string()),
+        ]
+    )
+    em = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("embedding", pa.list_(pa.float32())),
+            ("label", pa.int32()),
+        ]
+    )
+    for fname, schema in (("events", ev), ("orders", od), ("embeddings", em)):
+        pq.write_table(
+            pa.table({n: [] for n in schema.names}, schema=schema),
+            os.path.join(str(tmp_path), f"{fname}.parquet"),
+        )
+
+    reg = load_all()
+    ev_others = ("region", "nation", "customer", "supplier", "lineitem", "documents", "embeddings", "part ")
+    emb_others = ("documents", "lineitem", "orders", "events", "customer", "supplier")
+    names = sorted(
+        n
+        for n, q in reg.items()
+        if q.oracle
+        and "stream" not in n
+        and (
+            (("events" in q.oracle or "orders" in q.oracle) and not any(t in q.oracle for t in ev_others))
+            or ("embeddings" in q.oracle and not any(t in q.oracle for t in emb_others))
+        )
+    )
+    assert len(names) >= 30
+    grouping_set_boundary = {"agg_rollup"}  # () grand-total set over orders
+    bad = []
+    for n in names:
+        q = reg[n]
+        sdf = q.fn(spark, str(tmp_path))
+        sc, sr = canon_rows(list(sdf.columns), [tuple(r) for r in sdf.collect()])
+        con = duckdb.connect()
+        for t in ("events", "orders", "embeddings"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(str(tmp_path), t + '.parquet')}'"
+            )
+        cur = con.execute(q.oracle)
+        dc, dr = canon_rows([x[0] for x in cur.description], [tuple(r) for r in cur.fetchall()])
+        con.close()
+        if n in grouping_set_boundary:
+            # the documented divergence, pinned exactly: Spark 0 rows,
+            # DuckDB one grand-total row (COUNT 0, NULL sums)
+            assert sc == dc and sr == [] and len(dr) == 1 and ("i", 0) in dr[0], (n, sr, dr)
+            continue
+        if sc != dc or sr != dr:
+            bad.append(n)
+    assert not bad, bad
+
+
 def run_event_tie_dense_net(spark, tmp_path, seed):
     """Body of the events/orders tie-dense net, seed-parameterized for
     sweeps; the pytest wrapper below pins seed 11.
