@@ -206,6 +206,78 @@ def test_doc_queries_match_oracles_on_random_unicode_corpus(spark, tmp_path):
     run_unicode_doc_net(spark, tmp_path, 5)
 
 
+def test_stat_queries_on_single_row_corpora(spark, tmp_path):
+    """n=1 is its own boundary, distinct from empty: sampled statistics
+    (stddev_samp, corr, rank/(n-1)) go NULL on a NON-empty input. The r9
+    single-row probe ran ALL 134 oracled non-fixture queries on 1-row
+    tables across every family: 134/134 engine-equal, zero crashes —
+    after fixing udf_pandas_zscore, which float(None)'d sigma
+    (stddev_samp's n-1 = 0). This pins that fix plus the other
+    statistic/ranking/similarity shapes the lane stresses; re-run the
+    full probe (the same corpus, all names) after touching any stats
+    aggregation."""
+    import datetime
+    import os
+
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from n5_dask_spark.registry import load_all
+    from tests.oracle_harness import canon_rows
+
+    d = str(tmp_path)
+    ts = datetime.datetime(2024, 3, 1, 12)
+    pd.DataFrame(
+        {"doc_id": [0], "text": ["hello world text"], "lang": ["en"], "source": ["web"], "n_chars": [16]}
+    ).to_parquet(os.path.join(d, "documents.parquet"))
+    pd.DataFrame(
+        {"event_id": [0], "ts": [ts], "user_id": [3], "event_type": ["purchase"], "value": [1.5], "props": ['{"a":1}']}
+    ).astype({"ts": "datetime64[us]"}).to_parquet(os.path.join(d, "events.parquet"))
+    pd.DataFrame(
+        {"o_orderkey": [0], "o_custkey": [0], "o_orderstatus": ["O"], "o_totalprice": [1000.0], "o_orderdate": [ts], "o_orderpriority": ["1-URGENT"]}
+    ).astype({"o_orderdate": "datetime64[us]"}).to_parquet(os.path.join(d, "orders.parquet"))
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([0], pa.int64()),
+                "embedding": pa.array([[0.5, -0.25, 0.125]], pa.list_(pa.float32())),
+                "label": pa.array([2], pa.int32()),
+            }
+        ),
+        os.path.join(d, "embeddings.parquet"),
+    )
+    pd.DataFrame(
+        {"l_orderkey": [0], "l_partkey": [0], "l_suppkey": [0], "l_linenumber": pd.array([1], dtype="int32"), "l_quantity": [25.0], "l_extendedprice": [500.0], "l_discount": [0.05], "l_tax": [0.04], "l_returnflag": ["A"], "l_linestatus": ["O"], "l_shipdate": [ts]}
+    ).astype({"l_shipdate": "datetime64[us]"}).to_parquet(os.path.join(d, "lineitem.parquet"))
+
+    reps = [
+        "udf_pandas_zscore",  # the fixed n=1 crash (sigma NULL)
+        "agg_stats",  # stddev/variance outputs at n=1
+        "window_running_sum",  # frame over a single row
+        "knn_bruteforce_cosine",  # top-k with one vector (self-pair rules)
+        "dedup_minhash_lsh",  # bucketing with nothing to pair
+        "events_session_window",  # one-event session
+    ]
+    reg = load_all()
+    tables = ("lineitem", "orders", "events", "documents", "embeddings")
+    bad = []
+    for n in reps:
+        q = reg[n]
+        sdf = q.fn(spark, d)
+        sc, sr = canon_rows(list(sdf.columns), [tuple(r) for r in sdf.collect()])
+        con = duckdb.connect()
+        for t in tables:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(d, t + '.parquet')}'")
+        cur = con.execute(q.oracle)
+        dc, dr = canon_rows([x[0] for x in cur.description], [tuple(r) for r in cur.fetchall()])
+        con.close()
+        if sc != dc or sr != dr:
+            bad.append(n)
+    assert not bad, bad
+
+
 def test_doc_queries_on_empty_corpus(spark, tmp_path):
     """A 0-row documents table is a legal production state (an empty day
     of a date-partitioned corpus), and no net drew it: every generator
