@@ -18,11 +18,11 @@ from n5_dask_spark.registry import register
     oracle="""
     SELECT vec_id,
            CAST(len(embedding) AS INT) AS dim,
-           ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
-           ROUND(CAST(embedding[len(embedding)] AS DOUBLE), 6) AS last_val,
-           ROUND(list_sum(CAST(embedding AS DOUBLE[])), 6) AS vec_sum,
-           ROUND(list_max(CAST(embedding AS DOUBLE[])), 6) AS vec_max,
-           ROUND(list_min(CAST(embedding AS DOUBLE[])), 6) AS vec_min,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6) + 0.0 AS first_val,
+           ROUND(CAST(embedding[len(embedding)] AS DOUBLE), 6) + 0.0 AS last_val,
+           ROUND(list_sum(CAST(embedding AS DOUBLE[])), 6) + 0.0 AS vec_sum,
+           ROUND(list_max(CAST(embedding AS DOUBLE[])), 6) + 0.0 AS vec_max,
+           ROUND(list_min(CAST(embedding AS DOUBLE[])), 6) + 0.0 AS vec_min,
            CAST(len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0)) AS INT) AS n_positive
     FROM embeddings ORDER BY vec_id
     """,
@@ -72,8 +72,8 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT label,
            COUNT(*) AS n_vecs,
-           ROUND(CAST(SUM(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS centroid_d1,
-           ROUND(CAST(SUM(CAST(CAST(embedding[2] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS centroid_d2
+           ROUND(CAST(SUM(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) + 0.0 AS centroid_d1,
+           ROUND(CAST(SUM(CAST(CAST(embedding[2] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) + 0.0 AS centroid_d2
     FROM embeddings GROUP BY label ORDER BY label
     """,
     doc="Per-label centroid components (decimal-exact mean of array elements).",

@@ -120,7 +120,7 @@ def _duck_centroid_dist(prefix: str) -> str:
       SELECT qid, label FROM cellrank WHERE crk <= {_NPROBE}
     ), scored AS (
       SELECT q.qid, e.vec_id,
-             ROUND({DUCK_COSINE.format(a='q.qe', b='e.embedding')}, 6) AS cosine
+             ROUND({DUCK_COSINE.format(a='q.qe', b='e.embedding')}, 6) + 0.0 AS cosine
       FROM q JOIN probed p ON p.qid = q.qid
       JOIN embeddings e ON e.label = p.label AND e.vec_id <> q.qid
     ), ranked AS (

@@ -577,9 +577,9 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT s_suppkey,
            ABS(s_acctbal) AS abs_bal,
-           ROUND(s_acctbal, 1) AS round_bal,
-           FLOOR(s_acctbal) AS floor_bal,
-           CEIL(s_acctbal) AS ceil_bal,
+           ROUND(s_acctbal, 1) + 0.0 AS round_bal,
+           FLOOR(s_acctbal) + 0.0 AS floor_bal,
+           CEIL(s_acctbal) + 0.0 AS ceil_bal,
            ROUND(SQRT(ABS(s_acctbal)), 6) AS sqrt_bal,
            ROUND(LN(ABS(s_acctbal) + 1), 6) AS ln_bal,
            CAST(s_suppkey % 7 AS BIGINT) AS mod7

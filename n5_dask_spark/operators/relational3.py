@@ -46,8 +46,8 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_corr_covar",
     oracle="""
     SELECT c_mktsegment,
-           ROUND(CORR(o_totalprice, c_acctbal), 6) AS price_bal_corr,
-           ROUND(COVAR_SAMP(o_totalprice, c_acctbal), 4) AS price_bal_covar,
+           ROUND(CORR(o_totalprice, c_acctbal), 6) + 0.0 AS price_bal_corr,
+           ROUND(COVAR_SAMP(o_totalprice, c_acctbal), 4) + 0.0 AS price_bal_covar,
            COUNT(*) AS n
     FROM orders JOIN customer ON c_custkey = o_custkey
     GROUP BY c_mktsegment ORDER BY c_mktsegment

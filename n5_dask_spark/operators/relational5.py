@@ -58,8 +58,8 @@ def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT dim,
            COUNT(*) AS n_vecs,
            CAST(SUM(CAST(ROUND(v, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_val,
-           ROUND(MIN(v), 6) AS min_val,
-           ROUND(MAX(v), 6) AS max_val
+           ROUND(MIN(v), 6) + 0.0 AS min_val,
+           ROUND(MAX(v), 6) + 0.0 AS max_val
     FROM ex WHERE isfinite(v) GROUP BY dim ORDER BY dim
     """,
     doc=(

@@ -125,8 +125,8 @@ def sample_pergroup_topk_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # less than the 1% tolerance at any sf. The oracle asserts TRUE.
     oracle="""
     SELECT l_returnflag,
-           ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,
-           ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS exact_p95,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 6) + 0.0 AS exact_p50,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 6) + 0.0 AS exact_p95,
            TRUE AS p50_within_tol,
            TRUE AS p95_within_tol
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
@@ -168,8 +168,8 @@ def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN l_extendedprice >= 2000.0 THEN 23
                 ELSE CAST(FLOOR((l_extendedprice - 900.0) / 50.0) AS INT) + 1 END AS bucket,
            COUNT(*) AS n_rows,
-           ROUND(MIN(l_extendedprice), 6) AS lo,
-           ROUND(MAX(l_extendedprice), 6) AS hi
+           ROUND(MIN(l_extendedprice), 6) + 0.0 AS lo,
+           ROUND(MAX(l_extendedprice), 6) + 0.0 AS hi
     FROM lineitem GROUP BY bucket ORDER BY bucket
     """,
     doc=(

@@ -83,7 +83,7 @@ DUCK_COSINE = """CASE WHEN list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS D
     WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
          scored AS (
            SELECT q.qid, e.vec_id,
-                  ROUND({DUCK_COSINE.format(a='q.qe', b='e.embedding')}, 6) AS cosine
+                  ROUND({DUCK_COSINE.format(a='q.qe', b='e.embedding')}, 6) + 0.0 AS cosine
            FROM q CROSS JOIN embeddings e
            WHERE e.vec_id <> q.qid
          ), ranked AS (
@@ -142,7 +142,7 @@ DUCK_BUCKET = (
     ), q AS (SELECT vec_id AS qid, embedding AS qe, bucket AS qb FROM b WHERE vec_id < {N_QUERIES}),
        scored AS (
          SELECT q.qid, e.vec_id,
-                ROUND({DUCK_COSINE.format(a='q.qe', b='e.embedding')}, 6) AS cosine
+                ROUND({DUCK_COSINE.format(a='q.qe', b='e.embedding')}, 6) + 0.0 AS cosine
          FROM q JOIN b e ON e.bucket = q.qb AND e.vec_id <> q.qid
        ), ranked AS (
          SELECT qid, vec_id, cosine,

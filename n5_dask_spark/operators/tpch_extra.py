@@ -280,9 +280,9 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_median_percentile",
     oracle="""
     SELECT c_mktsegment,
-           ROUND(MEDIAN(c_acctbal), 6) AS median_bal,
-           ROUND(QUANTILE_CONT(c_acctbal, 0.9), 6) AS p90_bal,
-           ROUND(QUANTILE_CONT(c_acctbal, 0.1), 6) AS p10_bal
+           ROUND(MEDIAN(c_acctbal), 6) + 0.0 AS median_bal,
+           ROUND(QUANTILE_CONT(c_acctbal, 0.9), 6) + 0.0 AS p90_bal,
+           ROUND(QUANTILE_CONT(c_acctbal, 0.1), 6) + 0.0 AS p10_bal
     FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
     doc="Exact median / continuous percentiles (rounded: interpolation arithmetic).",

@@ -33,7 +33,7 @@ def _views(spark: SparkSession, sf_dir: str, names: tuple[str, ...]) -> None:
 
 Q2_SQL = """
     WITH costs AS (
-      SELECT l_partkey, l_suppkey, ROUND(MIN(l_extendedprice / l_quantity), 6) AS unit_cost
+      SELECT l_partkey, l_suppkey, ROUND(MIN(l_extendedprice / l_quantity), 6) + 0.0 AS unit_cost
       FROM lineitem GROUP BY l_partkey, l_suppkey
     ), eu AS (
       SELECT s_suppkey, s_name, s_acctbal, n_name

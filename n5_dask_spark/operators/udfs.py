@@ -38,7 +38,11 @@ def _round_half_away(s: "pd.Series", digits: int = 6) -> "pd.Series":
 
     scale = 10.0**digits
     v = s.to_numpy() * scale
-    return pd.Series(np.sign(v) * np.floor(np.abs(v) + 0.5) / scale, index=s.index)
+    # + 0.0: an input in (-0.5*10^-digits, 0) yields sign * 0 = -0.0 here;
+    # surfaced rounded doubles are negative-zero-normalized on both engines
+    # (registry determinism notes, r9 negative-zero probe), and numpy's
+    # -0.0 + 0.0 = +0.0 is the same normalization the oracles spell.
+    return pd.Series(np.sign(v) * np.floor(np.abs(v) + 0.5) / scale + 0.0, index=s.index)
 
 
 
@@ -51,7 +55,7 @@ def _round_half_away(s: "pd.Series", digits: int = 6) -> "pd.Series":
       FROM orders
     )
     SELECT o_orderkey,
-           ROUND((o_totalprice - mu) / sigma, 6) AS zscore
+           ROUND((o_totalprice - mu) / sigma, 6) + 0.0 AS zscore
     FROM orders, stats
     ORDER BY o_orderkey
     """,

@@ -33,6 +33,23 @@ Determinism discipline (so value-hashes match the oracle EXACTLY):
   and decimal-exact aggregation (dsum/davg) sidesteps it for the money
   columns. Treat any future hash flip on a ROUND(...) column as this
   boundary first.
+- Sign-of-zero normalization (r9 negative-zero probe, pinned in
+  test_oracle_parity): the driver's value hash stringifies cells, and
+  str(-0.0) != str(0.0). Spark's ROUND(double, s) goes through
+  java.math.BigDecimal (no negative zero: any input in (-0.5*10^-s, 0]
+  rounds to +0.0) while DuckDB rounds the binary value in C and keeps
+  -0.0; same split for CEIL/FLOOR over (-1, 0] (Spark BIGINT 0 vs
+  DuckDB's C ceil -0.0). Convention: every SURFACED rounded/floored
+  double that can be tiny-negative is negative-zero-normalized with
+  `+ 0.0` (identity everywhere except -0.0 -> +0.0) — the oracles spell
+  it, Spark's round provides it inherently, and the pandas-UDF round
+  helper applies it explicitly. Residual out-of-contract lane: mixed
+  -0.0/+0.0 in RAW (un-rounded) grouping or ranking keys — Spark
+  normalizes -0.0 to 0.0 in group/join keys and sorts -0.0 < 0.0, while
+  DuckDB compares them equal and keys the group by first occurrence
+  (order-dependent even within DuckDB). No registered query groups or
+  ranks on a raw double a generator could set to -0.0; document per
+  query if one ever does.
 - Cross-engine string-function scope (differential-fuzzed in
   tests/test_dedup_cap.py): tokenization lowering is ASCII-translate
   (fully portable); upper()/levenshtein() agree only on ASCII inputs
@@ -118,7 +135,23 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "scalar_date_funcs",  # due_date type-stabilized (TIMESTAMP both engines)
     "formats_csv_roundtrip",  # total-escaping CSV option contract (r9)
     "embedding_quantize_int8",  # malformed-vector guard (NaN probe, r9)
-    "embedding_dimension_stats",  # finite-elements convention (r9)
+    "embedding_dimension_stats",  # finite-elements + negative-zero norm (r9)
+    # negative-zero normalization cohort (r9 probe: Spark's BigDecimal
+    # ROUND emits +0.0 where DuckDB keeps -0.0 — every negative-capable
+    # surfaced round now spells `+ 0.0` in its oracle; see the registry
+    # determinism notes):
+    "knn_bruteforce_cosine",
+    "knn_ivf_probe",
+    "knn_signbucket_lsh",
+    "agg_corr_covar",
+    "array_funcs",
+    "array_label_centroids",
+    "agg_approx_quantiles",
+    "agg_histogram_numeric",
+    "agg_median_percentile",
+    "q2_min_cost_supplier",
+    "udf_pandas_zscore",
+    "udaf_applyinpandas_minmax_scale",  # pandas round helper normalized
     # (b) the 28 round-5-stale greens
     "agg_distinct",
     "agg_rollup",
@@ -148,23 +181,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "window_lag_lead",
     "window_rank_dense",
     "window_running_sum",
-    # (c) round-6-stale fill: the full N5 cohort first (all traverse the
-    # r9-changed scan filter), then one-per-family fillers; the 18
-    # remaining r6-stale greens lead the r10 rotation
-    "n5_block_inventory",
-    "n5_block_stats",
-    "n5_downsample_stats",
-    "n5_downsample_zprofile",
-    "n5_intensity_histogram",
-    "n5_rechunk_blocksums",
+    # (c) round-6-stale fill, trimmed to 5 by the negative-zero cohort
+    # entering changed-first: one bench-watched N5 rechunk, the pruned
+    # region read (both still traverse the r9-changed scan filter), the
+    # two stateful streaming queries, and one text filler. The remaining
+    # r6-stale greens (n5_block_inventory, n5_block_stats,
+    # n5_downsample_*, n5_intensity_histogram, n5_rechunk_blocksums,
+    # n5_region_export_zprofile, n5_roundtrip_blosc*, join_salted,
+    # formats_orc_roundtrip, multimodal_png_decode, ...) lead the r10
+    # rotation.
     "n5_rechunk_stats",
-    "n5_region_export_zprofile",
     "n5_region_read",
-    "n5_roundtrip_blosc",
-    "n5_roundtrip_blosc_zstd",
-    "join_salted",
-    "formats_orc_roundtrip",
-    "multimodal_png_decode",
     "streaming_stateful_running_totals",
     "streaming_stream_stream_join",
     "text_langid",

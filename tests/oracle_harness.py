@@ -41,10 +41,19 @@ def _canon_cell(v):
     if isinstance(v, int):
         return ("i", v)
     if isinstance(v, Decimal):
-        return ("f", float(v))
+        v = float(v)  # fall through to the float canon (sign-of-zero aware)
     if isinstance(v, float):
         if math.isnan(v):
             return ("f", "NaN")
+        if v == 0.0 and math.copysign(1.0, v) < 0.0:
+            # The driver stringifies cells, and str(-0.0) = "-0.0" !=
+            # "0.0" — but Python compares -0.0 == 0.0, so a raw float
+            # canon silently PASSES a sign-of-zero disagreement the
+            # driver's value hash would flip on (r9 negative-zero probe:
+            # Spark's BigDecimal-based ROUND emits +0.0 where DuckDB's
+            # binary round keeps -0.0). Tag it like NaN so local compares
+            # see exactly what the driver sees.
+            return ("f", "-0.0")
         return ("f", v)
     if hasattr(v, "isoformat"):  # datetime / date
         try:

@@ -1282,3 +1282,155 @@ def test_partitioned_pruning_matches_oracle_on_hostile_partition_values(spark, t
     dc, dr = canon_rows([x[0] for x in cur.description], [tuple(r) for r in cur.fetchall()])
     con.close()
     assert (sc, sr) == (dc, dr)
+
+
+def test_negative_zero_round_asymmetry_engine_level(spark):
+    """Engine-level pin of the sign-of-zero ROUND asymmetry (r9 probe):
+    Spark's ROUND(double, s) goes through java.math.BigDecimal, which has
+    no negative zero, so any input in (-0.5*10^-s, 0] rounds to +0.0 —
+    while DuckDB rounds the binary value in C and keeps the sign (-0.0).
+    The driver's value hash stringifies cells ("-0.0" != "0.0"), so any
+    SURFACED rounded column whose input can be tiny-negative is a hash
+    flip waiting on corpus luck. Same asymmetry for CEIL/FLOOR of
+    (-1, 0]: Spark returns BIGINT 0 (cast +0.0) where DuckDB's C ceil
+    keeps -0.0. Normalization contract pinned here: `x + 0.0` maps -0.0
+    to +0.0 (IEEE round-to-nearest) and is the identity on every other
+    value, on both engines — every negative-capable surfaced round in an
+    oracle spells it."""
+    import math
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    row = spark.range(1).select(
+        F.round(F.lit(-1e-9), 6).alias("r"),
+        F.ceil(F.lit(-0.3)).cast("double").alias("c"),
+    ).collect()[0]
+    assert math.copysign(1.0, row["r"]) > 0  # Spark round: +0.0
+    assert math.copysign(1.0, row["c"]) > 0  # Spark ceil->bigint: +0.0
+
+    d = duckdb.sql(
+        "SELECT round(-1e-9::DOUBLE, 6), ceil(-0.3::DOUBLE),"
+        " round(-1e-9::DOUBLE, 6) + 0.0, ceil(-0.3::DOUBLE) + 0.0"
+    ).fetchone()
+    assert math.copysign(1.0, d[0]) < 0  # DuckDB round keeps -0.0
+    assert math.copysign(1.0, d[1]) < 0  # DuckDB ceil keeps -0.0
+    assert math.copysign(1.0, d[2]) > 0  # + 0.0 normalizes
+    assert math.copysign(1.0, d[3]) > 0
+
+
+def test_surfaced_rounds_are_negative_zero_normalized(spark, tmp_path):
+    """Negative-zero probe net (r9): crafted corpora force a tiny-negative
+    value into every negative-capable SURFACED round/ceil/floor site —
+    cosine of near-orthogonal embeddings, covariance of anti-correlated
+    micro-balances, interpolated medians, z-scores a hair under the mean,
+    balances in (-0.5, 0) — and every affected query must hash-match its
+    oracle under the sign-of-zero-aware canon. Before the `+ 0.0`
+    normalization convention this net failed on 11 queries."""
+    import os
+
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from n5_dask_spark.registry import load_all
+    from tests.oracle_harness import canon_rows
+
+    base = str(tmp_path)
+    f32 = np.float32
+    z7 = [0.0] * 7
+    vecs = [
+        [1.0] + [0.0] * 8,            # v0: bucket 1
+        [-1e-10, 1.0] + z7,           # v1: dot(v0,v1) = -1e-10 -> cosine -0.0 lane
+        [-1e-9] * 9,                  # v2: lone label -> centroid -1e-9 lane
+        [1.0] + [0.0] * 7 + [-2e-10], # v3: bucket 1 (dim 9 not in the sign bits)
+        [1e-10] + [0.0] * 7 + [1.0],  # v4: bucket 1; dot(v3,v4) = -1e-10
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(5), pa.int64()),
+                "embedding": pa.array([[f32(x) for x in v] for v in vecs], pa.list_(pa.float32())),
+                "label": pa.array([0, 0, 1, 2, 2], pa.int32()),
+            }
+        ),
+        os.path.join(base, "embeddings.parquet"),
+    )
+    pd.DataFrame(
+        {
+            "s_suppkey": pd.array([0, 1], dtype="int64"),
+            "s_name": ["a", "b"],
+            "s_nationkey": pd.array([0, 0], dtype="int32"),
+            "s_acctbal": [-0.04, -0.3],  # round_bal / ceil_bal -0.0 lanes
+        }
+    ).to_parquet(os.path.join(base, "supplier.parquet"))
+    pd.DataFrame(
+        {
+            "c_custkey": pd.array([0, 1], dtype="int64"),
+            "c_name": ["c0", "c1"],
+            "c_nationkey": pd.array([0, 0], dtype="int32"),
+            "c_acctbal": [2e-7, -4e-7],  # median interpolates to -1e-7
+            "c_mktsegment": ["BUILDING", "BUILDING"],
+        }
+    ).to_parquet(os.path.join(base, "customer.parquet"))
+    pd.DataFrame(
+        {
+            "o_orderkey": pd.array(range(4), dtype="int64"),
+            "o_custkey": pd.array([0, 1, 0, 1], dtype="int64"),
+            "o_orderstatus": ["O"] * 4,
+            # covar_samp(total, bal) = -1e-6 -> ROUND(.,4) -0.0 lane;
+            # order 3 sits 1e-9 under the decimal-exact mean -> zscore
+            # in (-5e-7, 0)
+            "o_totalprice": [10.0, 20.0, 15.0, 15.0 - 1e-9],
+            "o_orderdate": pd.to_datetime(["2024-01-01"] * 4).astype("datetime64[us]"),
+            "o_orderpriority": ["1-URGENT"] * 4,
+        }
+    ).to_parquet(os.path.join(base, "orders.parquet"))
+    pd.DataFrame(
+        {
+            "l_orderkey": pd.array([0], dtype="int64"),
+            "l_partkey": pd.array([0], dtype="int64"),
+            "l_suppkey": pd.array([0], dtype="int64"),
+            "l_linenumber": pd.array([1], dtype="int32"),
+            "l_quantity": [1.0],
+            "l_extendedprice": [-2e-7],  # bucket-0 lo/hi and percentile -0.0 lanes
+            "l_discount": [0.0],
+            "l_tax": [0.0],
+            "l_returnflag": ["A"],
+            "l_linestatus": ["O"],
+            "l_shipdate": pd.to_datetime(["2024-01-01"]).astype("datetime64[us]"),
+        }
+    ).to_parquet(os.path.join(base, "lineitem.parquet"))
+
+    names = [
+        "agg_approx_quantiles",
+        "agg_corr_covar",
+        "agg_histogram_numeric",
+        "agg_median_percentile",
+        "array_funcs",
+        "array_label_centroids",
+        "embedding_dimension_stats",
+        "knn_bruteforce_cosine",
+        "knn_ivf_probe",
+        "knn_signbucket_lsh",
+        "scalar_math_funcs",
+        "udf_pandas_zscore",
+    ]
+    reg = load_all()
+    bad = []
+    for n in names:
+        q = reg[n]
+        sdf = q.fn(spark, base)
+        sc, sr = canon_rows(list(sdf.columns), [tuple(r) for r in sdf.collect()])
+        con = duckdb.connect()
+        for t in ("embeddings", "supplier", "customer", "orders", "lineitem"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(base, t + '.parquet')}'")
+        cur = con.execute(q.oracle)
+        dc, dr = canon_rows([x[0] for x in cur.description], [tuple(r) for r in cur.fetchall()])
+        con.close()
+        if sc != dc or sr != dr:
+            bad.append(n)
+    assert not bad, bad
