@@ -43,13 +43,20 @@ Determinism discipline (so value-hashes match the oracle EXACTLY):
   double that can be tiny-negative is negative-zero-normalized with
   `+ 0.0` (identity everywhere except -0.0 -> +0.0) — the oracles spell
   it, Spark's round provides it inherently, and the pandas-UDF round
-  helper applies it explicitly. Residual out-of-contract lane: mixed
-  -0.0/+0.0 in RAW (un-rounded) grouping or ranking keys — Spark
-  normalizes -0.0 to 0.0 in group/join keys and sorts -0.0 < 0.0, while
-  DuckDB compares them equal and keys the group by first occurrence
-  (order-dependent even within DuckDB). No registered query groups or
-  ranks on a raw double a generator could set to -0.0; document per
-  query if one ever does.
+  helper applies it explicitly. Residual out-of-contract lane
+  (probe-pinned in test_oracle_parity): a STORED -0.0 surfaced as a
+  GROUP BY key — Spark's NormalizeFloatingNumbers rewrites the key to
+  +0.0 (merged group surfaces 0.0) while DuckDB keys the merged group
+  by first occurrence (may surface -0.0, order-dependent even within
+  DuckDB). Five oracles group/rank on raw stored doubles
+  (q10_returned_items, q18_large_volume_customer on the group-by side;
+  topk_per_group, window_ntile, window_range_between rank-only); the
+  rank-only ones are SAFE (both engines treat ±0.0 as ranking ties and
+  pass the stored value through untouched), so the lane is exactly
+  "stored -0.0 in q10/q18's group columns" — a value no parquet writer
+  in this corpus's lineage produces (it only arises from computed
+  negative underflow, and money semantics forbid it). Data contract,
+  same footing as the dsum non-finite lane.
 - Cross-engine string-function scope (differential-fuzzed in
   tests/test_dedup_cap.py): tokenization lowering is ASCII-translate
   (fully portable); upper()/levenshtein() agree only on ASCII inputs

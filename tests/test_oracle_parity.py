@@ -1434,3 +1434,44 @@ def test_surfaced_rounds_are_negative_zero_normalized(spark, tmp_path):
         if sc != dc or sr != dr:
             bad.append(n)
     assert not bad, bad
+
+
+def test_stored_negative_zero_group_key_is_the_documented_boundary(spark):
+    """Characterization pin for the one lane the `+ 0.0` convention does
+    NOT cover (registry determinism notes): a STORED -0.0 surfaced as a
+    raw GROUP BY key. Spark's NormalizeFloatingNumbers rewrites float
+    grouping keys, so the merged ±0.0 group SURFACES +0.0; DuckDB merges
+    too but keys the group by first occurrence and can surface -0.0.
+    Rankings are safe on both engines: window order keys treat ±0.0 as
+    ties (Spark normalizes them as well) and the stored cell value passes
+    through untouched. Kept as a data contract — stored money doubles are
+    never negative zero (no parquet writer in this corpus's lineage
+    produces one; it only arises from computed negative underflow) — on
+    the same footing as the dsum non-finite lane. Any future hash flip on
+    q10_returned_items / q18_large_volume_customer checks this first."""
+    import math
+
+    import duckdb
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(-0.0,), (0.0,)], "v double")
+    [(k, n)] = [(r["v"], r["count"]) for r in df.groupBy("v").count().collect()]
+    assert n == 2 and math.copysign(1.0, k) > 0  # Spark: merged, surfaces +0.0
+
+    [(dk, dn)] = duckdb.sql(
+        "SELECT v, count(*) FROM (VALUES (-0.0::DOUBLE), (0.0::DOUBLE)) t(v) GROUP BY v"
+    ).fetchall()
+    assert dn == 2 and math.copysign(1.0, dk) < 0  # DuckDB: merged, first-seen -0.0
+
+    # rankings tie on both engines (the rank-only raw-double queries are safe)
+    ranks = sorted(
+        r["rk"] for r in df.select(F.rank().over(Window.orderBy("v")).alias("rk")).collect()
+    )
+    dranks = sorted(
+        r[0] for r in duckdb.sql(
+            "SELECT rank() OVER (ORDER BY v) FROM (VALUES (-0.0::DOUBLE), (0.0::DOUBLE)) t(v)"
+        ).fetchall()
+    )
+    assert ranks == [1, 1] == dranks
