@@ -79,7 +79,10 @@ Determinism discipline (so value-hashes match the oracle EXACTLY):
   as NULL (the Hive/MySQL-export limitation; probe-pinned).
 - Decimal-exact aggregation data contract (r9 probe, pinned in
   test_oracle_parity): columns summed via the dsum/davg pattern (money,
-  event values) must be FINITE. On NaN/Inf, Spark's CAST(x AS DECIMAL)
+  event values) must be FINITE and |x| < 1e12 (beyond 12 integer digits
+  the DECIMAL(18,6) addend overflows — LOUDLY and engine-equally on
+  both sides, so no oracle guard is needed for that half; pinned).
+  On NaN/Inf, Spark's CAST(x AS DECIMAL)
   yields NULL (the row silently drops out of the sum) while DuckDB's
   refuses loudly — an asymmetric lane kept OUT OF CONTRACT rather than
   guarded in ~30 oracle strings; the embeddings family, where non-finite

@@ -1475,3 +1475,25 @@ def test_stored_negative_zero_group_key_is_the_documented_boundary(spark):
         ).fetchall()
     )
     assert ranks == [1, 1] == dranks
+
+
+def test_dsum_magnitude_bound_refuses_loudly_on_both_engines(spark):
+    """Completes the dsum data contract alongside the non-finite pin:
+    a value with more than 12 integer digits overflows the
+    CAST(x AS DECIMAL(18,6)) addend on BOTH engines, and both refuse
+    LOUDLY (Spark ANSI NUMERIC_VALUE_OUT_OF_RANGE, DuckDB
+    ConversionException) — no silent divergence, so unlike the NaN lane
+    this needs no oracle guard: the job fails identically on either
+    engine. Contract: decimal-exact aggregated columns are finite AND
+    |x| < 1e12."""
+    import duckdb
+    import pytest
+
+    df = spark.createDataFrame([(1e13,), (1.0,)], "v double")
+    with pytest.raises(Exception, match="NUMERIC_VALUE_OUT_OF_RANGE"):
+        df.selectExpr("CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS s").collect()
+    with pytest.raises(duckdb.Error):
+        duckdb.sql(
+            "SELECT CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)"
+            " FROM (VALUES (1e13), (1.0)) t(v)"
+        ).fetchone()
