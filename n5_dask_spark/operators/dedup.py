@@ -66,9 +66,38 @@ _SPARK_WS = "[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]"
 _DUCK_WS = "[ \\t\\n\\x0B\\f\\r]"
 _UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
 _LOWER = "abcdefghijklmnopqrstuvwxyz"
-_ASCII_LOWER = f"translate(text, '{_UPPER}', '{_LOWER}')"
-SPARK_TOKENS = f"split(regexp_replace({_ASCII_LOWER}, '{_SPARK_WS}+', ' '), ' ')"
-DUCK_TOKENS = f"string_split(regexp_replace({_ASCII_LOWER}, '{_DUCK_WS}+', ' ', 'g'), ' ')"
+
+
+def spark_tokens_over(col: str) -> str:
+    """Spark token-array expression over an arbitrary string expression."""
+    lowered = f"translate({col}, '{_UPPER}', '{_LOWER}')"
+    return f"split(regexp_replace({lowered}, '{_SPARK_WS}+', ' '), ' ')"
+
+
+def duck_tokens_over(col: str) -> str:
+    """DuckDB token-list expression over an arbitrary string expression."""
+    lowered = f"translate({col}, '{_UPPER}', '{_LOWER}')"
+    return f"string_split(regexp_replace({lowered}, '{_DUCK_WS}+', ' ', 'g'), ' ')"
+
+
+def nul_escape(col: str) -> str:
+    """Bijective NUL-byte escape, identical SQL on both engines: ESC=chr(1)
+    doubles itself, NUL becomes ESC+chr(2). Identity on any string free of
+    \\x00/\\x01 (the whole driver corpus), output always NUL-free.
+
+    Why it exists: DuckDB v1.0.0's SORT comparator (ORDER BY / rank /
+    list_sort — its sort keys are NUL-terminated) treats a string and its
+    NUL-extension as EQUAL ('x' ties 'x\\x00', order falls to input order)
+    while its scalar '<' and Spark everywhere compare full bytes — so any
+    sort/rank whose key can carry an embedded NUL silently diverges between
+    the engines. Sorting/ranking an ESCAPED key (chr(1)-chr(2) never tie)
+    makes the lane unreachable; injectivity keeps distinct keys distinct.
+    Probe-pinned in tests/test_oracle_parity.py."""
+    return f"replace(replace({col}, chr(1), chr(1) || chr(1)), chr(0), chr(1) || chr(2))"
+
+
+SPARK_TOKENS = spark_tokens_over("text")
+DUCK_TOKENS = duck_tokens_over("text")
 
 # Token COUNT without materializing the token array: split-after-collapse
 # yields exactly (#whitespace runs + 1) tokens for ANY input — each run

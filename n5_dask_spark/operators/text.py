@@ -23,7 +23,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from n5_dask_spark.catalog import load_tables
-from n5_dask_spark.operators.dedup import DUCK_TOKENS, SPARK_TOKENS
+from n5_dask_spark.operators.dedup import (
+    DUCK_TOKENS,
+    SPARK_TOKENS,
+    duck_tokens_over,
+    nul_escape,
+    spark_tokens_over,
+)
 from n5_dask_spark.registry import register
 
 # Stopword lists per language for the heuristic language ID / quality score.
@@ -182,10 +188,23 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fingerprint tokens are drawn from NUL-ESCAPED text (nul_escape: identity
+# on the driver corpus and any \x00/\x01-free string): DuckDB v1.0.0's
+# list_sort comparator ties 'x' with 'x\x00' (NUL-terminated sort keys,
+# order falls back to input order) while Spark's array_sort compares full
+# bytes, so sorting RAW tokens diverges the joined canonical string on any
+# document with an embedded NUL (r9 NUL-byte probe; pinned in
+# tests/test_oracle_parity.py). Escaped tokens are NUL-free — both engines
+# sort them binary-identically — and the escape is injective per token, so
+# fingerprint equality still means token-set equality.
+_FP_SPARK_TOKENS = spark_tokens_over(nul_escape("text"))
+_FP_DUCK_TOKENS = duck_tokens_over(nul_escape("text"))
+
+
 @register(
     "text_fingerprint",
     oracle=f"""
-    SELECT md5(array_to_string(list_sort(list_distinct({DUCK_TOKENS})), ' ')) AS fingerprint,
+    SELECT md5(array_to_string(list_sort(list_distinct({_FP_DUCK_TOKENS})), ' ')) AS fingerprint,
            MIN(doc_id) AS keeper_doc_id,
            COUNT(*) AS n_docs
     FROM documents
@@ -193,13 +212,14 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY fingerprint
     """,
     doc=(
-        "Document fingerprint: md5 of sorted distinct tokens (word-order- and "
-        "repetition-insensitive canonical key), grouped for dedup clustering."
+        "Document fingerprint: md5 of sorted distinct NUL-escaped tokens "
+        "(word-order- and repetition-insensitive canonical key), grouped for "
+        "dedup clustering."
     ),
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
-    fp = F.md5(F.array_join(F.array_sort(F.array_distinct(F.expr(SPARK_TOKENS))), " "))
+    fp = F.md5(F.array_join(F.array_sort(F.array_distinct(F.expr(_FP_SPARK_TOKENS))), " "))
     return (
         t["documents"]
         .groupBy(fp.alias("fingerprint"))
@@ -217,14 +237,21 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY source, tok
     ), ranked AS (
       SELECT source, tok, freq,
-             ROW_NUMBER() OVER (PARTITION BY source ORDER BY freq DESC, tok) AS rk
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY freq DESC, {nul_escape("tok")}) AS rk
       FROM tf
     )
     SELECT source, CAST(rk AS BIGINT) AS rk, tok, freq
     FROM ranked WHERE rk <= 5
     ORDER BY source, rk
     """,
-    doc="Per-source top-5 terms by frequency (tokenize->explode->count->topk).",
+    doc=(
+        "Per-source top-5 terms by frequency (tokenize->explode->count->topk). "
+        "The tok tiebreak ranks the NUL-ESCAPED token (identity on NUL-free "
+        "corpora): DuckDB's sort comparator ties 'x' with 'x\\x00' where "
+        "Spark compares full bytes, so a raw-token tiebreak could surface "
+        "different rows at the top-5 boundary on NUL-bearing text."
+    ),
 )
 def text_tf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("documents",))
@@ -234,7 +261,7 @@ def text_tf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "tok")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    w = Window.partitionBy("source").orderBy(F.col("freq").desc(), F.col("tok"))
+    w = Window.partitionBy("source").orderBy(F.col("freq").desc(), F.expr(nul_escape("tok")))
     return (
         tf.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= 5)

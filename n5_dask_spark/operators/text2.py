@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from n5_dask_spark.catalog import load_tables, widen
 from n5_dask_spark.operators._exact import dsum
-from n5_dask_spark.operators.dedup import DUCK_TOKENS, SPARK_N_TOKENS, SPARK_TOKENS
+from n5_dask_spark.operators.dedup import DUCK_TOKENS, SPARK_N_TOKENS, SPARK_TOKENS, nul_escape
 from n5_dask_spark.registry import register
 
 SALT_BUCKETS = 8
@@ -42,7 +42,8 @@ SALT_BUCKETS = 8
       FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
     ), ranked AS (
       SELECT doc_id, tok, tfidf,
-             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rk
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, {nul_escape("tok")}) AS rk
       FROM scored
     )
     SELECT doc_id, CAST(rk AS BIGINT) AS rk, tok, tfidf
@@ -79,7 +80,9 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tfidf"),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok"))
+    # NUL-escaped tok tiebreak: DuckDB's sort comparator ties 'x' with
+    # 'x\x00' (see dedup.nul_escape) — identity on NUL-free corpora
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.expr(nul_escape("tok")))
     return (
         scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter((F.col("rk") <= 3) & (F.col("doc_id") < 50))

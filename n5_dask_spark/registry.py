@@ -62,6 +62,22 @@ Determinism discipline (so value-hashes match the oracle EXACTLY):
   (fully portable); upper()/levenshtein() agree only on ASCII inputs
   (Java vs utf8proc case mapping; codepoints vs bytes) — fine for the
   ASCII driver tables, documented per query where used.
+- NUL bytes in SORT/RANK keys (r9 NUL-byte probe, pinned in
+  test_oracle_parity): DuckDB v1.0.0's sort comparator (ORDER BY /
+  rank / list_sort — NUL-terminated sort keys) ties a string with its
+  NUL-extension ('x' == 'x\\x00', order falls back to input order)
+  while its scalar '<'/GROUP BY and Spark everywhere compare full
+  bytes. Scalar comparisons, equality joins and group keys are
+  UNAFFECTED (both engines byte-strict there); the lane is only a
+  sorted/ranked key whose value can carry an embedded NUL. documents.
+  text is the one column where arbitrary bytes are plausible, so the
+  three queries that sort/rank raw token strings (text_fingerprint's
+  canonical sorted join, text_tf_top_terms / text_tfidf_top_terms tok
+  tiebreaks) key on nul_escape(tok) (dedup.py — bijective, NUL-free
+  output, identity on the driver corpus). Everything else that orders
+  strings does so on machine-generated NUL-free values (md5 hex,
+  TPC-H identifiers) or for presentation only (the hash re-sorts
+  rows) — data contract, same footing as the stored -0.0 lane.
 - DATE + INTERVAL type promotion (r9 probe): Spark keeps DATE, DuckDB
   promotes to TIMESTAMP — any interval sum SURFACED as an output column
   must cast to TIMESTAMP on both engines first (values agree on every
@@ -141,6 +157,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # queries (every one re-proves the changed scan) plus family-spread
     # fillers. After r9 no query's last green predates round 6.
     # (a) changed in r9
+    # NUL-byte-probe cohort (fourth r9 pass): DuckDB's sort comparator
+    # ties a string with its NUL-extension — these three now sort/rank
+    # nul_escape(tok); text_tf_top_terms is already in-window under (b)
+    "text_fingerprint",
+    "text_tfidf_top_terms",
     "n5_roundtrip_zprofile",  # canonical glob-scan write->scan->profile
     "scalar_date_funcs",  # due_date type-stabilized (TIMESTAMP both engines)
     "formats_csv_roundtrip",  # total-escaping CSV option contract (r9)
@@ -200,11 +221,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # n5_region_export_zprofile, n5_roundtrip_blosc*, join_salted,
     # formats_orc_roundtrip, multimodal_png_decode, ...) lead the r10
     # rotation.
+    # (text_langid and n5_region_read dropped to the r10 remainder by the
+    # NUL-byte cohort entering changed-first: the changed scan filter is
+    # already re-proven in-window by both glob-scan roundtrips)
     "n5_rechunk_stats",
-    "n5_region_read",
     "streaming_stateful_running_totals",
     "streaming_stream_stream_join",
-    "text_langid",
 )
 
 def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkFn], SparkFn]:

@@ -155,11 +155,15 @@ def run_unicode_doc_net(spark, tmp_path, seed):
     # combining marks (both on a base and BARE), unicode separators that are
     # NOT in the contracted ASCII whitespace class (NBSP, U+2028/U+2029 —
     # they must stay INSIDE tokens on both engines), and literal ASCII
-    # whitespace-class chars (\x0B \f \r) that must collapse on both.
+    # whitespace-class chars (\x0B \f \r) that must collapse on both,
+    # plus \x00/\x01/\x02: the NUL-byte sort lane (DuckDB's sort
+    # comparator ties a string with its NUL-extension; the three
+    # token-sorting queries key on nul_escape) and the escape's own
+    # alphabet, so the bijection itself stays under fuzz.
     uni = (
         "ÀßΣσς中文אבג٦ İı"
         "😀🇺🇸𝔘𝕏𝟘👩‍👩‍👧é́"
-        "́‍   \x0b\f\r"
+        "́‍   \x0b\f\r\x00\x01\x02"
     )
     texts = []
     for i in range(150):
@@ -1497,3 +1501,107 @@ def test_dsum_magnitude_bound_refuses_loudly_on_both_engines(spark):
             "SELECT CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)"
             " FROM (VALUES (1e13), (1.0)) t(v)"
         ).fetchone()
+
+
+def test_nul_extension_sort_tie_engine_level(spark):
+    """Engine-level pin of the NUL-byte sort boundary (r9 NUL probe):
+    DuckDB v1.0.0's SORT comparator — ORDER BY, rank, list_sort, whose
+    sort keys are NUL-terminated — treats a string and its NUL-extension
+    as EQUAL ('x' ties 'x\\x00'; list_sort falls back to input order,
+    rank assigns the same rank) even though its own scalar '<' compares
+    full bytes ('x' < 'x\\x00' is true). Spark compares full bytes
+    everywhere. GROUP BY / equality stay byte-strict on BOTH engines
+    (hashing, not the sort path), which is why only sorted/ranked keys
+    are exposed. nul_escape (dedup.py) closes the lane: its output is
+    NUL-free, so both comparators agree; identity on \\x00/\\x01-free
+    input; injective, so distinct tokens stay distinct."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from n5_dask_spark.operators.dedup import nul_escape
+
+    con = duckdb.connect()
+    # scalar comparison is strict...
+    assert con.execute("SELECT 'x' < ('x' || chr(0))").fetchone()[0] is True
+    # ...but the sort comparator ties: list_sort keeps INPUT order both ways
+    assert con.execute("SELECT list_sort(['x' || chr(0), 'x'])").fetchone()[0] == ["x\x00", "x"]
+    assert con.execute("SELECT list_sort(['x', 'x' || chr(0)])").fetchone()[0] == ["x", "x\x00"]
+    # rank over the pair ties them; group-by keeps them distinct
+    assert con.execute(
+        "SELECT rank() OVER (ORDER BY s) FROM (VALUES ('x'), ('x'||chr(0))) t(s)"
+    ).fetchall() == [(1,), (1,)]
+    assert con.execute(
+        "SELECT COUNT(*) FROM (SELECT s FROM (VALUES ('x'), ('x'||chr(0))) t(s) GROUP BY s)"
+    ).fetchone()[0] == 2
+    # Spark: strict binary order in array_sort (prefix sorts first)
+    got = spark.range(1).select(
+        F.array_sort(F.array(F.lit("x\x00"), F.lit("x"))).alias("a")
+    ).collect()[0]["a"]
+    assert got == ["x", "x\x00"]
+    # the escape closes the tie on the DuckDB side and is the identity
+    # on NUL/ESC-free strings on both engines
+    esc_ext = nul_escape("'x' || chr(0)")
+    esc_plain = nul_escape("'plain'")
+    esc_pair = con.execute(f"SELECT list_sort([{esc_ext}, 'x'])").fetchone()[0]
+    assert esc_pair == ["x", "x\x01\x02"]
+    assert con.execute(f"SELECT {esc_plain}").fetchone()[0] == "plain"
+    assert spark.range(1).selectExpr(f"{esc_plain} AS e").collect()[0]["e"] == "plain"
+    con.close()
+
+
+def test_token_sort_queries_match_oracles_on_nul_bytes(spark, tmp_path):
+    """NUL-byte probe net (r9 fourth pass): a crafted corpus plants the
+    exact divergence lanes — a document whose token set holds both 'x'
+    and its NUL-extension with the extension appearing FIRST (so DuckDB's
+    tie-keeps-input-order list_sort and Spark's strict array_sort would
+    join different canonical strings), frequency-TIED token pairs at the
+    top-k boundary of the tf/tfidf rankings (so a raw-token row_number
+    tiebreak would surface different (rk, tok) rows), plus \\x01/\\x02
+    literals to exercise the escape's bijectivity. Before the
+    nul_escape sort keys, text_fingerprint hash-flipped on this corpus
+    (found live by the r9 NUL family probe); all three queries must now
+    hash-match their oracles. The 42 other doc-family queries are
+    NUL-safe by construction (byte-strict groupBy/equality) and stay
+    netted via the unicode doc net's NUL lanes."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from n5_dask_spark.registry import load_all
+    from tests.oracle_harness import canon_rows
+
+    texts = [
+        "l\x00 l reqm stpk",        # extension BEFORE base: list_sort tie lane
+        "x\x00 x x\x00 x zz",       # tied freq (2 each) inside one source
+        "y\x01 y\x01\x02 y",        # escape-char literals: bijectivity lane
+        "x\x00 x plain words",      # spread the tie across docs
+        "\x00 lone nul token",      # a token that IS a single NUL
+        "plain ascii control doc",  # NUL-free control
+    ]
+    d = str(tmp_path)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["web"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(d, "documents.parquet"))
+
+    reg = load_all()
+    for name in ("text_fingerprint", "text_tf_top_terms", "text_tfidf_top_terms"):
+        q = reg[name]
+        sdf = q.fn(spark, d)
+        sc, sr = canon_rows(list(sdf.columns), [tuple(r) for r in sdf.collect()])
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+        cur = con.execute(q.oracle)
+        dc, dr = canon_rows([x[0] for x in cur.description], [tuple(r) for r in cur.fetchall()])
+        con.close()
+        assert sc == dc, name
+        assert sr == dr, (name, sr[:3], dr[:3])
