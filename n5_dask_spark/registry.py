@@ -104,6 +104,20 @@ Determinism discipline (so value-hashes match the oracle EXACTLY):
   guarded in ~30 oracle strings; the embeddings family, where non-finite
   input is actually plausible (embedder failures), carries real finite
   guards (embeddings.py, relational5.py).
+- BIGINT-sum overflow (r9 probe, pinned in test_oracle_parity):
+  every surfaced integer sum spells CAST(SUM(x) AS BIGINT) in its
+  oracle, so a FINAL total beyond int64 fails LOUDLY and engine-
+  equally (Spark ARITHMETIC_OVERFLOW in the long accumulator, DuckDB
+  ConversionException casting its HUGEINT result down) — no guard
+  needed, like the dsum magnitude bound. The residual asymmetric lane
+  is a TRANSIENT overflow with an in-range final total (mixed-sign
+  values whose running sum crosses 2^63): Spark's long accumulator
+  throws (partition-order-dependent) where DuckDB's int128 silently
+  succeeds — OUT OF CONTRACT, same footing as the dsum NaN lane. Not
+  reachable in this corpus's lineage: the summed integers (n_chars,
+  doc_id, token counts) are non-negative, so the running sum is
+  monotone and transient == final; even 100 TB of text totals ~1e14
+  chars, four orders below 2^63.
 - Grouping-set totals over an EMPTY relation are OUT OF CONTRACT (r9
   empty-table probe, pinned in test_oracle_parity): Spark's
   Expand-based ROLLUP/CUBE/GROUPING SETS emits ZERO rows on empty

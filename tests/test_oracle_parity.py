@@ -1605,3 +1605,37 @@ def test_token_sort_queries_match_oracles_on_nul_bytes(spark, tmp_path):
         con.close()
         assert sc == dc, name
         assert sr == dr, (name, sr[:3], dr[:3])
+
+
+def test_bigint_sum_overflow_boundary_is_characterized(spark):
+    """BIGINT-sum overflow contract (r9 probe), the integer sibling of the
+    dsum magnitude bound: every surfaced integer sum spells
+    CAST(SUM(x) AS BIGINT) in its oracle, so a FINAL total beyond int64
+    fails LOUDLY and engine-equally — Spark's long accumulator throws
+    ARITHMETIC_OVERFLOW, DuckDB accumulates in HUGEINT and throws
+    ConversionException casting the result down. The asymmetric residual
+    is a TRANSIENT overflow with an in-range final total (mixed signs):
+    Spark throws, partition-order-dependently, where DuckDB's int128
+    silently succeeds — out of contract (registry notes); unreachable on
+    this corpus's non-negative summed integers, where the running sum is
+    monotone and transient == final."""
+    import duckdb
+    import pytest
+
+    big = 6_000_000_000_000_000_000  # 2*big > 2^63-1 > big
+    # final-total overflow: loud on BOTH engines
+    df = spark.createDataFrame([(big,), (big,)], "v bigint")
+    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW"):
+        df.selectExpr("SUM(v)").collect()
+    with pytest.raises(duckdb.Error):
+        duckdb.sql(f"SELECT CAST(SUM(v) AS BIGINT) FROM (VALUES ({big}), ({big})) t(v)").fetchone()
+    # transient lane: DuckDB silently succeeds (HUGEINT accumulator)...
+    got = duckdb.sql(
+        f"SELECT CAST(SUM(v) AS BIGINT) FROM (VALUES ({big}), ({big}), ({-big})) t(v)"
+    ).fetchone()[0]
+    assert got == big
+    # ...where Spark's sequential long accumulator (single partition, so
+    # the order is pinned) crosses 2^63 mid-stream and throws
+    df3 = spark.createDataFrame([(big,), (big,), (-big,)], "v bigint").coalesce(1)
+    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW"):
+        df3.selectExpr("SUM(v)").collect()
