@@ -29,8 +29,14 @@ from n5_dask_spark.registry import register
     -- malformed/empty props; the integer-token regexp keeps DuckDB's
     -- TRY_CAST from rounding floats ('1.5' -> 2) or accepting '1e2';
     -- TRY_CAST nulls int32 overflow exactly like from_json's k INT.
-    -- Out of contract: duplicate keys ({"k":1,"k":2}) — Jackson takes the
-    -- last, yyjson the first; JSON leaves it undefined.
+    -- Out of contract (r9 parser-leniency probe, characterization-pinned):
+    -- duplicate keys ({"k":1,"k":2}) — Jackson takes the last, yyjson the
+    -- first; TRAILING CONTENT after the first document ('{"k":1}junk',
+    -- '{"k":1}{"k":2}') — Jackson stops at the end of the first value
+    -- where yyjson requires exactly one document; and TRAILING COMMAS
+    -- ('{"k":9,}') — yyjson accepts them, Jackson rejects. Single-quoted
+    -- strings are IN contract: from_json sets allowSingleQuotes=false
+    -- (Jackson's lenient default) to match strict-RFC yyjson.
     SELECT event_id, event_type,
            CASE WHEN json_valid(props)
                  AND regexp_matches(CAST(json_extract(props, '$.k') AS VARCHAR),
@@ -49,7 +55,12 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_id",
             "event_type",
-            F.from_json(F.col("props"), "k INT").getField("k").alias("k_val"),
+            # allowSingleQuotes=false: strict-RFC quoting, matching yyjson
+            # (Jackson's default leniency parsed {'k':1} where the oracle
+            # sees invalid JSON — r9 parser-leniency probe)
+            F.from_json(F.col("props"), "k INT", {"allowSingleQuotes": "false"})
+            .getField("k")
+            .alias("k_val"),
         )
         .orderBy("event_id")
     )

@@ -270,7 +270,12 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "ts",
             F.col("o.o_orderkey").alias("o_orderkey"),
-            F.col("o.o_orderdate").alias("o_orderdate"),
+            # surfaced-timestamp convention (registry notes): collect()
+            # renders LTZ through the PYTHON PROCESS timezone
+            # (datetime.fromtimestamp), NTZ timezone-independently — this
+            # was the one LTZ leak among all registered outputs (r9
+            # process-TZ gate). Identity under the tuned UTC session zone.
+            F.col("o.o_orderdate").cast("timestamp_ntz").alias("o_orderdate"),
         )
         .orderBy("event_id")
     )

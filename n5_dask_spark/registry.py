@@ -17,6 +17,18 @@ Determinism discipline (so value-hashes match the oracle EXACTLY):
   ranking or output, and all rankings carry a total-order tiebreaker key.
 - Every computed column is aliased identically on both sides (the driver
   sorts columns by name before hashing).
+- Surfaced timestamps are TIMESTAMP_NTZ, always (r9 process-TZ gate):
+  PySpark's collect() renders an LTZ timestamp through the PYTHON
+  PROCESS timezone (datetime.fromtimestamp) — the session zone, which
+  tune_session pins to UTC, does not govern that conversion — while
+  NTZ collects timezone-independently. A surfaced LTZ column is
+  therefore a latent hash flip on any driver host whose process TZ
+  isn't UTC (join_asof's o_orderdate was the one leak among all
+  registered outputs; fixed with a final NTZ cast, identity under the
+  UTC session zone). LTZ INSIDE a plan is fine — comparisons and
+  arithmetic are tuned-UTC-deterministic — the convention binds only
+  collected output columns, and the local harness now fails any
+  surfaced LTZ loudly (oracle_harness._has_ltz).
 - Window ORDER BY keys must be NON-NULLABLE (all current ones are): the
   engines default null ordering differently (Spark ASC = NULLS FIRST,
   DuckDB = NULLS LAST), so a rank over a nullable key would silently
@@ -84,11 +96,18 @@ Determinism discipline (so value-hashes match the oracle EXACTLY):
   proleptic-Gregorian date, year 1 through 9999, cutover week included;
   pinned in test_oracle_parity). Interval sums inside comparisons are
   unaffected (coercion keeps the predicate equal).
-- JSON duplicate keys are OUT OF CONTRACT: Jackson (Spark from_json)
-  takes the last occurrence, yyjson (DuckDB) the first; RFC 8259 leaves
-  it undefined. Every other adversarial-JSON lane (nested, array root,
-  floats, overflow, malformed) is engine-matched via the guarded
-  json_extract oracle (events.py) and probe-pinned.
+- JSON out-of-contract lanes (parser-leniency probe, r9): duplicate
+  keys — Jackson (Spark from_json) takes the last occurrence, yyjson
+  (DuckDB) the first, RFC 8259 leaves it undefined; TRAILING CONTENT
+  after the first document — Jackson stops at the end of the first
+  value, yyjson requires exactly one document; TRAILING COMMAS —
+  yyjson accepts, Jackson rejects (no engine knob aligns either lane;
+  characterization-pinned). Single-quoted strings are IN contract:
+  from_json sets allowSingleQuotes=false to match strict-RFC yyjson.
+  Every other adversarial-JSON lane (nested, array root, floats,
+  overflow, control chars raw and escaped, BOM, comments, malformed)
+  is engine-matched via the guarded json_extract oracle (events.py)
+  and probe-pinned.
 - CSV sentinel boundary: the total-escaping CSV roundtrip contract
   (formats.py) survives every string except a literal \\N — Spark
   matches nullValue after unquoting, so the sentinel itself reads back
@@ -176,6 +195,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # nul_escape(tok); text_tf_top_terms is already in-window under (b)
     "text_fingerprint",
     "text_tfidf_top_terms",
+    # process-TZ gate cohort (fourth r9 pass): the one surfaced-LTZ leak,
+    # now NTZ like every other registered output; events_json_extract
+    # (from_json allowSingleQuotes=false) is already in-window under (b)
+    "join_asof",
     "n5_roundtrip_zprofile",  # canonical glob-scan write->scan->profile
     "scalar_date_funcs",  # due_date type-stabilized (TIMESTAMP both engines)
     "formats_csv_roundtrip",  # total-escaping CSV option contract (r9)
@@ -235,10 +258,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # n5_region_export_zprofile, n5_roundtrip_blosc*, join_salted,
     # formats_orc_roundtrip, multimodal_png_decode, ...) lead the r10
     # rotation.
-    # (text_langid and n5_region_read dropped to the r10 remainder by the
-    # NUL-byte cohort entering changed-first: the changed scan filter is
-    # already re-proven in-window by both glob-scan roundtrips)
-    "n5_rechunk_stats",
+    # (text_langid, n5_region_read and n5_rechunk_stats dropped to the
+    # r10 remainder by the NUL-byte and process-TZ cohorts entering
+    # changed-first: the changed scan filter is already re-proven
+    # in-window by both glob-scan roundtrips, and n5_rechunk_stats stays
+    # benched every round)
     "streaming_stateful_running_totals",
     "streaming_stream_stream_join",
 )

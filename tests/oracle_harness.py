@@ -79,6 +79,21 @@ def canon_rows(cols: list[str], rows: list[tuple]) -> tuple[list[str], list[tupl
     return sorted_cols, out
 
 
+def _has_ltz(dt) -> bool:
+    """True if the data type contains a session-timezone TIMESTAMP (LTZ)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType, TimestampType
+
+    if isinstance(dt, TimestampType):
+        return True
+    if isinstance(dt, StructType):
+        return any(_has_ltz(f.dataType) for f in dt.fields)
+    if isinstance(dt, ArrayType):
+        return _has_ltz(dt.elementType)
+    if isinstance(dt, MapType):
+        return _has_ltz(dt.keyType) or _has_ltz(dt.valueType)
+    return False
+
+
 def compare_query(spark, name: str, sf_dir: str) -> dict:
     from n5_dask_spark.registry import load_all
 
@@ -88,6 +103,18 @@ def compare_query(spark, name: str, sf_dir: str) -> dict:
     s_rows = [tuple(r) for r in sdf.collect()]
 
     result = {"name": name, "rows": len(s_rows), "oracle": q.oracle is not None}
+    # Surfaced-timestamp convention (registry notes): every surfaced
+    # timestamp must be TIMESTAMP_NTZ. collect() renders LTZ through the
+    # PYTHON PROCESS timezone (datetime.fromtimestamp) — tz-dependent even
+    # with the session zone tuned to UTC — while NTZ collects timezone-
+    # independently. An LTZ output is a latent hash flip on any non-UTC
+    # driver host (r9 process-TZ gate caught join_asof's o_orderdate), so
+    # the harness fails it loudly even when values happen to match here.
+    ltz_cols = [f.name for f in sdf.schema.fields if _has_ltz(f.dataType)]
+    if ltz_cols:
+        result["ltz_cols"] = ltz_cols
+        result["match"] = False
+        return result
     if q.oracle is None:
         result["match"] = len(s_rows) >= 0
         return result

@@ -1092,6 +1092,17 @@ def test_json_extract_matches_oracle_on_adversarial_props(spark, tmp_path):
         '{"k": 99999999999999999999}', '{"j": {"k": 7}}', '[{"k": 1}]',
         '{"kk": 3}', '{k: 5}', '', 'not json', '{"k": []}',
         '{"a": 1, "k": 42}', '{"k": 5, "a": 1}', '   {"k": 9}   ',
+        # r9 parser-leniency probe additions — all engine-agreed: raw
+        # control chars in strings invalidate on both (Jackson and yyjson
+        # reject unescaped NUL/tab/newline), escaped \\u0000 parses on
+        # both, single quotes now rejected on both (allowSingleQuotes
+        # =false), BOM/hex/leading-plus/NaN/comments invalid on both,
+        # deep nesting fine on both
+        '{"k": 1\x00}', '{"a":"b\x00c","k":2}', '{"a":"b\\u0000c","k":3}',
+        '{"a":"tab\there","k":4}', '{"a":"nl\nhere","k":5}',
+        "{'k': 10}", '﻿{"k":7}', '{"k": 0x10}', '{"k": +8}',
+        '{"k":NaN}', '{"k":11 /*c*/}',
+        '{"k":6,"a":' + '{"b":' * 400 + '1' + '}' * 400 + '}',
     ]
     events = pd.DataFrame(
         {
@@ -1639,3 +1650,67 @@ def test_bigint_sum_overflow_boundary_is_characterized(spark):
     df3 = spark.createDataFrame([(big,), (big,), (-big,)], "v bigint").coalesce(1)
     with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW"):
         df3.selectExpr("SUM(v)").collect()
+
+
+def test_json_parser_leniency_lanes_are_the_documented_boundary(spark):
+    """Characterization pin of the two JSON lanes kept OUT OF CONTRACT
+    (r9 parser-leniency probe, registry notes + events.py oracle):
+    (1) trailing content after the first document — Jackson (Spark
+    from_json) stops at the end of the first value and parses it, yyjson
+    (DuckDB) requires the whole string to be exactly one document and
+    calls it invalid; (2) trailing commas — yyjson accepts them, Jackson
+    rejects. Both are grammar-extension choices with no engine knob to
+    align them (Jackson has no strict-trailing option under from_json;
+    DuckDB doesn't expose yyjson flags). Machine-serialized event props
+    produce neither. If either assert flips after an engine upgrade,
+    revisit the contract note before touching any oracle."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    cases = ['{"k":1}\x00', '{"k":1}{"k":2}', '{"k": 9,}']
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], "i int, p string")
+    got = {
+        r.i: r.k
+        for r in df.select(
+            "i",
+            F.from_json("p", "k INT", {"allowSingleQuotes": "false"}).getField("k").alias("k"),
+        ).collect()
+    }
+    assert got[0] == 1 and got[1] == 1  # Jackson: first document wins
+    assert got[2] is None  # Jackson rejects trailing comma
+    con = duckdb.connect()
+    valid = [
+        con.execute("SELECT json_valid(?)", [c]).fetchone()[0] for c in cases
+    ]
+    con.close()
+    assert valid == [False, False, True]  # yyjson: exact opposite leniencies
+
+
+def test_surfaced_timestamps_are_ntz_and_harness_catches_ltz(spark):
+    """Surfaced-timestamp convention pin (r9 process-TZ gate): PySpark's
+    collect() converts an LTZ timestamp via datetime.fromtimestamp — the
+    PYTHON PROCESS timezone, which the tuned UTC SESSION zone does not
+    govern — while TIMESTAMP_NTZ collects timezone-independently. Running
+    the full gate with TZ=America/New_York exported before JVM launch
+    flipped exactly one query: join_asof surfaced o_orderdate as LTZ
+    (every other registered output was already NTZ). Pins the fix plus
+    the harness guard that now fails ANY surfaced LTZ loudly, so the
+    convention is enforced on every future gate/net run rather than only
+    on TZ-hostile hosts."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
+
+    from n5_dask_spark.registry import load_all
+    from tests.oracle_harness import _has_ltz
+
+    sdf = load_all()["join_asof"].fn(spark, "/root/testdata/sf0.001")
+    assert isinstance(sdf.schema["o_orderdate"].dataType, TimestampNTZType)
+    assert not any(_has_ltz(f.dataType) for f in sdf.schema.fields)
+    # the guard sees LTZ even nested inside structs/arrays
+    probe = spark.range(1).select(
+        F.struct(F.current_timestamp().alias("t")).alias("s"),
+        F.array(F.lit(1)).alias("a"),
+    )
+    assert _has_ltz(probe.schema["s"].dataType)
+    assert not _has_ltz(probe.schema["a"].dataType)
