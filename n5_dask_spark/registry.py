@@ -90,6 +90,18 @@ Determinism discipline (so value-hashes match the oracle EXACTLY):
   strings does so on machine-generated NUL-free values (md5 hex,
   TPC-H identifiers) or for presentation only (the hash re-sorts
   rows) — data contract, same footing as the stored -0.0 lane.
+  Two adjacent lanes, probed the same round (events/orders NUL net):
+  (a) the comparator also leaks into DuckDB's window partition-
+  BOUNDARY detection — sort-adjacent window partitions whose string
+  keys differ only by NUL-extension can MERGE (hash-group-adjacency-
+  dependent: a VALUES repro stays split, the same data via parquet
+  merges) where Spark always separates them; every registered window
+  partitions on ints, md5 hex, or contract enums, so this stays under
+  the same data contract, characterization-pinned. (b) a partitioned
+  WRITE refuses a NUL-bearing partition value LOUDLY on Spark (Hive
+  path escaping leaves the raw NUL in the directory name and the
+  filesystem rejects it — the right behavior for corrupt enum data;
+  pinned), so formats_partitioned_pruning needs no guard.
 - DATE + INTERVAL type promotion (r9 probe): Spark keeps DATE, DuckDB
   promotes to TIMESTAMP — any interval sum SURFACED as an output column
   must cast to TIMESTAMP on both engines first (values agree on every

@@ -1714,3 +1714,71 @@ def test_surfaced_timestamps_are_ntz_and_harness_catches_ltz(spark):
     )
     assert _has_ltz(probe.schema["s"].dataType)
     assert not _has_ltz(probe.schema["a"].dataType)
+
+
+def test_nul_in_window_partition_key_is_the_documented_boundary(spark, tmp_path):
+    """Characterization pin: DuckDB's NUL-terminated sort comparator also
+    leaks into window partition-BOUNDARY detection. On a parquet corpus
+    whose o_orderpriority pool holds both '1-URGENT' and its
+    NUL-extension, window_range_between's oracle MERGES the two window
+    partitions (frame counts span both) while Spark keeps them separate
+    — and the merge is hash-group-adjacency-dependent (a VALUES-based
+    repro of the same rows stays split). Every registered window
+    partitions on ints, md5 hex, or machine-enum contract strings, so
+    the lane is data contract (registry notes); this pin exists so an
+    engine upgrade that changes either side is noticed before any
+    contract note goes stale."""
+    import datetime
+    import os
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from n5_dask_spark.registry import load_all
+
+    rng = random.Random(3)
+    pool = [datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=6 * k) for k in range(10)]
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": range(300),
+            "o_custkey": [rng.randrange(0, 12) for _ in range(300)],
+            "o_orderstatus": [rng.choice(["O", "F"]) for _ in range(300)],
+            "o_totalprice": [float(rng.choice([10.0, 20.0, 30.0])) for _ in range(300)],
+            "o_orderdate": [rng.choice(pool) for _ in range(300)],
+            "o_orderpriority": [
+                rng.choice(["1-URGENT", "1-URGENT\x00", "5-LOW"]) for _ in range(300)
+            ],
+        }
+    )
+    orders.astype({"o_orderdate": "datetime64[us]"}).to_parquet(tmp_path / "orders.parquet")
+    q = load_all()["window_range_between"]
+
+    sizes = orders[orders.o_custkey < 50].o_orderpriority.value_counts()
+    both = int(sizes["1-URGENT"] + sizes["1-URGENT\x00"])
+    # Spark: per-key partitions — no frame count can reach the merged size
+    srows = q.fn(spark, str(tmp_path)).collect()
+    s_max = max(r.n_within_1000 for r in srows if r.o_orderpriority.startswith("1-URGENT"))
+    assert s_max == int(sizes["1-URGENT\x00"])  # the larger of the two, alone
+    # DuckDB: the two partitions merge — the max frame spans BOTH keys
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{tmp_path / 'orders.parquet'}'")
+    drows = con.execute(q.oracle).fetchall()
+    con.close()
+    d_max = max(r[3] for r in drows if r[1].startswith("1-URGENT"))
+    assert d_max == both
+
+
+def test_partitioned_write_refuses_nul_partition_values_loudly(spark, tmp_path):
+    """A NUL byte in a partition-column value kills the partitioned write
+    LOUDLY: Spark's Hive path escaping leaves the raw NUL in the
+    directory name ('p=a<NUL>b') and the filesystem rejects it (Mkdirs
+    failure -> TASK_WRITE_FAILED). Loud is correct — a NUL in an enum
+    partition column is corrupt data, and silently escaping it would
+    just defer the surprise to the read side — so
+    formats_partitioned_pruning carries no guard (registry notes)."""
+    import pytest
+
+    df = spark.createDataFrame([(1, "a\x00b"), (2, "ok")], "k int, p string").coalesce(1)
+    with pytest.raises(Exception, match="TASK_WRITE_FAILED"):
+        df.write.mode("overwrite").partitionBy("p").parquet(str(tmp_path / "out"))
