@@ -102,6 +102,15 @@ Determinism discipline (so value-hashes match the oracle EXACTLY):
   path escaping leaves the raw NUL in the directory name and the
   filesystem rejects it — the right behavior for corrupt enum data;
   pinned), so formats_partitioned_pruning needs no guard.
+- Hive-partition NULL conflation (r9 probe, pinned): a partitioned
+  write maps an EMPTY-STRING partition value (and a literal
+  '__HIVE_DEFAULT_PARTITION__') onto the same directory as NULL, so
+  both read back as NULL — a SILENT roundtrip mutation inherent to the
+  Hive layout, not a Spark defect. formats_partitioned_pruning is
+  immune (its IN-filter drops '' and NULL alike before the compare);
+  the contract for any future partition-column choice is: values must
+  be non-empty, NUL-free, and distinct from the Hive default sentinel,
+  or the job must carry them in a data column instead.
 - DATE + INTERVAL type promotion (r9 probe): Spark keeps DATE, DuckDB
   promotes to TIMESTAMP — any interval sum SURFACED as an output column
   must cast to TIMESTAMP on both engines first (values agree on every

@@ -1782,3 +1782,21 @@ def test_partitioned_write_refuses_nul_partition_values_loudly(spark, tmp_path):
     df = spark.createDataFrame([(1, "a\x00b"), (2, "ok")], "k int, p string").coalesce(1)
     with pytest.raises(Exception, match="TASK_WRITE_FAILED"):
         df.write.mode("overwrite").partitionBy("p").parquet(str(tmp_path / "out"))
+
+
+def test_partitioned_write_conflates_empty_string_with_null(spark, tmp_path):
+    """Characterization pin of the Hive-layout NULL conflation (r9 probe):
+    a partitioned write maps an empty-string partition value onto the
+    same __HIVE_DEFAULT_PARTITION__ directory as NULL, so '' reads back
+    as NULL — a silent roundtrip mutation inherent to encoding values in
+    directory NAMES (a name can't be empty). formats_partitioned_pruning
+    is immune: its partition-column IN-filter drops '' and NULL alike
+    before anything is compared. Registry notes carry the partition-
+    column contract (non-empty, NUL-free, not the sentinel)."""
+    df = spark.createDataFrame([(1, ""), (2, "ok"), (3, None)], "k int, p string").coalesce(1)
+    out = str(tmp_path / "part")
+    df.write.mode("overwrite").partitionBy("p").parquet(out)
+    back = sorted(
+        (r.k, r.p) for r in spark.read.schema(df.schema).parquet(out).collect()
+    )
+    assert back == [(1, None), (2, "ok"), (3, None)]  # '' came back as NULL
