@@ -581,11 +581,13 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_math_funcs",
     oracle="""
     SELECT s_suppkey,
-           ABS(s_acctbal) AS abs_bal,
-           ROUND(s_acctbal, 1) + 0.0 AS round_bal,
+           ABS(s_acctbal) + 0.0 AS abs_bal,
+           CASE WHEN ABS(s_acctbal) >= 4503599627370496.0 THEN s_acctbal
+                ELSE ROUND(s_acctbal, 1) + 0.0 END AS round_bal,
            FLOOR(s_acctbal) + 0.0 AS floor_bal,
            CEIL(s_acctbal) + 0.0 AS ceil_bal,
-           ROUND(SQRT(ABS(s_acctbal)), 6) AS sqrt_bal,
+           CASE WHEN ABS(s_acctbal) >= 100000000.0 THEN SQRT(ABS(s_acctbal) + 0.0)
+                ELSE ROUND(SQRT(ABS(s_acctbal) + 0.0), 6) + 0.0 END AS sqrt_bal,
            ROUND(LN(ABS(s_acctbal) + 1), 6) AS ln_bal,
            CAST(s_suppkey % 7 AS BIGINT) AS mod7
     FROM supplier ORDER BY s_suppkey
@@ -594,17 +596,58 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("supplier",))
+
+    def _int_part(rounder):
+        # Spark's floor/ceil(double) return BIGINT and SILENTLY CLAMP to
+        # +/-Long.MAX at |x| >= 2^63 (even under ANSI) while DuckDB's
+        # double-returning FLOOR/CEIL keep the true value — a silent hash
+        # flip on extreme magnitudes. Every double at |x| >= 2^63 > 2^52 is
+        # already integral, so floor(x) = ceil(x) = x there: guard the
+        # builtin to the representable range and pass the value through
+        # beyond it. Engine-equal for ALL finite doubles (probe-pinned in
+        # tests/test_oracle_parity.py).
+        c = F.col("s_acctbal")
+        return F.when(F.abs(c) >= F.lit(9.223372036854775808e18), c).otherwise(
+            rounder(c).cast("double")
+        )
+
+    # ROUND(double, s) is engine-equal only while |x|*10^s stays inside
+    # double precision: DuckDB rounds via nearbyint(x*10^s)/10^s, which
+    # loses ulps once x*10^s > 2^53, while Spark's BigDecimal path is
+    # exact (probe: ROUND(9223372036854774784.0, 1) diverged). Every
+    # double at |x| >= 2^52 is integral, so round-to-decimals is the
+    # identity there — both sides pass the value through (same CASE in
+    # the oracle). The sub-2^52 shortest-repr-vs-binary lane stays the
+    # documented ROUND boundary (registry determinism notes).
+    bal = F.col("s_acctbal")
+    round_bal = F.when(F.abs(bal) >= F.lit(4503599627370496.0), bal).otherwise(
+        F.round(bal, 1)
+    )
+
+    # sqrt itself is IEEE correctly-rounded — bit-exact across engines with
+    # NO tolerance needed. The ROUND-to-6dp wrapper (there for symmetry
+    # with ln's libm tolerance) is what DIVERGES once sqrt's ulp nears the
+    # 6th decimal (probe: bal = 9.2e18 -> sqrt = 3e9, x*1e6 at ulp 0.5 —
+    # BigDecimal half-up vs nearbyint ties-to-even). Past |bal| >= 1e8 the
+    # raw sqrt is surfaced unrounded; below it sqrt < 1e4 keeps the
+    # boundary-hit probability at the measure-zero level of the documented
+    # ROUND contract. ln(|x|+1) <= 709 at any double, so its 6dp wrapper
+    # is safe everywhere.
+    sqrt_bal = F.when(F.abs(bal) >= F.lit(1e8), F.sqrt(F.abs(bal))).otherwise(
+        F.round(F.sqrt(F.abs(bal)), 6)
+    )
+
     return (
         t["supplier"]
         .select(
             "s_suppkey",
             F.abs("s_acctbal").alias("abs_bal"),
-            F.round("s_acctbal", 1).alias("round_bal"),
+            round_bal.alias("round_bal"),
             # Cast to double: Spark floor/ceil return BIGINT while DuckDB's
             # FLOOR/CEIL(double) return DOUBLE — the driver hash is type-aware.
-            F.floor("s_acctbal").cast("double").alias("floor_bal"),
-            F.ceil("s_acctbal").cast("double").alias("ceil_bal"),
-            F.round(F.sqrt(F.abs(F.col("s_acctbal"))), 6).alias("sqrt_bal"),
+            _int_part(F.floor).alias("floor_bal"),
+            _int_part(F.ceil).alias("ceil_bal"),
+            sqrt_bal.alias("sqrt_bal"),
             F.round(F.log(F.abs(F.col("s_acctbal")) + 1), 6).alias("ln_bal"),
             (F.col("s_suppkey") % 7).cast("bigint").alias("mod7"),
         )

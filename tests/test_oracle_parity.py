@@ -1514,6 +1514,79 @@ def test_dsum_magnitude_bound_refuses_loudly_on_both_engines(spark):
         ).fetchone()
 
 
+def test_floor_ceil_clamp_boundary_engine_level(spark):
+    """Engine-level pin of the floor/ceil magnitude boundary (r9 pass-5
+    probe): Spark's floor/ceil(double) return BIGINT and SILENTLY CLAMP
+    to +/-Long.MAX at |x| >= 2^63 — even under ANSI — while DuckDB's
+    double-returning FLOOR/CEIL keep the true value. A silent VALUE
+    divergence (worse than the loud dsum lane), closed in
+    scalar_math_funcs by guarding the builtin to |x| < 2^63 and passing
+    the value through beyond it (every double at |x| >= 2^63 > 2^52 is
+    already integral, so floor(x) = ceil(x) = x there)."""
+    import duckdb
+
+    r = spark.sql("SELECT floor(1e308d) AS f, ceil(-1e308d) AS c").collect()[0]
+    assert r.f == 9223372036854775807  # the silent clamp this pin documents
+    assert r.c == -9223372036854775808
+    d = duckdb.sql("SELECT FLOOR(1e308::DOUBLE), CEIL(-1e308::DOUBLE)").fetchone()
+    assert d == (1e308, -1e308)
+
+
+def test_math_funcs_match_oracle_on_extreme_magnitudes(spark, tmp_path):
+    """scalar_math_funcs on a supplier corpus of extreme balances — the
+    clamp boundary above plus every magnitude lane no net draws: +/-0.0,
+    denormals, the exact 2^63 boundary from both sides, and +/-1e308.
+    Before the floor/ceil guard, every |bal| >= 2^63 row hash-flipped
+    silently (Spark surfaced 9.223372036854776e18 for floor(1e308));
+    ROUND-at-6dp itself was probe-verified engine-equal at these
+    magnitudes (sqrt is IEEE correctly-rounded; ln lands at O(100) where
+    6dp absorbs libm's 1 ulp)."""
+    import os
+
+    import duckdb
+    import pandas as pd
+
+    from n5_dask_spark.registry import load_all
+    from tests.oracle_harness import canon_rows
+
+    bals = [
+        0.0,
+        -0.0,
+        5e-324,
+        -5e-324,
+        2.5,
+        -2.5,
+        123.456,
+        9223372036854774784.0,  # largest double below 2^63: builtin lane
+        -9223372036854774784.0,
+        9223372036854775808.0,  # exactly 2^63: first pass-through value
+        9.3e18,
+        -9.3e18,
+        1e308,
+        -1e308,
+    ]
+    df = pd.DataFrame(
+        {
+            "s_suppkey": range(1, len(bals) + 1),
+            "s_name": [f"Supplier#{i}" for i in range(len(bals))],
+            "s_nationkey": pd.array([i % 5 for i in range(len(bals))], dtype="int32"),
+            "s_acctbal": bals,
+        }
+    )
+    path = os.path.join(str(tmp_path), "supplier.parquet")
+    df.to_parquet(path)
+    q = load_all()["scalar_math_funcs"]
+    sdf = q.fn(spark, str(tmp_path))
+    sc, sr = canon_rows(list(sdf.columns), [tuple(r) for r in sdf.collect()])
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW supplier AS SELECT * FROM '{path}'")
+    cur = con.execute(q.oracle)
+    dc, dr = canon_rows([x[0] for x in cur.description], [tuple(r) for r in cur.fetchall()])
+    con.close()
+    assert sc == dc
+    assert sr == dr, [(a, b) for a, b in zip(sr, dr) if a != b][:4]
+
+
 def test_nul_extension_sort_tie_engine_level(spark):
     """Engine-level pin of the NUL-byte sort boundary (r9 NUL probe):
     DuckDB v1.0.0's SORT comparator — ORDER BY, rank, list_sort, whose
