@@ -31,6 +31,13 @@ def test_n5_grid_stress_smoke(spark, tmp_path):
 
 
 @pytest.mark.skipif(not os.environ.get("N5DS_STRESS"), reason="set N5DS_STRESS=1 to run")
+def test_tiff_series_stress_smoke(spark, tmp_path):
+    stress = _stress_module()
+    out = stress.tiff_series_stress(spark, str(tmp_path), n_z=16, wh=(96, 80))
+    assert out["tiff_series_slices"] == 16  # verify leg asserts the roundtrip
+
+
+@pytest.mark.skipif(not os.environ.get("N5DS_STRESS"), reason="set N5DS_STRESS=1 to run")
 def test_dedup_stress_smoke(spark, tmp_path):
     stress = _stress_module()
     out = stress.dedup_stress(spark, str(tmp_path), rows=80_000)  # 20k docs

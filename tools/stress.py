@@ -188,6 +188,11 @@ def main(rows: int = 20_000_000) -> None:
     grid_out = n5_grid_stress(spark, base, dims=(1024, 1024, 256), bs=(32, 32, 32))
     out.update(grid_out)
 
+    # --- TIFF source family at scale: 256-slice series (10x the fixture's
+    # z depth, ~256 MB decoded) through the registered import/export
+    # pipelines with a distributed per-slice roundtrip verify (r9)
+    out.update(tiff_series_stress(spark, base, n_z=256, wh=(1024, 1024)))
+
     # --- documents-scale dedup: the text/dedup family's direct scale
     # evidence (VERDICT r6 item 5) — the N5 and relational families
     # already have theirs above
@@ -405,6 +410,100 @@ def n5_grid_stress(
     levels = build_multiscale(spark, container, "img")
     out["n5_grid_multiscale"] = round(time.perf_counter() - t0, 2)
     out["n5_grid_levels"] = len(levels)
+    return out
+
+
+def tiff_series_stress(spark, base: str, n_z: int = 256, wh=(1024, 1024)) -> dict[str, float]:
+    """TIFF source-family scale leg (r9): synthesize an n_z-slice uint8
+    series DISTRIBUTED (one encoded TIFF per task — the driver never holds
+    the volume), import through the registered tif_series_to_n5 pipeline
+    (per-slice decode -> fragment-shuffle rechunk to 128^3 -> guarded N5
+    sink), export back through n5_to_tif_series (rechunk to 1-slice slabs
+    -> per-slice sink), then verify the roundtrip DISTRIBUTED: per-slice
+    pixel md5s of the input and exported series must match 1:1. The N5
+    grid leg proves the fragment shuffle at 8k blocks; this one proves the
+    TIFF codec + slice-spine joins survive a series 10x the fixture."""
+    import hashlib
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+
+    from n5_dask_spark.sources.tiff import (
+        decode_tiff,
+        n5_to_tif_series,
+        tif_series_to_n5,
+        write_tiff,
+    )
+
+    out: dict[str, float] = {}
+    h, w = wh
+    out["tiff_series_slices"] = n_z
+    src_dir = os.path.join(base, f"tiff_src_{n_z}_{h}x{w}")
+
+    t0 = time.perf_counter()
+    if not os.path.exists(os.path.join(src_dir, "_DONE")):
+        os.makedirs(src_dir, exist_ok=True)
+
+        def synth(batches):
+            for pdf in batches:
+                n = 0
+                for z in pdf["id"]:
+                    z = int(z)
+                    col = (np.arange(w, dtype=np.int64) * 31 + z * 17) % 251
+                    arr = ((col[None, :] + np.arange(h, dtype=np.int64)[:, None] * 7) % 251).astype(
+                        "u1"
+                    )
+                    write_tiff(os.path.join(src_dir, f"z{z:05d}.tif"), arr)
+                    n += 1
+                yield pd.DataFrame({"n": [n]})
+
+        (
+            spark.range(n_z)
+            .repartition(spark.sparkContext.defaultParallelism)
+            .mapInPandas(synth, "n long")
+            .collect()
+        )
+        open(os.path.join(src_dir, "_DONE"), "w").close()
+    out["tiff_series_synth"] = round(time.perf_counter() - t0, 2)
+
+    container = os.path.join(base, f"tiff_vol_{n_z}.n5")
+    t0 = time.perf_counter()
+    if not os.path.exists(os.path.join(container, "img/s0/attributes.json")):
+        tif_series_to_n5(
+            spark, src_dir, container, "img/s0", [128, 128, 128], {"type": "gzip"}
+        )
+    out["tiff_series_import"] = round(time.perf_counter() - t0, 2)
+
+    exp_dir = os.path.join(base, f"tiff_exp_{n_z}_{os.getpid()}")
+    t0 = time.perf_counter()
+    n_written = n5_to_tif_series(spark, container, "img/s0", exp_dir)
+    out["tiff_series_export"] = round(time.perf_counter() - t0, 2)
+    assert n_written == n_z, f"export wrote {n_written} slices, expected {n_z}"
+
+    def slice_md5(dirpath, alias):
+        df = spark.read.format("binaryFile").load(os.path.join(dirpath, "*.tif"))
+
+        def digest(batches):
+            for pdf in batches:
+                zs, hs = [], []
+                for p, c in zip(pdf["path"], pdf["content"]):
+                    zs.append(int(_re.findall(r"(\d+)", os.path.basename(p))[-1]))
+                    hs.append(hashlib.md5(decode_tiff(bytes(c)).tobytes()).hexdigest())
+                yield pd.DataFrame({"z": zs, alias: hs})
+
+        return df.select("path", "content").mapInPandas(digest, f"z int, {alias} string")
+
+    t0 = time.perf_counter()
+    joined = slice_md5(src_dir, "h_src").join(slice_md5(exp_dir, "h_exp"), "z", "full_outer")
+    agg = joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("h_src") == F.col("h_exp"), 0).otherwise(1)).alias("bad"),
+    ).collect()[0]
+    out["tiff_series_verify"] = round(time.perf_counter() - t0, 2)
+    assert agg["n"] == n_z and agg["bad"] == 0, (
+        f"TIFF roundtrip mismatch: {agg['bad']} of {agg['n']} slices differ"
+    )
     return out
 
 
