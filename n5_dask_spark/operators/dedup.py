@@ -192,12 +192,26 @@ def _spark_shingles(df: DataFrame) -> DataFrame:
     )
 
 
+# The flat/LEAD form instead of the obvious lateral
+# `FROM toks, UNNEST(range(1, len(w)-1)) AS t(i) ... w[i]`: the lateral
+# cross join duplicates the WHOLE token list for every generated row, so a
+# single 24k-token document costs O(n^2) string copies — the long-document
+# net measured >15 s per oracle on one such doc vs 0.15 s for this form
+# (identical shingle sets, probe-verified). unnest+generate_subscripts zip
+# linearly, and LEAD over (doc_id, position) rebuilds the 3-gram without
+# ever re-touching the list.
 DUCK_SHINGLES = f"""
     WITH toks AS (
       SELECT doc_id, {DUCK_TOKENS} AS w FROM documents
+    ), flat AS (
+      SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS i FROM toks
+    ), sh0 AS (
+      SELECT doc_id,
+             tok || ' ' || LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY i)
+                 || ' ' || LEAD(tok, 2) OVER (PARTITION BY doc_id ORDER BY i) AS shingle
+      FROM flat
     ), sh AS (
-      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-      FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+      SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL
     )
 """
 

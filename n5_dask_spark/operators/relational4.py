@@ -84,9 +84,19 @@ def agg_argminmax_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, {DUCK_TOKENS} AS w FROM documents
+    ), flat AS (
+      -- linear flat/LEAD form, not the lateral `UNNEST(range(..)) .. w[i]`:
+      -- the lateral duplicates the whole token list per generated row —
+      -- O(n^2) on a long document (see dedup.DUCK_SHINGLES). Bigrams are a
+      -- MULTISET here (counts feed the MLE), so no DISTINCT: LEAD emits
+      -- exactly the same len(w)-1 ordered pairs per doc.
+      SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS i FROM toks
     ), bigrams AS (
-      SELECT doc_id, w[i] AS w1, w[i+1] AS w2
-      FROM toks, UNNEST(range(1, len(w))) AS t(i)
+      SELECT doc_id, w1, w2 FROM (
+        SELECT doc_id, tok AS w1,
+               LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+        FROM flat
+      ) WHERE w2 IS NOT NULL
     ), uni AS (
       SELECT w1, COUNT(*) AS c1 FROM bigrams GROUP BY w1
     ), bi AS (

@@ -248,23 +248,39 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # decimal — all three guarded engine-equal on ALL finite doubles,
     # probe-pinned in test_oracle_parity.
     "scalar_math_funcs",
-    # (b) the 28 round-5-stale greens
-    "agg_distinct",
+    # long-document cohort (fifth r9 pass): the shared DUCK_SHINGLES /
+    # bigram oracle SQL moved from the lateral `UNNEST(range) .. w[i]`
+    # form (which duplicates the whole token list per generated row —
+    # O(n^2) per document, >15 s per oracle on one 24k-token doc) to the
+    # linear flat/LEAD form, identical result sets (probe-verified, and
+    # the new long-document net runs the whole doc family on 24k-token /
+    # 120k-char / whitespace-only corpora). Spark plans unchanged; the
+    # eight composing oracles re-enter changed-first.
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_cc_star",
+    "dedup_connected_clusters",
+    "decontaminate_ngram_overlap",
+    "pipeline_clean_corpus",
+    "text_bigram_lm_score",
+    "text_boilerplate_shingles",
+    # (b) the 28 round-5-stale greens, minus six displaced to the r10
+    # remainder by the cohorts above (agg_distinct, dedup_subset_key,
+    # distinct_pairs, join_cross, scalar_case_when, window_first_last —
+    # chosen from families that keep other in-window representatives;
+    # they stay r5-stale and lead the r10 rotation with the two (c)
+    # streaming fillers)
     "agg_rollup",
     "agg_stats",
-    "dedup_subset_key",
-    "distinct_pairs",
     "events_json_extract",
     "events_sliding_window",
     "events_tumbling_window",
-    "join_cross",
     "join_inner",
     "join_left_anti",
     "join_left_outer",
     "join_left_semi",
     "n5_roundtrip_lz4",  # also traverses the changed scan filter
     "orderby_limit_topk",
-    "scalar_case_when",
     "scalar_string_funcs",
     "set_except",
     "set_intersect",
@@ -272,7 +288,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_tf_top_terms",
     "text_token_stats",
     "topk_per_group",
-    "window_first_last",
     "window_lag_lead",
     "window_rank_dense",
     "window_running_sum",
@@ -290,8 +305,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # changed-first: the changed scan filter is already re-proven
     # in-window by both glob-scan roundtrips, and n5_rechunk_stats stays
     # benched every round)
-    "streaming_stateful_running_totals",
-    "streaming_stream_stream_join",
 )
 
 def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkFn], SparkFn]:

@@ -210,6 +210,93 @@ def test_doc_queries_match_oracles_on_random_unicode_corpus(spark, tmp_path):
     run_unicode_doc_net(spark, tmp_path, 5)
 
 
+def run_longdoc_net(spark, tmp_path, seed):
+    """Long/degenerate-LENGTH lane for the documents family (r9 pass-5
+    net; seed-parameterized like the other run_* bodies). Every other
+    net draws documents under ~400 chars, but production web corpora
+    carry multi-hundred-KB rows — and several operators are superlinear
+    per row (shingle expansion, token sorts, signature loops). Fixed
+    degenerate shapes included regardless of seed:
+
+    - a single ~120k-char token (NO whitespace anywhere — token arrays
+      with one giant element; n_tokens = 1 via the regexp_count path),
+    - a mega-term-frequency doc (one token repeated 24k times — all
+      shingles identical, doc-frequency caps and array_distinct lanes),
+    - whitespace-ONLY documents (unreachable by any word-join generator:
+      the collapse-then-split tokenizer must yield ['',''] on BOTH
+      engines, and SPARK_N_TOKENS must agree),
+    - leading/trailing whitespace (empty edge tokens),
+    - a ~24k-token document plus its near- and exact-duplicates (the
+      dedup family's pair lanes at 100x the usual row size).
+    """
+    import os
+    import random
+    import string
+
+    import duckdb
+    import pandas as pd
+
+    from n5_dask_spark.registry import load_all
+    from tests.oracle_harness import canon_rows
+
+    rng = random.Random(seed)
+    pool = [
+        "".join(rng.choice(string.ascii_letters) for _ in range(rng.randrange(1, 10)))
+        for _ in range(500)
+    ]
+    big_words = [rng.choice(pool) for _ in range(24_000)]
+    near_words = list(big_words)
+    near_words[rng.randrange(len(near_words))] = "zzzzqqqq"
+    big = " ".join(big_words)
+    texts = [
+        "a" * 120_000,
+        ("spam " * 24_000).strip(),
+        " ",
+        " \t\n\x0b\f\r" * 40,
+        "\n" * 500,
+        "   leading and trailing   ",
+        "",
+        big,
+        " ".join(near_words),
+        big,
+    ]
+    for _ in range(20):
+        words = [rng.choice(pool) for _ in range(rng.randrange(200, 3000))]
+        texts.append(" ".join(words))
+    df = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": [rng.choice(["en", "de", "fr"]) for _ in texts],
+            "source": [rng.choice(["web", "book", "code"]) for _ in texts],
+        }
+    )
+    df["n_chars"] = df["text"].str.len().astype("int64")
+    path = os.path.join(str(tmp_path), "documents.parquet")
+    df.to_parquet(path)
+
+    names = _doc_only_query_names()
+    assert len(names) >= 15
+    reg = load_all()
+    bad = []
+    for n in names:
+        q = reg[n]
+        sdf = q.fn(spark, str(tmp_path))
+        sc, sr = canon_rows(list(sdf.columns), [tuple(r) for r in sdf.collect()])
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+        cur = con.execute(q.oracle)
+        dc, dr = canon_rows([x[0] for x in cur.description], [tuple(r) for r in cur.fetchall()])
+        con.close()
+        if sc != dc or sr != dr:
+            bad.append(n)
+    assert not bad, bad
+
+
+def test_doc_queries_match_oracles_on_long_documents(spark, tmp_path):
+    run_longdoc_net(spark, tmp_path, 17)
+
+
 def test_stat_queries_on_single_row_corpora(spark, tmp_path):
     """n=1 is its own boundary, distinct from empty: sampled statistics
     (stddev_samp, corr, rank/(n-1)) go NULL on a NON-empty input. The r9
