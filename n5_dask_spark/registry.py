@@ -170,6 +170,19 @@ Determinism discipline (so value-hashes match the oracle EXACTLY):
   aggregates (no grouping sets) agree on empty input and stay IN
   contract — the empty-table probe pins the whole doc/embeddings/
   events families engine-equal on 0-row tables.
+- Physical-schema contract (r9 narrow-schema net, frozen in
+  test_oracle_parity.NARROW_DIVERGENT): measures arrive as DOUBLE and
+  keys as BIGINT (TESTDATA.md). If the driver ever regenerated them
+  physically NARROWED (float32 / int32 — the generalization of r4's
+  in-contract TIMESTAMP(NANOS) encoding change), every structural
+  query (~126: joins, windows, text, dedup, similarity, N5) stays
+  engine-equal untouched, while the 34 queries doing arithmetic on a
+  narrowed MEASURE split for documented reasons (float32->DECIMAL
+  cast routes — the r8 embeddings find generalized; float32-
+  propagating numpy statistics in pandas UDFs; interpolation
+  precision). Upgrade path if that regen happens: hop
+  CAST(col AS DOUBLE) before every DECIMAL addend on both engines
+  (no-op on double columns) and pin pandas UDF inputs to float64.
 """
 
 from __future__ import annotations

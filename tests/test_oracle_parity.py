@@ -1960,3 +1960,108 @@ def test_partitioned_write_conflates_empty_string_with_null(spark, tmp_path):
         (r.k, r.p) for r in spark.read.schema(df.schema).parquet(out).collect()
     )
     assert back == [(1, None), (2, "ok"), (3, None)]  # '' came back as NULL
+
+
+# Queries that CANNOT stay engine-equal when the driver's DOUBLE measure
+# columns arrive physically narrowed to float32 — every one does arithmetic
+# on a narrowed measure (decimal-exact sums: CAST(float32 AS DECIMAL) takes
+# different routes — Spark scales the shortest repr, DuckDB scales in
+# float32 arithmetic, the r8 embeddings find generalized; quantile/median
+# interpolation and pandas-UDF statistics: numpy propagates float32 through
+# the arithmetic where DuckDB computes in double). Frozen by the narrow-
+# schema net below; see its docstring for the contract and upgrade path.
+NARROW_DIVERGENT = {
+    "agg_approx_quantiles",
+    "agg_filter_clause",
+    "agg_median_percentile",
+    "agg_rollup",
+    "events_session_window",
+    "events_sliding_window",
+    "events_tumbling_window",
+    "formats_partitioned_pruning",
+    "join_bucketed_colocated",
+    "join_range_binned",
+    "join_salted",
+    "pivot_segment_by_year",
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_value",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    "q22_global_sales_opportunity",
+    "streaming_session_window",
+    "streaming_static_dim_join",
+    "streaming_stateful_running_totals",
+    "streaming_tumbling_agg",
+    "udaf_applyinpandas_minmax_scale",
+    "udf_pandas_zscore",
+    "udtf_fee_schedule",
+    "upsert_orders_snapshot",
+    "window_running_sum",
+}
+
+
+def test_queries_characterized_on_narrow_physical_schema(spark, tmp_path):
+    """Physical-schema robustness net (r9 pass 5). The driver has
+    regenerated testdata with a different parquet PHYSICAL encoding
+    before (r4: events.ts arrived TIMESTAMP(NANOS) and every read path
+    adapted), so this net asks the generalized question: which queries
+    survive the same LOGICAL schema arriving physically narrowed —
+    every BIGINT as int32, every DOUBLE measure as float32?
+
+    Answer, frozen here: all ~126 structural queries pass untouched
+    (joins/windows/group-bys on int32 keys, the whole text/dedup/
+    similarity/multimodal/N5 families — narrowing keys breaks NOTHING),
+    while the NARROW_DIVERGENT set above — exactly the queries doing
+    arithmetic on a narrowed MEASURE — splits between the engines for
+    documented reasons (float32->DECIMAL cast routes, float32-propagating
+    numpy statistics, interpolation precision).
+
+    Contract: TESTDATA.md declares measures DOUBLE and keys BIGINT; a
+    regen to float32 would be a LOGICAL precision change, unlike the
+    in-contract NANOS encoding change. If it ever happens, the upgrade
+    path is the r8 fix generalized: hop CAST(col AS DOUBLE) before every
+    DECIMAL addend on both engines (a no-op on double columns) and pin
+    pandas UDF inputs to float64 — this net then moves those queries to
+    the passing side and shrinks the frozen set."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from n5_dask_spark.catalog import TABLES
+    from tests.oracle_harness import compare_query
+
+    src = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+    for t in TABLES:
+        tab = pq.read_table(os.path.join(src, f"{t}.parquet"))
+        fields = [
+            pa.field(f.name, pa.int32())
+            if pa.types.is_int64(f.type)
+            else pa.field(f.name, pa.float32())
+            if pa.types.is_float64(f.type)
+            else f
+            for f in tab.schema
+        ]
+        # pyarrow cast checks overflow: an out-of-range key fails LOUDLY
+        pq.write_table(tab.cast(pa.schema(fields)), os.path.join(str(tmp_path), f"{t}.parquet"))
+
+    from n5_dask_spark.registry import load_all
+
+    failed = set()
+    for name, q in load_all().items():
+        if q.oracle is None:
+            continue
+        if not compare_query(spark, name, str(tmp_path))["match"]:
+            failed.add(name)
+    assert failed == NARROW_DIVERGENT, {
+        "newly_divergent": sorted(failed - NARROW_DIVERGENT),
+        "newly_robust": sorted(NARROW_DIVERGENT - failed),
+    }
