@@ -200,15 +200,21 @@ def _spark_shingles(df: DataFrame) -> DataFrame:
 # (identical shingle sets, probe-verified). unnest+generate_subscripts zip
 # linearly, and LEAD over (doc_id, position) rebuilds the 3-gram without
 # ever re-touching the list.
+# The window partitions on a PER-ROW id (rid), not doc_id: shingling is
+# row-scoped like the Spark side (and the old lateral) — on a corpus with
+# DUPLICATE doc_ids, partitioning by doc_id would interleave the two rows'
+# token positions (ORDER BY i ties across rows) and synthesize shingles
+# spanning texts, order-nondeterministically (duplicate-PK probe find).
+# With unique doc_ids rid<->doc_id is 1:1 and the forms are identical.
 DUCK_SHINGLES = f"""
     WITH toks AS (
-      SELECT doc_id, {DUCK_TOKENS} AS w FROM documents
+      SELECT doc_id, ROW_NUMBER() OVER () AS rid, {DUCK_TOKENS} AS w FROM documents
     ), flat AS (
-      SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS i FROM toks
+      SELECT doc_id, rid, unnest(w) AS tok, generate_subscripts(w, 1) AS i FROM toks
     ), sh0 AS (
       SELECT doc_id,
-             tok || ' ' || LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY i)
-                 || ' ' || LEAD(tok, 2) OVER (PARTITION BY doc_id ORDER BY i) AS shingle
+             tok || ' ' || LEAD(tok, 1) OVER (PARTITION BY rid ORDER BY i)
+                 || ' ' || LEAD(tok, 2) OVER (PARTITION BY rid ORDER BY i) AS shingle
       FROM flat
     ), sh AS (
       SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL

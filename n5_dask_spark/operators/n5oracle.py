@@ -70,7 +70,23 @@ _DUCK_VOX = f"""
 def _voxels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(i, x, y, z, val) — fully distributed; no window, no collect."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    n_docs = docs.count()  # driver scalar (table cardinality), not data
+    # driver scalars (table cardinality), not data — one tiny aggregate job
+    card = docs.agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("n_ids")
+    ).collect()[0]
+    n_docs = card["n"]
+    if n_docs != card["n_ids"]:
+        # `JOIN documents ON doc_id = i % n_docs` fans out per duplicate:
+        # every voxel with a duplicated id maps to SEVERAL lang values and
+        # the engines resolve the ambiguity differently (duplicate-PK
+        # probe: the whole fixture family hash-flipped silently). Same
+        # footing as the empty-corpus lane below — refuse loudly at the
+        # one shared derivation point.
+        raise ValueError(
+            "n5/tiff/ome fixture queries derive voxel values by joining "
+            "on doc_id = i % n_docs; the documents table at this sf_dir "
+            f"has duplicate doc_ids ({n_docs} rows, {card['n_ids']} ids)"
+        )
     if n_docs == 0:
         # i % 0 is undefined, so an EMPTY corpus has no defined volume.
         # Left unguarded the engines diverge SILENTLY: DuckDB's `% 0 ->

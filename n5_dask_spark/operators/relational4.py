@@ -89,12 +89,15 @@ def agg_argminmax_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- the lateral duplicates the whole token list per generated row —
       -- O(n^2) on a long document (see dedup.DUCK_SHINGLES). Bigrams are a
       -- MULTISET here (counts feed the MLE), so no DISTINCT: LEAD emits
-      -- exactly the same len(w)-1 ordered pairs per doc.
-      SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS i FROM toks
+      -- exactly the same len(w)-1 ordered pairs per ROW. The window
+      -- partitions on a per-row id like DUCK_SHINGLES so duplicate
+      -- doc_ids can never interleave token positions across rows.
+      SELECT doc_id, rid, unnest(w) AS tok, generate_subscripts(w, 1) AS i
+      FROM (SELECT doc_id, ROW_NUMBER() OVER () AS rid, w FROM toks)
     ), bigrams AS (
       SELECT doc_id, w1, w2 FROM (
         SELECT doc_id, tok AS w1,
-               LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+               LEAD(tok, 1) OVER (PARTITION BY rid ORDER BY i) AS w2
         FROM flat
       ) WHERE w2 IS NOT NULL
     ), uni AS (

@@ -170,6 +170,16 @@ Determinism discipline (so value-hashes match the oracle EXACTLY):
   aggregates (no grouping sets) agree on empty input and stay IN
   contract — the empty-table probe pins the whole doc/embeddings/
   events families engine-equal on 0-row tables.
+- doc_id uniqueness contract (r9 duplicate-PK probe, pinned in
+  test_oracle_parity): doc_id is the DEDUP UNIT; duplicate ids are
+  corrupt upstream keying. The corpus-derived fixture family refuses
+  loudly at its shared derivation point (the i % n_docs join fans out
+  per duplicate — `_voxels` raises), shingle/bigram oracles are
+  immune by construction (per-ROW window partitioning), and exactly
+  the three minhash pair-graph queries diverge under duplicates
+  (Spark signatures are per row, the oracle merges per id — genuinely
+  different semantics with no canonical answer on corrupt keys) —
+  data contract, same footing as NUL-free partition values.
 - Physical-schema contract (r9 narrow-schema net, frozen in
   test_oracle_parity.NARROW_DIVERGENT): measures arrive as DOUBLE and
   keys as BIGINT (TESTDATA.md). If the driver ever regenerated them

@@ -2065,3 +2065,75 @@ def test_queries_characterized_on_narrow_physical_schema(spark, tmp_path):
         "newly_divergent": sorted(failed - NARROW_DIVERGENT),
         "newly_robust": sorted(NARROW_DIVERGENT - failed),
     }
+
+
+def test_doc_queries_characterized_on_duplicate_doc_ids(spark, tmp_path):
+    """Duplicate-PRIMARY-KEY probe (r9 pass 5): every net generates unique
+    doc_ids, but corrupt upstream keying is a real production state. On a
+    corpus where three ids each carry TWO different texts (including one
+    id whose rows share a shingle, and an identical text under two
+    DIFFERENT ids):
+
+    - the corpus-derived N5/TIFF/OME fixture family REFUSES LOUDLY at its
+      shared derivation point (`_voxels`: the doc_id = i % n_docs join
+      fans out per duplicate and the engines resolved the ambiguity
+      differently — this probe originally found all 13 hash-flipping
+      SILENTLY, same class as the empty-corpus lane);
+    - the shingle/bigram oracles stay engine-equal: the flat/LEAD rewrite
+      partitions on a PER-ROW id, so duplicate doc_ids can never
+      interleave token positions across rows (this probe caught the
+      first rewrite partitioning by doc_id doing exactly that);
+    - exactly the three minhash pair-graph queries diverge, pinned here
+      as the documented data contract: Spark computes signatures PER ROW
+      (the fused Arrow signature) while the oracle merges shingles PER
+      doc_id before hashing — under duplicate ids those are genuinely
+      different semantics with no canonical answer (is a doc-id with two
+      texts one document or two?). doc_id is the dedup unit; uniqueness
+      is the upstream contract, like NUL-free enums for partition
+      columns. Everything else in the family is engine-equal unchanged.
+    """
+    import os
+
+    import duckdb
+    import pandas as pd
+
+    from n5_dask_spark.registry import load_all
+    from tests.oracle_harness import canon_rows
+
+    rows = [
+        (0, "alpha beta gamma", "en", "web"),
+        (0, "delta epsilon", "de", "book"),
+        (1, "alpha beta gamma", "en", "web"),
+        (1, "zeta eta theta iota", "fr", "web"),
+        (2, "kappa", "en", "code"),
+        (3, "lambda mu nu", "de", "book"),
+        (3, "xi omicron pi alpha", "fr", "web"),
+        (4, "rho sigma", "en", "web"),
+        (5, "aaa bbb ccc ddd", "en", "web"),
+        (5, "aaa bbb ccc eee", "en", "web"),
+    ]
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    df["n_chars"] = df["text"].str.len().astype("int64")
+    path = os.path.join(str(tmp_path), "documents.parquet")
+    df.to_parquet(path)
+
+    reg = load_all()
+    divergent, refused = set(), set()
+    for n in _doc_only_query_names():
+        q = reg[n]
+        try:
+            sdf = q.fn(spark, str(tmp_path))
+            sc, sr = canon_rows(list(sdf.columns), [tuple(r) for r in sdf.collect()])
+        except ValueError as e:
+            assert "duplicate doc_ids" in str(e), (n, str(e))
+            refused.add(n)
+            continue
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+        cur = con.execute(q.oracle)
+        dc, dr = canon_rows([x[0] for x in cur.description], [tuple(r) for r in cur.fetchall()])
+        con.close()
+        if sc != dc or sr != dr:
+            divergent.add(n)
+    assert divergent == {"dedup_minhash_lsh", "dedup_cc_star", "dedup_connected_clusters"}, divergent
+    assert len(refused) >= 10  # the whole fixture family refuses loudly
