@@ -170,6 +170,17 @@ Determinism discipline (so value-hashes match the oracle EXACTLY):
   aggregates (no grouping sets) agree on empty input and stay IN
   contract — the empty-table probe pins the whole doc/embeddings/
   events families engine-equal on 0-row tables.
+- Timestamp representable-range contract (r9 extreme-timestamp net,
+  pinned in test_oracle_parity): the batch events/orders family is
+  engine-equal on ANY in-range timestamp — pre-epoch (1965, the last
+  microsecond of 1969), the epoch, the 1582 cutover week, year 1,
+  year 9999 (window bucketing floors on both engines, so pre-epoch
+  events land in the right hour). The one boundary: date ARITHMETIC
+  whose result crosses year 9999 (due_date = o_orderdate + 90 days)
+  overflows the Python datetime ceiling — Spark's collect() raises
+  loudly, DuckDB's client silently degrades the cell to a STRING.
+  Contract: arithmetic outputs stay within year 9999; real order
+  data sits millennia inside.
 - doc_id uniqueness contract (r9 duplicate-PK probe, pinned in
   test_oracle_parity): doc_id is the DEDUP UNIT; duplicate ids are
   corrupt upstream keying. The corpus-derived fixture family refuses

@@ -2137,3 +2137,145 @@ def test_doc_queries_characterized_on_duplicate_doc_ids(spark, tmp_path):
             divergent.add(n)
     assert divergent == {"dedup_minhash_lsh", "dedup_cc_star", "dedup_connected_clusters"}, divergent
     assert len(refused) >= 10  # the whole fixture family refuses loudly
+
+
+def test_event_order_queries_match_oracles_on_extreme_timestamps(spark, tmp_path):
+    """Extreme-timestamp probe (r9 pass 5): pre-epoch times (1965; the
+    last microsecond of 1969), the epoch itself, the 1582 cutover week,
+    year 1, year 9999, all through the batch events/orders family — no
+    net draws times outside the 2024-ish telemetry band. 26 of 27
+    queries are engine-equal unchanged (window bucketing FLOORS on both
+    engines, so pre-epoch events land in the right hour; proleptic
+    Gregorian agreement was already pinned by the r9 date probe).
+
+    The one boundary, pinned here: scalar_date_funcs' due_date
+    (o_orderdate + 90 days) OVERFLOWS the Python datetime ceiling when
+    o_orderdate sits within 90 days of 9999-12-31 — Spark's collect()
+    raises ValueError (loud) while DuckDB's client silently degrades
+    the cell to a STRING ('10000-03-29 12:00:00'), a type flip the
+    driver hash would catch but never a silent value agreement. Data
+    contract: date-arithmetic outputs must stay within year 9999
+    (o_orderdate <= 9999-10-02 for +90d); real order data sits
+    millennia inside it."""
+    import os
+    from datetime import datetime
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from n5_dask_spark.registry import load_all
+    from tests.oracle_harness import canon_rows
+
+    ts_pool = [
+        datetime(1965, 3, 15, 14, 30, 7, 123456),
+        datetime(1969, 12, 31, 23, 59, 59, 999999),
+        datetime(1970, 1, 1, 0, 0, 0),
+        datetime(1970, 1, 1, 0, 59, 59),
+        datetime(1, 1, 5, 3, 4, 5),
+        datetime(1582, 10, 12, 6, 0, 0),
+        datetime(9999, 12, 30, 12, 0, 0),
+        datetime(2024, 5, 5, 10, 0, 0),
+    ]
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        (
+            i,
+            ts_pool[i % len(ts_pool)],
+            i % 7,
+            ["click", "view", "purchase"][i % 3],
+            round(rng.uniform(-50, 150), 2),
+            '{"k": %d}' % (i % 5),
+        )
+        for i in range(64)
+    ]
+    ev = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    pq.write_table(
+        pa.table({n: [r[j] for r in rows] for j, n in enumerate(ev.names)}, schema=ev),
+        os.path.join(str(tmp_path), "events.parquet"),
+    )
+    od = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("o_custkey", pa.int64()),
+            ("o_orderstatus", pa.string()),
+            ("o_totalprice", pa.float64()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("o_orderpriority", pa.string()),
+        ]
+    )
+    orows = [
+        (
+            i,
+            i % 7,
+            "OF"[i % 2],
+            round(rng.uniform(100, 9000), 2),
+            ts_pool[i % len(ts_pool)],
+            ["1-URGENT", "2-HIGH", "3-MEDIUM"][i % 3],
+        )
+        for i in range(24)
+    ]
+    pq.write_table(
+        pa.table({n: [r[j] for r in orows] for j, n in enumerate(od.names)}, schema=od),
+        os.path.join(str(tmp_path), "orders.parquet"),
+    )
+
+    reg = load_all()
+    ev_others = (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "lineitem",
+        "documents",
+        "embeddings",
+        "part ",
+    )
+    names = sorted(
+        n
+        for n, q in reg.items()
+        if q.oracle
+        and "stream" not in n
+        and ("events" in q.oracle or "orders" in q.oracle)
+        and not any(t in q.oracle for t in ev_others)
+    )
+    assert len(names) >= 25
+    bad = []
+    for n in names:
+        q = reg[n]
+        if n == "scalar_date_funcs":
+            # the pinned boundary: due_date crosses year 9999
+            with pytest.raises(ValueError, match="year 10000 is out of range"):
+                q.fn(spark, str(tmp_path)).collect()
+            continue
+        sdf = q.fn(spark, str(tmp_path))
+        sc, sr = canon_rows(list(sdf.columns), [tuple(r) for r in sdf.collect()])
+        con = duckdb.connect()
+        for t in ("events", "orders"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(str(tmp_path), t + '.parquet')}'"
+            )
+        cur = con.execute(q.oracle)
+        dc, dr = canon_rows([x[0] for x in cur.description], [tuple(r) for r in cur.fetchall()])
+        con.close()
+        if sc != dc or sr != dr:
+            bad.append(n)
+    assert not bad, bad
+    # the DuckDB half of the pin: past the Python ceiling the client
+    # silently degrades to a STRING instead of raising
+    assert isinstance(
+        duckdb.sql("SELECT TIMESTAMP '9999-12-30 12:00:00' + INTERVAL 90 DAY").fetchone()[0],
+        str,
+    )
