@@ -190,3 +190,52 @@ def test_windowed_append_reads_nanos_source_without_prior_conf(spark, tmp_path):
     got = {r["win_start"].hour: r["n_events"] for r in spark.read.parquet(out).collect()}
     # max ts 5:30, watermark 4:30 -> windows ending 1:00..4:00 close
     assert got == {h: 2 for h in range(0, 4)}
+
+
+def test_pre_epoch_event_times_are_out_of_streaming_contract(spark, tmp_path):
+    """Characterization pin (r9 pass 5, extending the epoch-0 join
+    boundary found at 40M stress scale): Spark's event-time WATERMARK
+    machinery clamps at the epoch, so a stream whose event times are
+    all pre-1970 NEVER closes a window — append mode emits ZERO rows
+    where the equivalent batch window query closes 10 of the 12 hours.
+    Contract: event-time streaming requires post-epoch times (real
+    telemetry always is; the stress generators base at 2024); HISTORICAL
+    reprocessing of pre-epoch data belongs to the batch window family,
+    which the extreme-timestamp net pins engine-equal on 1965/1582/
+    year-1 times."""
+    import os
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from n5_dask_spark.streaming.stateful import run_watermark_append
+
+    rows = []
+    for h in range(12):
+        for j in range(3):
+            rows.append((h * 3 + j, datetime(1965, 3, 15, h, 10 * j), j, "click", 1.0, "{}"))
+    ev = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    pq.write_table(
+        pa.table({n: [r[j] for r in rows] for j, n in enumerate(ev.names)}, schema=ev),
+        os.path.join(str(tmp_path), "events.parquet"),
+    )
+    got = run_watermark_append(spark, str(tmp_path), window="1 hour", delay="2 hours")
+    assert got.collect() == []  # the clamp: nothing ever closes
+
+    batch = (
+        spark.read.parquet(os.path.join(str(tmp_path), "events.parquet"))
+        .groupBy(F.window(F.col("ts").cast("timestamp"), "1 hour"))
+        .count()
+        .collect()
+    )
+    assert len(batch) == 12  # batch windowing handles pre-epoch fine
