@@ -72,9 +72,20 @@ def _voxels(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     # driver scalars (table cardinality), not data — one tiny aggregate job
     card = docs.agg(
-        F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("n_ids")
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("doc_id").alias("n_ids"),
+        F.count("lang").alias("n_lang"),
     ).collect()[0]
     n_docs = card["n"]
+    if n_docs != card["n_lang"]:
+        # md5(i ':' NULL) is NULL -> NaN voxels -> numpy astype(uint8)
+        # produces PLATFORM GARBAGE silently (NULL-text probe: the OME
+        # build hash-flipped and tiffops warned 'invalid value in cast').
+        raise ValueError(
+            "n5/tiff/ome fixture queries derive voxel values from "
+            "md5(i ':' lang); the documents table at this sf_dir has "
+            f"NULL lang rows ({n_docs - card['n_lang']} of {n_docs})"
+        )
     if n_docs != card["n_ids"]:
         # `JOIN documents ON doc_id = i % n_docs` fans out per duplicate:
         # every voxel with a duplicated id maps to SEVERAL lang values and

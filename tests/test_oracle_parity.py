@@ -2279,3 +2279,68 @@ def test_event_order_queries_match_oracles_on_extreme_timestamps(spark, tmp_path
         duckdb.sql("SELECT TIMESTAMP '9999-12-30 12:00:00' + INTERVAL 90 DAY").fetchone()[0],
         str,
     )
+
+
+def test_doc_queries_match_oracles_on_null_rows(spark, tmp_path):
+    """NULL-row probe (r9 pass 5): every net emits non-null strings, but
+    nullable columns are the parquet default and NULL text/lang/source
+    rows are ordinary dirty data. The whole doc family is engine-equal
+    on them — both engines propagate NULL identically through the
+    tokenizer stack (split/regexp on NULL -> NULL, md5(NULL) group key,
+    NULL-safe grouping) — EXCEPT the corpus-derived fixture family,
+    where md5(i ':' NULL) -> NULL -> NaN voxels hit numpy's
+    astype(uint8) as PLATFORM GARBAGE (this probe caught
+    ome_channels_zprofile hash-flipping silently with a RuntimeWarning
+    from tiffops); `_voxels` now refuses NULL lang loudly alongside its
+    empty-corpus and duplicate-id refusals."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from n5_dask_spark.registry import load_all
+    from tests.oracle_harness import canon_rows
+
+    sch = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+            ("source", pa.string()),
+            ("n_chars", pa.int64()),
+        ]
+    )
+    rows = [
+        (0, "alpha beta gamma delta", "en", "web", 22),
+        (1, None, "en", "web", 0),
+        (2, "epsilon zeta", None, "book", 12),
+        (3, "eta theta iota kappa", "de", None, 20),
+        (4, None, None, None, 0),
+        (5, "lambda mu nu xi", "fr", "web", 15),
+        (6, "alpha beta gamma delta", "en", "web", 22),
+    ]
+    path = os.path.join(str(tmp_path), "documents.parquet")
+    pq.write_table(
+        pa.table({n: [r[j] for r in rows] for j, n in enumerate(sch.names)}, schema=sch), path
+    )
+    reg = load_all()
+    bad, refused = [], 0
+    for n in _doc_only_query_names():
+        q = reg[n]
+        try:
+            sdf = q.fn(spark, str(tmp_path))
+            sc, sr = canon_rows(list(sdf.columns), [tuple(r) for r in sdf.collect()])
+        except ValueError as e:
+            assert "NULL lang rows" in str(e), (n, str(e))
+            refused += 1
+            continue
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+        cur = con.execute(q.oracle)
+        dc, dr = canon_rows([x[0] for x in cur.description], [tuple(r) for r in cur.fetchall()])
+        con.close()
+        if sc != dc or sr != dr:
+            bad.append(n)
+    assert not bad, bad
+    assert refused >= 10  # the fixture family refuses loudly
