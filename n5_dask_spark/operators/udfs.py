@@ -101,7 +101,13 @@ def udf_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 def udf_sql_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("orders",))
 
-    def classify(total: float) -> str:
+    def classify(total: float | None) -> str:
+        # total is NULLABLE: one NULL price must not kill the job (the
+        # NULL-row probe found the bare comparison raising TypeError in
+        # every executor). The reference semantic is the oracle's SQL
+        # CASE, whose ELSE catches the NULL comparisons — mirror it.
+        if total is None:
+            return "L"
         return "S" if total < 100000 else ("M" if total < 300000 else "L")
 
     spark.udf.register("order_size_class", classify, StringType())
@@ -137,7 +143,19 @@ def udtf_fee_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @udtf(returnType="fee_band string, fee double")
     class FeeSchedule:
-        def eval(self, total: float):
+        def eval(self, total: float | None):
+            # NULLABLE input: one dirty row must not kill the job (the
+            # NULL-row probe found the bare multiply raising TypeError in
+            # every executor). The reference semantic is the oracle's SQL:
+            # base = NULL * 0.01 -> NULL, but volume/premium go through
+            # GREATEST(NULL, 0), which BOTH engines evaluate NULL-skipping
+            # to 0 (Spark and DuckDB agree; the SQL standard leaves it
+            # vendor-defined) -> fee 0.0. Mirror that exactly.
+            if total is None:
+                yield "base", None
+                yield "volume", 0.0
+                yield "premium", 0.0
+                return
             yield "base", round(total * 0.01, 6)
             yield "volume", round(max(total - 200000, 0.0) * 0.005, 6)
             yield "premium", round(max(total - 400000, 0.0) * 0.0025, 6)

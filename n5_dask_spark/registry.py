@@ -298,9 +298,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "pipeline_clean_corpus",
     "text_bigram_lm_score",
     "text_boilerplate_shingles",
+    # NULL-row cohort (fifth r9 pass): both Python-extension queries
+    # CRASHED in every executor on one NULL o_totalprice (bare < and *
+    # on None); they now mirror their oracles' SQL NULL semantics
+    # exactly (CASE ELSE catches NULL; GREATEST is NULL-skipping on
+    # both engines) — probe-pinned in test_oracle_parity.
+    "udf_sql_registered",
+    "udtf_fee_schedule",
     # (b) the 28 round-5-stale greens, minus six displaced to the r10
     # remainder by the cohorts above (agg_distinct, dedup_subset_key,
-    # distinct_pairs, join_cross, scalar_case_when, window_first_last —
+    # distinct_pairs, join_cross, scalar_case_when, window_first_last,
+    # set_intersect, window_lag_lead —
     # chosen from families that keep other in-window representatives;
     # they stay r5-stale and lead the r10 rotation with the two (c)
     # streaming fillers)
@@ -317,12 +325,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "orderby_limit_topk",
     "scalar_string_funcs",
     "set_except",
-    "set_intersect",
     "set_union_all",
     "text_tf_top_terms",
     "text_token_stats",
     "topk_per_group",
-    "window_lag_lead",
     "window_rank_dense",
     "window_running_sum",
     # (c) round-6-stale fill, trimmed to 5 by the negative-zero cohort

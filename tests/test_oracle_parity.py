@@ -2344,3 +2344,139 @@ def test_doc_queries_match_oracles_on_null_rows(spark, tmp_path):
             bad.append(n)
     assert not bad, bad
     assert refused >= 10  # the fixture family refuses loudly
+
+
+def test_event_order_queries_characterized_on_null_rows(spark, tmp_path):
+    """NULL-row probe for the events/orders family (r9 pass 5): NULL ts,
+    user_id, event_type, value, props, o_orderdate, o_custkey,
+    o_totalprice scattered through ordinary 2024 telemetry — dirty-data
+    lanes no net draws (generators emit non-null columns).
+
+    Found and FIXED in-round: both Python-extension queries CRASHED in
+    every executor on one NULL o_totalprice (udf_sql_registered's bare
+    `total < 100000` and udtf_fee_schedule's `total * 0.01` raised
+    TypeError — one dirty row killing a 100-TB job). Both now mirror
+    their oracles' SQL semantics exactly: CASE's ELSE catches NULL
+    ('L'); GREATEST(NULL, 0) is NULL-skipping 0 on BOTH engines, so a
+    NULL price yields fee rows (NULL, 0.0, 0.0).
+
+    Frozen as the NULL-KEY data contract (the registry determinism
+    notes' nullable-key rule, now empirically confirmed): rank/window
+    queries whose ORDER BY key can be NULL split on default null
+    ordering (Spark NULLS FIRST vs DuckDB NULLS LAST); Spark's
+    window()/session_window DROP NULL event times where time_bucket
+    keeps a NULL bucket; join_asof's running-last and min_by/max_by
+    have engine-specific NULL placement. All driver columns carrying
+    those keys are non-null; the probe pins the exact divergent set so
+    any drift — a fix or a new leak — surfaces."""
+    import os
+    import random
+    from datetime import datetime
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from n5_dask_spark.registry import load_all
+    from tests.oracle_harness import canon_rows
+
+    rng = random.Random(9)
+    ev = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    rows = []
+    for i in range(40):
+        t = datetime(2024, 3, 1 + i % 5, 8 + (i // 5) % 10, 7 * (i % 8))
+        rows.append(
+            (
+                i,
+                None if i % 13 == 3 else t,
+                None if i % 11 == 4 else i % 6,
+                None if i % 17 == 5 else ["click", "view", "purchase"][i % 3],
+                None if i % 7 == 6 else round(rng.uniform(-50, 150), 2),
+                None if i % 19 == 7 else '{"k": %d}' % (i % 5),
+            )
+        )
+    pq.write_table(
+        pa.table({n: [r[j] for r in rows] for j, n in enumerate(ev.names)}, schema=ev),
+        os.path.join(str(tmp_path), "events.parquet"),
+    )
+    od = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("o_custkey", pa.int64()),
+            ("o_orderstatus", pa.string()),
+            ("o_totalprice", pa.float64()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("o_orderpriority", pa.string()),
+        ]
+    )
+    orows = [
+        (
+            i,
+            None if i % 9 == 2 else i % 6,
+            None if i % 11 == 3 else "OF"[i % 2],
+            None if i % 7 == 4 else round(rng.uniform(100, 9000), 2),
+            None if i % 13 == 5 else datetime(2024, 3, 1 + i % 6, 12, 0),
+            ["1-URGENT", "2-HIGH", "3-MEDIUM"][i % 3],
+        )
+        for i in range(20)
+    ]
+    pq.write_table(
+        pa.table({n: [r[j] for r in orows] for j, n in enumerate(od.names)}, schema=od),
+        os.path.join(str(tmp_path), "orders.parquet"),
+    )
+
+    reg = load_all()
+    ev_others = (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "lineitem",
+        "documents",
+        "embeddings",
+        "part ",
+    )
+    names = sorted(
+        n
+        for n, q in reg.items()
+        if q.oracle
+        and "stream" not in n
+        and ("events" in q.oracle or "orders" in q.oracle)
+        and not any(t in q.oracle for t in ev_others)
+    )
+    divergent = set()
+    for n in names:
+        q = reg[n]
+        sdf = q.fn(spark, str(tmp_path))
+        sc, sr = canon_rows(list(sdf.columns), [tuple(r) for r in sdf.collect()])
+        con = duckdb.connect()
+        for t in ("events", "orders"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(str(tmp_path), t + '.parquet')}'"
+            )
+        cur = con.execute(q.oracle)
+        dc, dr = canon_rows([x[0] for x in cur.description], [tuple(r) for r in cur.fetchall()])
+        con.close()
+        if sc != dc or sr != dr:
+            divergent.add(n)
+    assert divergent == {
+        "agg_argminmax_bool",
+        "events_session_window",
+        "events_sessionization_funnel",
+        "events_sliding_window",
+        "events_tumbling_window",
+        "join_asof",
+        "window_first_last",
+        "window_lag_lead",
+        "window_row_number",
+        "window_running_sum",
+    }, divergent
