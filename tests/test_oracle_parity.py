@@ -2480,3 +2480,63 @@ def test_event_order_queries_characterized_on_null_rows(spark, tmp_path):
         "window_row_number",
         "window_running_sum",
     }, divergent
+
+
+def test_embedding_queries_match_oracles_on_null_rows(spark, tmp_path):
+    """Completes the r9 NULL-row probe family: NULL vec_id, NULL label
+    and NULL embedding arrays scattered through an 8-dim corpus — all
+    8 embeddings-family queries engine-equal with no guard changes (the
+    r8 NULL-cosine convention and the finite-element guards already
+    carry the lane)."""
+    import os
+
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from n5_dask_spark.registry import load_all
+    from tests.oracle_harness import canon_rows
+
+    rng = np.random.default_rng(5)
+    n, dim = 60, 8
+    emb = (rng.random((n, dim), dtype=np.float32) * 2 - 1).astype(np.float32)
+    sch = pa.schema(
+        [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32())), ("label", pa.int32())]
+    )
+    path = os.path.join(str(tmp_path), "embeddings.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": [None if i % 13 == 4 else i for i in range(n)],
+                "embedding": [None if i % 17 == 9 else emb[i].tolist() for i in range(n)],
+                "label": [None if i % 11 == 6 else int(i % 5) for i in range(n)],
+            },
+            schema=sch,
+        ),
+        path,
+    )
+    reg = load_all()
+    others = ("documents", "lineitem", "orders", "events", "customer", "supplier")
+    names = sorted(
+        nm
+        for nm, q in reg.items()
+        if q.oracle
+        and "embeddings" in q.oracle
+        and not any(t in q.oracle for t in others)
+        and "stream" not in nm
+    )
+    assert len(names) >= 8
+    bad = []
+    for nm in names:
+        q = reg[nm]
+        sdf = q.fn(spark, str(tmp_path))
+        sc, sr = canon_rows(list(sdf.columns), [tuple(r) for r in sdf.collect()])
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{path}'")
+        cur = con.execute(q.oracle)
+        dc, dr = canon_rows([x[0] for x in cur.description], [tuple(r) for r in cur.fetchall()])
+        con.close()
+        if sc != dc or sr != dr:
+            bad.append(nm)
+    assert not bad, bad
