@@ -505,7 +505,7 @@ def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            SUBSTRING(p_name, 1, 8) AS name_prefix,
            CAST(LENGTH(p_name) AS INT) AS name_len,
            REGEXP_EXTRACT(p_brand, '[0-9]+', 0) AS brand_num,
-           CONCAT(p_type, '/', p_brand) AS type_brand,
+           p_type || '/' || p_brand AS type_brand,
            REPLACE(p_type, 'E', '*') AS type_repl
     FROM part WHERE p_partkey <= 200 ORDER BY p_partkey
     """,
@@ -528,6 +528,10 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring("p_name", 1, 8).alias("name_prefix"),
             F.length("p_name").cast("int").alias("name_len"),
             F.regexp_extract("p_brand", "[0-9]+", 0).alias("brand_num"),
+            # oracle spells `||`, not CONCAT(): DuckDB's CONCAT is
+            # NULL-skipping where Spark's (and ||) propagate NULL — a
+            # NULL p_type must yield NULL type_brand on both engines
+            # (TPC-H NULL-row probe find).
             F.concat(F.col("p_type"), F.lit("/"), F.col("p_brand")).alias("type_brand"),
             F.replace(F.col("p_type"), F.lit("E"), F.lit("*")).alias("type_repl"),
         )

@@ -206,6 +206,7 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (
       SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n
       FROM orders JOIN customer ON c_custkey = o_custkey
+      WHERE o_orderstatus IS NOT NULL
       GROUP BY c_mktsegment, o_orderstatus
     )
     SELECT c_mktsegment,
@@ -225,6 +226,11 @@ def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("orders", "customer"))
     m = (
         t["orders"]
+        # a map KEY cannot be NULL — Spark throws NULL_MAP_KEY in the
+        # executor, so one dirty status row would kill the whole job
+        # (TPC-H NULL-row probe find); both sides drop NULL statuses
+        # before the map is built.
+        .filter(F.col("o_orderstatus").isNotNull())
         .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
         .groupBy("c_mktsegment", "o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -302,13 +302,19 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # CRASHED in every executor on one NULL o_totalprice (bare < and *
     # on None); they now mirror their oracles' SQL NULL semantics
     # exactly (CASE ELSE catches NULL; GREATEST is NULL-skipping on
-    # both engines) — probe-pinned in test_oracle_parity.
+    # both engines). scalar_map_funcs CRASHED on a NULL map key
+    # (NULL_MAP_KEY — both sides now drop NULL statuses before the map
+    # is built); scalar_string_funcs' oracle spells || instead of
+    # DuckDB's NULL-skipping CONCAT. All probe-pinned in
+    # test_oracle_parity.
     "udf_sql_registered",
     "udtf_fee_schedule",
+    "scalar_map_funcs",
+    "scalar_string_funcs",
     # (b) the 28 round-5-stale greens, minus six displaced to the r10
     # remainder by the cohorts above (agg_distinct, dedup_subset_key,
     # distinct_pairs, join_cross, scalar_case_when, window_first_last,
-    # set_intersect, window_lag_lead —
+    # set_intersect, window_lag_lead, join_left_semi —
     # chosen from families that keep other in-window representatives;
     # they stay r5-stale and lead the r10 rotation with the two (c)
     # streaming fillers)
@@ -320,10 +326,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "join_inner",
     "join_left_anti",
     "join_left_outer",
-    "join_left_semi",
     "n5_roundtrip_lz4",  # also traverses the changed scan filter
     "orderby_limit_topk",
-    "scalar_string_funcs",
     "set_except",
     "set_union_all",
     "text_tf_top_terms",
