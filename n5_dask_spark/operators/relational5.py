@@ -52,8 +52,13 @@ def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_dimension_stats",
     oracle="""
     WITH ex AS (
-      SELECT CAST(i AS INT) AS dim, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
-      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+      -- linear flat form, not the lateral `UNNEST(range) .. embedding[i]`:
+      -- the lateral duplicates the whole embedding LIST per generated row,
+      -- O(dim^2) per vector (10x slower already at 2048 dims; see
+      -- dedup.DUCK_SHINGLES for the same class on token lists).
+      SELECT CAST(generate_subscripts(embedding, 1) AS INT) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
     )
     SELECT dim,
            COUNT(*) AS n_vecs,
