@@ -96,6 +96,20 @@ STATS_SCHEMA = StructType(
 )
 
 
+def escape_hadoop_glob(path: str) -> str:
+    """Backslash-escape Hadoop glob metacharacters in a LITERAL path.
+
+    Spark's file sources run every load() path through Hadoop glob
+    expansion, so a directory name containing [ ] { } * ? is treated as
+    a PATTERN: dataset ``d[12]`` silently reads sibling ``d1``'s block
+    files (the wrong dataset's data, no error) and an unmatchable
+    pattern raises PATH_NOT_FOUND (r9 hostile-name probe, pinned in
+    tests/test_robustness.py). User-supplied container/dataset/input-dir
+    prefixes are escaped literal; the scan's own ``*`` tails are
+    appended AFTER escaping."""
+    return "".join("\\" + c if c in "*?[]{}\\" else c for c in path)
+
+
 def scan_block_files(
     spark: SparkSession,
     container: str,
@@ -136,7 +150,7 @@ def scan_block_files(
     if paths is not None:
         reader = spark.read.format("binaryFile").option("ignoreMissingFiles", "true")
         try:
-            df = reader.load(paths)
+            df = reader.load([escape_hadoop_glob(p) for p in paths])
         except Exception as exc:
             if not _is_missing_path(exc):
                 raise
@@ -153,7 +167,7 @@ def scan_block_files(
             alive = [p for p in paths if os.path.exists(p)]
             if not alive:
                 return _empty()  # fully sparsified: legal fill-value read
-            df = reader.load(alive)  # a second racing delete fails loudly
+            df = reader.load([escape_hadoop_glob(p) for p in alive])  # a second racing delete fails loudly
     else:
         try:
             # ignoreMissingFiles here too: a block sparsified between the
@@ -162,7 +176,7 @@ def scan_block_files(
             df = (
                 spark.read.format("binaryFile")
                 .option("ignoreMissingFiles", "true")
-                .load(os.path.join(container, dataset, glob))
+                .load(os.path.join(escape_hadoop_glob(os.path.join(container, dataset)), glob))
             )
         except Exception as exc:  # binaryFile raises when the glob matches nothing
             if not _is_missing_path(exc):

@@ -371,7 +371,10 @@ def tif_series_scan(spark: SparkSession, input_dir: str) -> DataFrame:
     semantics, one file per z)."""
     tune_session(spark)
     files = sorted(
-        _glob.glob(os.path.join(input_dir, "*.tif")),
+        # glob.escape: Python glob treats [ ] * ? in the DIRECTORY part as
+        # pattern chars too — an input_dir named "scans[2024]" would match
+        # siblings or nothing (r9 hostile-name probe)
+        _glob.glob(os.path.join(_glob.escape(input_dir), "*.tif")),
         key=lambda p: int(re.findall(r"(\d+)", os.path.basename(p))[-1])
         if re.findall(r"(\d+)", os.path.basename(p))
         else 0,
@@ -379,7 +382,11 @@ def tif_series_scan(spark: SparkSession, input_dir: str) -> DataFrame:
     if not files:
         raise FileNotFoundError(f"no *.tif in {input_dir}")
     order = {os.path.basename(p): z for z, p in enumerate(files)}
-    df = spark.read.format("binaryFile").load(os.path.join(input_dir, "*.tif"))
+    from n5_dask_spark.sources.n5.reader import escape_hadoop_glob
+
+    df = spark.read.format("binaryFile").load(
+        os.path.join(escape_hadoop_glob(input_dir), "*.tif")
+    )
     order_df = spark.createDataFrame(
         [(k, v) for k, v in order.items()], "fname string, z int"
     )
@@ -407,7 +414,7 @@ def tif_series_to_n5(
     # dims/dtype probe driver-side from the glob (header/IFD reads only,
     # no pixel I/O) — running the binaryFile scan for limit(1) and count()
     # would execute the whole scan+join plan twice more per import
-    files = sorted(_glob.glob(os.path.join(input_dir, "*.tif")))
+    files = sorted(_glob.glob(os.path.join(_glob.escape(input_dir), "*.tif")))
     (probe_h, probe_w), probe_dt = tiff_probe_file(files[0])
     n_z = len(files)
     src_type = data_type_of(probe_dt)

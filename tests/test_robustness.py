@@ -396,3 +396,45 @@ def test_export_region_uri_container_passes_all_candidates(spark, monkeypatch, t
             "vol",
         )
     assert captured["paths"] is not None and len(captured["paths"]) == 2
+
+
+def test_hostile_dataset_names_scan_literal(spark, tmp_path):
+    """Hostile-name probe (r9 pass 5): Spark file sources run every load()
+    path through Hadoop GLOB expansion, so a container/dataset directory
+    name containing [ ] { } * ? was treated as a PATTERN — dataset
+    'd[12]' SILENTLY read sibling 'd1''s block files (the wrong
+    dataset's data, no error) and 'img[x]' raised PATH_NOT_FOUND.
+    scan_block_files and the TIFF series scan now escape user-supplied
+    prefixes (escape_hadoop_glob / glob.escape); the scan's own * tails
+    stay patterns. Spaces, dots, parens and digits-only names were
+    always safe (verified here too)."""
+    import os
+
+    import numpy as np
+
+    from n5_dask_spark.sources.n5.reader import read_region
+    from n5_dask_spark.sources.n5.writer import write_array
+
+    rng = np.random.default_rng(0)
+    vol = (rng.random((8, 10, 12)) * 255).astype("u1")
+    for ds in [
+        "img with spaces/s0",
+        "img[bracket]/s0",
+        "img{brace}/s0",
+        "7/3",
+        "img.dots+plus/s0",
+        "img(paren)/s0",
+        "img*star/s0",
+    ]:
+        cont = os.path.join(str(tmp_path), "c.n5")
+        write_array(spark, vol, cont, ds, [5, 5, 5], compression={"type": "gzip"})
+        back = read_region(spark, cont, ds, (0, 0, 0), (8, 10, 12))
+        assert np.array_equal(back, vol), ds
+
+    # the silent-wrong-data trap: d[12] must read ITS OWN blocks, not d1's
+    cont = os.path.join(str(tmp_path), "trap.n5")
+    write_array(spark, vol, cont, "d1", [5, 5, 5], compression={"type": "gzip"})
+    other = (vol + 1).astype("u1")
+    write_array(spark, other, cont, "d[12]", [5, 5, 5], compression={"type": "gzip"})
+    back = read_region(spark, cont, "d[12]", (0, 0, 0), (8, 10, 12))
+    assert np.array_equal(back, other)  # own data, not the glob-matched sibling
