@@ -104,6 +104,15 @@ _CAL_ROWS = 2_000_000_000
 # must renormalize old records by x(0.35/0.55) first (raw numbers and
 # same-ref rounds compare directly).
 CAL_REFERENCE_SEC = 0.35
+# A pass whose calibration probe exceeds this factor x ref is treated as a
+# transient hiccup (GC / C2 / host contention that hit the PROBE but not
+# necessarily the queries) and excluded from the normalized min — see the
+# r10 normalization fix in time_set(). 1.4x: the observed healthy in-bench
+# spread is 0.29-0.43 s (0.8-1.25x ref); the r9 artifact pass read 0.761 s
+# (2.2x). Uniform whole-VM slowness makes EVERY pass exceed the bound, in
+# which case all passes are kept and normalization strips the drift as
+# designed.
+SUSPECT_CAL_FACTOR = 1.4
 
 
 # Diagnostic-only probes (recorded in the JSON, NOT used for
@@ -163,6 +172,47 @@ def _calibration(spark) -> float:
     return best
 
 
+def reduce_passes(
+    passes: list[tuple[float, dict[str, float]]], names: list[str]
+) -> tuple[dict[str, float], dict[str, float]]:
+    """Cross-pass reduction: per-query (best raw, best normalized).
+
+    NORMALIZATION FIX (round 10). Normalization exists to make a pass that
+    ran on a uniformly slow VM comparable — it must never mint a normalized
+    time BELOW the raw time of a healthy pass. Round 9 showed the failure
+    mode: one pass's calibration came in at 0.761 s (2.2x ref; the other
+    passes read 0.33-0.43), its scale ref/cal = 0.46 deflated every sample
+    in that pass, and the cross-pass min then preferred exactly those
+    deflated samples — 16 of 18 untouched queries "improved" 18-48%
+    normalized with zero plan change, and BENCH_r09's value_normalized
+    8.201 was an artifact (honest steady state ~11.0 per the idle
+    re-bench). The calibration hiccup had NOT hit the queries, so scaling
+    them by it fabricated speed. Two guards now:
+
+    1. a pass whose calibration exceeds SUSPECT_CAL_FACTOR x ref is
+       EXCLUDED from the normalized min (its queries very likely did not
+       share the probe's slowness; its raw samples still count for the raw
+       best) — unless EVERY pass is suspect, i.e. the whole bench ran on a
+       slow VM, which is exactly the uniform drift normalization exists to
+       strip, so all passes are kept;
+    2. scale is clamped at 1.0 so a slightly-slow surviving pass may
+       deflate toward truth but a fast probe can never inflate, and
+       normalized <= raw always holds per sample.
+
+    Pure (passes -> bests) so tests/test_registry.py can pin the r9
+    artifact scenario without running Spark.
+    """
+    best = {name: min(s[name] for _, s in passes) for name in names}
+    healthy = [
+        (cal, s) for cal, s in passes if cal <= SUSPECT_CAL_FACTOR * CAL_REFERENCE_SEC
+    ] or passes
+    best_norm = {
+        name: min(s[name] * min(1.0, CAL_REFERENCE_SEC / cal) for cal, s in healthy)
+        for name in names
+    }
+    return best, best_norm
+
+
 def main() -> None:
     from n5_dask_spark.catalog import DEFAULT_SF_DIR
 
@@ -216,24 +266,27 @@ def main() -> None:
     def time_set(names: list[str]) -> tuple[dict[str, float], dict[str, float]]:
         """Per-query (best raw sec, best calibration-normalized sec).
 
-        Each pass opens with the calibration probe; every sample taken in
-        that pass is scaled by ref/probe before taking the normalized
-        best, so a pass run during a whole-VM slow window contributes its
-        samples at their drift-corrected value instead of being discarded.
+        Each pass opens with the calibration probe. For the normalized
+        best, samples are scaled by min(1.0, ref/probe) and passes with a
+        suspect (> SUSPECT_CAL_FACTOR x ref) probe are excluded unless all
+        passes are suspect — see the r10 normalization-fix comment below.
         """
-        best: dict[str, float] = {}
-        best_norm: dict[str, float] = {}
+        # Per-pass samples are kept so suspect passes can be excluded from
+        # the normalized min AFTER all calibrations are known (r10 fix, see
+        # below): (cal, {name: raw_dt}) per pass.
+        passes: list[tuple[float, dict[str, float]]] = []
         for _ in range(runs):
             cal = _calibration(spark)
             calibration_secs.append(round(cal, 3))
-            scale = CAL_REFERENCE_SEC / cal
+            samples: dict[str, float] = {}
             for name in names:
                 t0 = time.perf_counter()
                 rows = registry[name].fn(spark, sf_dir).collect()
                 dt = time.perf_counter() - t0
                 assert rows is not None
-                best[name] = min(dt, best.get(name, dt))
-                best_norm[name] = min(dt * scale, best_norm.get(name, dt * scale))
+                samples[name] = dt
+            passes.append((cal, samples))
+        best, best_norm = reduce_passes(passes, names)
         return (
             {name: round(best[name], 3) for name in names},
             {name: round(best_norm[name], 3) for name in names},

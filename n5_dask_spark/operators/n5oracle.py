@@ -74,9 +74,20 @@ def _voxels(spark: SparkSession, sf_dir: str) -> DataFrame:
     card = docs.agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("doc_id").alias("n_ids"),
+        F.count("doc_id").alias("n_nonnull_ids"),
         F.count("lang").alias("n_lang"),
     ).collect()[0]
     n_docs = card["n"]
+    if n_docs != card["n_nonnull_ids"]:
+        # NULL doc_ids never match `doc_id = i % n_docs`, silently dropping
+        # their voxels — and countDistinct below ignores NULLs, so without
+        # this check a NULL-id corpus would trip the DUPLICATE branch with a
+        # misleading message (r10 ADVICE item).
+        raise ValueError(
+            "n5/tiff/ome fixture queries derive voxel values by joining "
+            "on doc_id = i % n_docs; the documents table at this sf_dir "
+            f"has NULL doc_ids ({n_docs - card['n_nonnull_ids']} of {n_docs})"
+        )
     if n_docs != card["n_lang"]:
         # md5(i ':' NULL) is NULL -> NaN voxels -> numpy astype(uint8)
         # produces PLATFORM GARBAGE silently (NULL-text probe: the OME

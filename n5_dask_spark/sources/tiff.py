@@ -415,6 +415,8 @@ def tif_series_to_n5(
     # no pixel I/O) — running the binaryFile scan for limit(1) and count()
     # would execute the whole scan+join plan twice more per import
     files = sorted(_glob.glob(os.path.join(_glob.escape(input_dir), "*.tif")))
+    if not files:  # same contract as tif_series_scan, not a bare IndexError
+        raise FileNotFoundError(f"no *.tif in {input_dir}")
     (probe_h, probe_w), probe_dt = tiff_probe_file(files[0])
     n_z = len(files)
     src_type = data_type_of(probe_dt)

@@ -2139,6 +2139,34 @@ def test_doc_queries_characterized_on_duplicate_doc_ids(spark, tmp_path):
     assert len(refused) >= 10  # the whole fixture family refuses loudly
 
 
+def test_voxels_null_doc_id_refused(spark, tmp_path):
+    """NULL-doc_id probe (r10 ADVICE closure): NULL ids never match the
+    `doc_id = i % n_docs` join, silently dropping their voxels — and
+    countDistinct ignores NULLs, so before r10 a NULL-id corpus tripped
+    the DUPLICATE branch with a misleading message. `_voxels` now refuses
+    with a dedicated NULL-doc_id error; a corpus whose non-NULL ids are
+    unique must name NULLs, not duplicates."""
+    import os
+
+    import pandas as pd
+    import pytest
+
+    from n5_dask_spark.operators.n5oracle import _voxels
+
+    df = pd.DataFrame(
+        {
+            "doc_id": pd.array([0, 1, None, 3], dtype="Int64"),
+            "text": ["alpha", "beta", "gamma", "delta"],
+            "lang": ["en", "de", "fr", "en"],
+            "source": ["web", "book", "web", "code"],
+            "n_chars": pd.array([5, 4, 5, 5], dtype="int64"),
+        }
+    )
+    df.to_parquet(os.path.join(str(tmp_path), "documents.parquet"))
+    with pytest.raises(ValueError, match="NULL doc_ids"):
+        _voxels(spark, str(tmp_path))
+
+
 def test_event_order_queries_match_oracles_on_extreme_timestamps(spark, tmp_path):
     """Extreme-timestamp probe (r9 pass 5): pre-epoch times (1965; the
     last microsecond of 1969), the epoch itself, the 1582 cutover week,

@@ -191,6 +191,18 @@ def test_series_with_mismatched_slice_refused(spark):
         tif_series_to_n5(spark, src, temp_container(), "a/s0", [8, 8, 2])
 
 
+def test_tif_series_to_n5_empty_dir(spark):
+    """r10 ADVICE closure: an empty input_dir raises the same
+    FileNotFoundError contract as tif_series_scan, not a bare IndexError
+    from files[0]."""
+    from n5_dask_spark.sources.n5.writer import temp_container
+    from n5_dask_spark.sources.tiff import tif_series_to_n5
+
+    src = tmpdir()  # exists, holds no *.tif
+    with pytest.raises(FileNotFoundError, match="no \\*\\.tif"):
+        tif_series_to_n5(spark, src, temp_container(), "a/s0", [8, 8, 2])
+
+
 def test_series_scan_with_hostile_filenames(spark):
     """binaryFile's path column is NOT URI-encoded in this Spark (pinned
     empirically: space/%/#/+ come back raw), so the basename join in

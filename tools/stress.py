@@ -482,7 +482,13 @@ def tiff_series_stress(spark, base: str, n_z: int = 256, wh=(1024, 1024)) -> dic
     assert n_written == n_z, f"export wrote {n_written} slices, expected {n_z}"
 
     def slice_md5(dirpath, alias):
-        df = spark.read.format("binaryFile").load(os.path.join(dirpath, "*.tif"))
+        # escape Hadoop glob metachars in the dir (hostile-name class fixed
+        # in reader.py/tiff.py r9; r10 ADVICE item for this tool)
+        from n5_dask_spark.sources.n5.reader import escape_hadoop_glob
+
+        df = spark.read.format("binaryFile").load(
+            os.path.join(escape_hadoop_glob(dirpath), "*.tif")
+        )
 
         def digest(batches):
             for pdf in batches:
