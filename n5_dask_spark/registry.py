@@ -236,6 +236,82 @@ REGISTRY: dict[str, Query] = {}
 # stale. Build the next rotation from CORRECTNESS_r*.json last-green ages,
 # not from family coverage — cumulative coverage is already total.
 DRIVER_WINDOW: tuple[str, ...] = (
+    # --- round 10 policy (VERDICT r9 #1 — rotation debt): the graded set
+    # is exactly the 40 queries whose last driver green is stale (the nine
+    # r5-stale leads + all 31 r6-stale, including the 11-query N5 cohort
+    # that traverses the r9-changed glob-escape scan without a post-change
+    # driver row), plus 10 fillers. Fillers follow changed-first: every
+    # corpus-derived fixture query traverses `_voxels` (n5oracle.py),
+    # which gained the NULL-doc_id guard this round, and
+    # tiff_roundtrip_zprofile additionally traverses the r10
+    # empty-dir guard in tif_series_to_n5 — so the eight r7/r8
+    # fixture-family queries not already in the stale 40 take eight
+    # slots, and the last two go to the oldest unrepresented r7
+    # families (dedup_simhash, formats_json_roundtrip). After r10 no
+    # query's last driver green predates round 7 (remaining histogram:
+    # r7=28, r8=32, r9=50, r10=50).
+    # (a) nine round-5-stale leads (displaced twice by changed-first):
+    "agg_distinct",
+    "dedup_subset_key",
+    "distinct_pairs",
+    "join_cross",
+    "join_left_semi",
+    "scalar_case_when",
+    "set_intersect",
+    "window_first_last",
+    "window_lag_lead",
+    # (b) all 31 round-6-stale greens — the 11-query N5 cohort first
+    # (every one re-proves the r9 glob-escape scan AND the r10 _voxels
+    # guard on a driver row):
+    "n5_block_inventory",
+    "n5_block_stats",
+    "n5_downsample_stats",
+    "n5_downsample_zprofile",
+    "n5_intensity_histogram",
+    "n5_rechunk_blocksums",
+    "n5_rechunk_stats",
+    "n5_region_export_zprofile",
+    "n5_region_read",
+    "n5_roundtrip_blosc",
+    "n5_roundtrip_blosc_zstd",
+    # ... then the remaining r6-stale, alphabetical:
+    "agg_filter_clause",
+    "correlated_scalar_subquery",
+    "formats_orc_roundtrip",
+    "fuzzy_match_levenshtein",
+    "join_salted",
+    "join_sort_merge_largelarge",
+    "listagg_nations_per_region",
+    "multimodal_frame_sample",
+    "multimodal_png_decode",
+    "pipeline_train_val_split",
+    "pivot_segment_by_year",
+    "set_except_all",
+    "set_intersect_all",
+    "streaming_stateful_running_totals",
+    "streaming_stream_stream_join",
+    "text_langid",
+    "text_pii_scrub",
+    "unpivot_price_metrics",
+    "window_ntile",
+    "window_range_between",
+    # (c) fillers: the r7/r8 fixture family (traverses the r10-changed
+    # _voxels; tiff_roundtrip_zprofile also the tiff.py empty-dir guard):
+    "tiff_roundtrip_zprofile",
+    "n5_zprofile",
+    "n5_datasource_zprofile",
+    "n5_datasource_write_zprofile",
+    "n5_multiscale_levels",
+    "n5_region_tif_checksum",
+    "n5_template_copy_zprofile",
+    "ome_channels_zprofile",
+    # ... and two oldest-unrepresented r7 family reps:
+    "dedup_simhash",
+    "formats_json_roundtrip",
+)
+
+# --- round 9 window, retired (kept for the rotation audit trail) ---
+_DRIVER_WINDOW_R9: tuple[str, ...] = (
     # --- round 9 policy (VERDICT r8 #1): (a) queries over code CHANGED
     # this round — scan_block_files' numeric-path filter moved to
     # try_cast (the 1-D glob ANSI crash the new geometry net found), a
