@@ -41,6 +41,38 @@ from n5_dask_spark.sources.n5.metadata import (
 )
 
 
+# Chaos hook (r10 fault-injection net). At 100 TB an executor WILL die
+# mid-write; the sinks' claim is that task retries over atomic
+# temp-file+rename writes leave the output byte-identical to a clean run.
+# That claim is proven, not assumed: when this env var names a directory,
+# the FIRST attempt of every sink task drops a marker file there and dies
+# AFTER its current batch's files hit disk — a lost-executor-mid-write
+# simulation — and retried attempts (> 0) run clean. The marker files let
+# the test assert the injection really fired. Production cost: one
+# os.environ.get per batch. tests/test_fault_injection.py drives this
+# under a retry-enabled master (local[N,maxFailures]).
+_FAULT_ENV = "N5DS_INJECT_WRITE_FAULT_DIR"
+
+
+def _maybe_inject_fault() -> None:
+    fault_dir = os.environ.get(_FAULT_ENV)
+    if not fault_dir:
+        return
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    if ctx is not None and ctx.attemptNumber() == 0:
+        marker = os.path.join(
+            fault_dir, f"p{ctx.partitionId()}-a{ctx.attemptNumber()}-{uuid.uuid4().hex}"
+        )
+        with open(marker, "w"):
+            pass
+        raise RuntimeError(
+            "injected write fault: first-attempt task death mid-write "
+            f"(partition {ctx.partitionId()})"
+        )
+
+
 def _atomic_write(path: str, payload: bytes) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), prefix=".inprogress-")
@@ -109,6 +141,7 @@ def write_blocks(
                 coords = (int(gx), int(gy), int(gz))[:ndim]
                 path = os.path.join(container, dataset, *map(str, coords))
                 _atomic_write(path, encode_block(arr, data_type, compression))
+            _maybe_inject_fault()  # chaos hook: batch's files are on disk
             yield pdf[["gx", "gy", "gz"]]
 
     counts = (

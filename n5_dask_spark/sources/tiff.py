@@ -480,12 +480,15 @@ def n5_to_tif_series(
     dt = np_dtype(slice_attrs.data_type)
 
     def sink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from n5_dask_spark.sources.n5.writer import _maybe_inject_fault
+
         written = []
         for pdf in batches:
             for gz, shape, data in zip(pdf["gz"], pdf["shape_zyx"], pdf["data"]):
                 arr = np.frombuffer(bytes(data), dtype=dt).reshape(list(shape))[0]
                 write_tiff(os.path.join(output_dir, f"{prefix}{int(gz):05d}.tif"), arr)
                 written.append(int(gz))
+            _maybe_inject_fault()  # chaos hook: batch's slices are on disk
         yield pd.DataFrame({"gz": written})
 
     # the sink fuses into the rechunk shuffle's stage (writer.write_blocks

@@ -1,0 +1,114 @@
+"""Write-path fault-injection net (r10, VERDICT r9 item 5).
+
+At 100 TB an executor WILL die mid-write; the sinks' at-scale claim is
+that Spark task retries over atomic temp-file+rename writes leave the
+output byte-identical to a clean run (writer.py `_atomic_write`,
+tiff.py `write_tiff`). This proves it instead of assuming it: the
+`N5DS_INJECT_WRITE_FAULT_DIR` chaos hook makes the FIRST attempt of
+every sink task die AFTER its current batch's files hit disk (a
+lost-executor-mid-write simulation, marker-file audited), and the job
+must still produce exactly the ground-truth bytes.
+
+Runs in a subprocess because task retries need a retry-enabled master
+(`local[4,3]`) and `spark.task.maxFailures` is fixed at session
+creation — the shared session fixture runs `local[8]` where any task
+failure kills the job.
+"""
+
+import os
+import pathlib
+import subprocess
+import sys
+
+REPO = str(pathlib.Path(__file__).resolve().parent.parent)
+
+_SCRIPT = r"""
+import glob
+import os
+import pathlib
+import sys
+import tempfile
+import time
+
+fault_dir = tempfile.mkdtemp(prefix="n5ds-fault-markers-")
+# set BEFORE the JVM exists: local-mode Python workers inherit the JVM's
+# env, which inherits this process's env at gateway launch
+os.environ["N5DS_INJECT_WRITE_FAULT_DIR"] = fault_dir
+os.environ["TZ"] = "America/New_York"
+time.tzset()
+
+import numpy as np
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[4,3]")  # 4 threads, maxFailures=3
+    .appName("n5ds-fault-injection")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "8")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+from n5_dask_spark.sources.n5.reader import read_full
+from n5_dask_spark.sources.n5.writer import temp_container, write_array
+from n5_dask_spark.sources.tiff import n5_to_tif_series, read_tiff, tif_series_to_n5
+
+rng = np.random.default_rng(7)
+arr = rng.integers(0, 256, size=(40, 33, 9)).astype(np.uint8)
+
+# --- leg 1: N5 block sink (write_blocks via write_array) under injected
+# first-attempt task deaths. 3x3x3 grid -> 27 blocks across tasks.
+container = temp_container("n5ds-fault")
+write_array(spark, arr, container, "img/s0", [16, 16, 4], compression={"type": "gzip"})
+markers_after_write = len(os.listdir(fault_dir))
+assert markers_after_write > 0, "write-leg injection never fired"
+back = read_full(spark, container, "img/s0")
+assert np.array_equal(back, arr), "retried N5 write is not value-identical"
+litter = list(pathlib.Path(container).rglob(".inprogress-*"))
+assert not litter, f"temp-file litter after retries: {litter}"
+block_files = [
+    p for p in pathlib.Path(container, "img/s0").rglob("*")
+    if p.is_file() and p.name != "attributes.json"
+]
+assert len(block_files) == 27, f"{len(block_files)} block files for a 27-block grid"
+
+# --- leg 2: TIFF series sink (n5_to_tif_series) under the same injection.
+out_dir = tempfile.mkdtemp(prefix="n5ds-fault-tif-")
+n = n5_to_tif_series(spark, container, "img/s0", out_dir)
+assert n == 9, n
+markers_after_export = len(os.listdir(fault_dir))
+assert markers_after_export > markers_after_write, "export-leg injection never fired"
+files = sorted(glob.glob(os.path.join(out_dir, "*.tif")))
+assert len(files) == 9, files
+for z, f in enumerate(files):
+    assert np.array_equal(read_tiff(f), arr[:, :, z].T), f"slice {z} differs"
+
+# --- leg 3: full import pipeline (tif_series_to_n5: scan -> rechunk ->
+# write_blocks) under injection, closing the roundtrip.
+c2 = temp_container("n5ds-fault-rt")
+tif_series_to_n5(spark, out_dir, c2, "rt/s0", [16, 16, 4], compression={"type": "gzip"})
+assert np.array_equal(read_full(spark, c2, "rt/s0"), arr), "retried import differs"
+
+print(
+    "FAULT_INJECTION_OK",
+    markers_after_write,
+    markers_after_export - markers_after_write,
+    len(os.listdir(fault_dir)) - markers_after_export,
+)
+"""
+
+
+def test_write_paths_survive_injected_task_retries():
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("N5DS_INJECT_WRITE_FAULT_DIR", None)
+    proc = subprocess.run(
+        [sys.executable, "-c", _SCRIPT],
+        cwd=REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-4000:]}"
+    assert "FAULT_INJECTION_OK" in proc.stdout, proc.stdout
