@@ -117,15 +117,34 @@ def read_raw_attributes(container: str, dataset: str = "") -> dict[str, Any]:
         return json.load(f)
 
 
+def _atomic_write_json(path: str, obj: Any) -> None:
+    """Atomic metadata write (r10 concurrency hardening): same temp-file +
+    os.replace discipline as the block sink. A plain truncating open("w")
+    lets a concurrent reader — a downstream pyramid stage, a monitor, a
+    racing retry of the same driver — observe an EMPTY or torn
+    attributes.json; at fleet scale "two jobs touch one container" is
+    routine (multiscale levels s0..sN land as separate jobs). With rename,
+    readers see the old complete file or the new complete file, never a
+    partial one; concurrent writers of identical content are idempotent."""
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), prefix=".inprogress-")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(obj, f)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
 def write_attributes(container: str, dataset: str, attrs: DatasetAttributes) -> None:
     os.makedirs(os.path.join(container, dataset), exist_ok=True)
     root = attributes_path(container)
     if not os.path.exists(root):
         os.makedirs(container, exist_ok=True)
-        with open(root, "w") as f:
-            json.dump({"n5": N5_VERSION}, f)
-    with open(attributes_path(container, dataset), "w") as f:
-        json.dump(attrs.to_json(), f)
+        _atomic_write_json(root, {"n5": N5_VERSION})
+    _atomic_write_json(attributes_path(container, dataset), attrs.to_json())
 
 
 def update_raw_attributes(container: str, dataset: str, updates: dict[str, Any]) -> None:
@@ -133,8 +152,7 @@ def update_raw_attributes(container: str, dataset: str, updates: dict[str, Any])
     obj = read_raw_attributes(container, dataset)
     obj.update(updates)
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    with open(path, "w") as f:
-        json.dump(obj, f)
+    _atomic_write_json(path, obj)
 
 
 def get_pixel_resolution(
