@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import itertools
 import os
+import re
 from collections.abc import Iterator
 from typing import Any
 
@@ -110,6 +111,60 @@ def escape_hadoop_glob(path: str) -> str:
     return "".join("\\" + c if c in "*?[]{}\\" else c for c in path)
 
 
+def _reject_empty_block_files(
+    container: str, dataset: str, ndim: int, paths: list[str] | None
+) -> None:
+    """Zero-byte-block integrity guard (r10 corrupt-block probe find).
+
+    Spark's binaryFile source silently DROPS zero-length files from its
+    listing (verified empirically on both the glob and explicit-path
+    branches), which makes a zero-byte block file indistinguishable from a
+    legally ABSENT sparse block: the scan would read that populated grid
+    cell as fill-value zeros with no error — silent wrong data. A
+    zero-byte file is never valid N5 (the block header alone is >= 4
+    bytes); it is the signature of a torn external writer (crash between
+    open and write, object-store partial put, disk-full truncation — our
+    own sinks are immune via temp+rename). Truncated and garbage blocks
+    already fail loudly in decode_block; this closes the one silent lane.
+
+    Driver-side stat pass, LOCAL containers only: for explicit path lists
+    the paths were already being stat'ed (os.path.exists), so the size
+    check is free; for the glob branch one os.walk of the dataset tree
+    costs the same order as the file listing Spark itself performs
+    driver-side for binaryFile. URI-scheme containers cannot be stat'ed
+    from the driver — documented residual, same footing as the URI sparse
+    asymmetry in read_region."""
+    if _has_uri_scheme(container):
+        return
+    if paths is not None:
+        empties = [
+            p for p in paths if os.path.exists(p) and os.path.getsize(p) == 0
+        ]
+    else:
+        root = os.path.join(container, dataset)
+        pat = re.compile(r"^\d+$")
+        empties = []
+        for dirpath, _dirnames, filenames in os.walk(root):
+            rel = os.path.relpath(dirpath, root)
+            depth = 0 if rel == "." else rel.count(os.sep) + 1
+            if depth != ndim - 1:
+                continue  # block files sit exactly ndim levels deep
+            for fn in filenames:
+                if pat.match(fn):
+                    full = os.path.join(dirpath, fn)
+                    if os.path.getsize(full) == 0:
+                        empties.append(full)
+    if empties:
+        raise ValueError(
+            f"zero-byte block file(s) in {os.path.join(container, dataset)}: "
+            f"{sorted(empties)[:5]}{' ...' if len(empties) > 5 else ''} — "
+            "not valid N5 (a block header is at least 4 bytes) and Spark's "
+            "binaryFile listing silently drops empty files, so these "
+            "populated grid cells would otherwise read as fill-value zeros. "
+            "Likely a torn external writer; re-write the affected blocks."
+        )
+
+
 def scan_block_files(
     spark: SparkSession,
     container: str,
@@ -134,6 +189,7 @@ def scan_block_files(
     dataset's own attributes.json) are dropped by the numeric-path
     filter rather than decoded as blocks."""
     tune_session(spark)
+    _reject_empty_block_files(container, dataset, ndim, paths)
     glob = "/".join(["*"] * ndim)
 
     def _empty() -> DataFrame:

@@ -507,3 +507,52 @@ def test_write_region_large_region_under_tight_guard(spark, monkeypatch):
     expect = arr.copy()
     expect[3:21, 5:19, 2:11] = 7
     np.testing.assert_array_equal(read_full(spark, c, "a/s0"), expect)
+
+
+def test_corrupt_block_files_fail_loudly_zero_byte_is_not_sparse(spark):
+    """r10 corrupt-block probe: Spark's binaryFile listing silently DROPS
+    zero-length files, so before the guard a zero-byte block file (torn
+    external writer / partial put / disk-full truncation) read its
+    populated grid cell as fill-value zeros — silent wrong data,
+    indistinguishable from legal sparseness. Pins all three corruption
+    modes loud (zero-byte via the new scan guard; truncated and garbage
+    via decode_block), and the contrast: a DELETED block file stays the
+    legal sparse fill-value read."""
+    import pathlib
+
+    from n5_dask_spark.sources.n5.reader import read_full
+    from n5_dask_spark.sources.n5.writer import temp_container, write_array
+
+    arr = (np.arange(16 * 16 * 8) % 251).astype(np.uint8).reshape(16, 16, 8)
+
+    def fresh(corrupt):
+        c = temp_container("corrupt")
+        write_array(spark, arr, c, "d/s0", [8, 8, 4], compression={"type": "gzip"})
+        bf = sorted(
+            p
+            for p in pathlib.Path(c, "d/s0").rglob("*")
+            if p.is_file() and p.name != "attributes.json"
+        )[2]
+        corrupt(bf)
+        return c
+
+    # zero-byte: the silent lane, now refused loudly by the scan guard
+    c = fresh(lambda bf: bf.write_bytes(b""))
+    with pytest.raises(ValueError, match="zero-byte block file"):
+        read_full(spark, c, "d/s0")
+
+    # truncated / garbage: already loud in decode_block — pinned
+    for corrupt in (
+        lambda bf: bf.write_bytes(bf.read_bytes()[: len(bf.read_bytes()) // 2]),
+        lambda bf: bf.write_bytes(b"\x00\x01" + b"\xff" * 64),
+    ):
+        c = fresh(corrupt)
+        with pytest.raises(Exception):
+            read_full(spark, c, "d/s0")
+
+    # deleted: legal N5 sparseness — fill-value zeros for that block only
+    c = fresh(lambda bf: bf.unlink())
+    back = read_full(spark, c, "d/s0")
+    assert back.shape == arr.shape
+    assert not np.array_equal(back, arr)  # one block zeroed
+    assert (back == arr).mean() > 0.5  # the other seven blocks intact
