@@ -186,6 +186,25 @@ def decode_block(raw: bytes, data_type: str, compression: dict[str, Any] | None)
     return arr.reshape(tuple(reversed(dims))).astype(np_dtype(data_type))
 
 
+def decode_block_at(
+    raw: bytes, data_type: str, compression: dict[str, Any] | None, source: str
+) -> np.ndarray:
+    """decode_block with the originating file named in any failure.
+
+    A million-block job that dies on one corrupt block must point at the
+    FILE — the bare struct/zlib/size errors decode_block raises carry no
+    location, which at fleet scale means re-running the whole job under a
+    debugger to find one bad object. Every executor-side decode that knows
+    its source path goes through here (r10 corrupt-block probe)."""
+    try:
+        return decode_block(raw, data_type, compression)
+    except Exception as e:
+        raise ValueError(
+            f"corrupt N5 block file {source} ({len(raw)} bytes): "
+            f"{type(e).__name__}: {e}"
+        ) from e
+
+
 def encode_block(arr_zyx: np.ndarray, data_type: str, compression: dict[str, Any] | None) -> bytes:
     """Encode a C-order (z, y, x) array into N5 block bytes (mode 0)."""
     dims = tuple(reversed(arr_zyx.shape))  # x-fastest in the header

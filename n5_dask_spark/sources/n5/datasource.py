@@ -112,7 +112,7 @@ class N5Reader(DataSourceReader):
         return parts
 
     def read(self, partition: N5BlockPartition) -> Iterator[tuple]:
-        from n5_dask_spark.sources.n5.codec import decode_block
+        from n5_dask_spark.sources.n5.codec import decode_block_at
 
         attrs = self._get_attrs()
         try:
@@ -120,7 +120,7 @@ class N5Reader(DataSourceReader):
                 raw = f.read()
         except FileNotFoundError:
             return  # block sparsified after planning -> fill-value (no row)
-        arr = decode_block(raw, attrs.data_type, attrs.compression)
+        arr = decode_block_at(raw, attrs.data_type, attrs.compression, partition.path)
         g = list(partition.grid) + [0] * (3 - len(partition.grid))
         yield (g[0], g[1], g[2], list(arr.shape), arr.tobytes())
 

@@ -43,7 +43,7 @@ from pyspark.sql.types import (
 )
 
 from n5_dask_spark.session import tune_session
-from n5_dask_spark.sources.n5.codec import decode_block, np_dtype
+from n5_dask_spark.sources.n5.codec import decode_block_at, np_dtype
 from n5_dask_spark.sources.n5.metadata import DatasetAttributes, read_attributes
 
 BLOCK_SCHEMA = StructType(
@@ -267,7 +267,10 @@ def decoded_blocks(
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            arrs = [decode_block(bytes(r), data_type, compression) for r in pdf["raw"]]
+            arrs = [
+                decode_block_at(bytes(r), data_type, compression, p)
+                for r, p in zip(pdf["raw"], pdf["path"])
+            ]
             yield pd.DataFrame(
                 {
                     "gx": pdf["gx"].astype("int32"),
@@ -290,8 +293,10 @@ def block_stats(spark: SparkSession, container: str, dataset: str) -> DataFrame:
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for gx, gy, gz, raw in zip(pdf["gx"], pdf["gy"], pdf["gz"], pdf["raw"]):
-                a = decode_block(bytes(raw), data_type, compression)
+            for gx, gy, gz, raw, p in zip(
+                pdf["gx"], pdf["gy"], pdf["gz"], pdf["raw"], pdf["path"]
+            ):
+                a = decode_block_at(bytes(raw), data_type, compression, p)
                 rows.append(
                     (
                         int(gx),
@@ -391,14 +396,16 @@ def read_region(
         return np.zeros(out_shape, dtype=np_dtype(attrs.data_type))
     raw_df = scan_block_files(spark, container, dataset, attrs.ndim, paths=paths)
     coords = ("gx", "gy", "gz")[: attrs.ndim]
-    rows = raw_df.select(*coords, F.col("raw").alias("content")).collect()
+    rows = raw_df.select(*coords, F.col("raw").alias("content"), "path").collect()
 
     out_shape_zyx = tuple(e - s for s, e in zip(start_xyz, end_xyz))[::-1]
     out = np.zeros(out_shape_zyx, dtype=np_dtype(attrs.data_type))
     bs = attrs.block_size
     for r in rows:
         grid = tuple(r[i] for i in range(attrs.ndim))  # x,y,z
-        arr = decode_block(bytes(r["content"]), attrs.data_type, attrs.compression)
+        arr = decode_block_at(
+            bytes(r["content"]), attrs.data_type, attrs.compression, r["path"]
+        )
         # block extent in global xyz coords
         b_start = [g * b for g, b in zip(grid, bs)]
         b_end = [s + dim for s, dim in zip(b_start, reversed(arr.shape))]

@@ -238,7 +238,7 @@ def write_region(
     one — instead of one job per edge block, while peak driver memory stays
     bounded by the caller's region plus one group."""
     from n5_dask_spark.sources.n5.reader import MAX_REGION_BYTES, scan_block_files
-    from n5_dask_spark.sources.n5.codec import decode_block
+    from n5_dask_spark.sources.n5.codec import decode_block_at
 
     attrs = read_attributes(container, dataset)
     end_xyz = [s + d for s, d in zip(start_xyz, region_xyz.shape)]
@@ -313,9 +313,11 @@ def write_region(
         got: dict[tuple, np.ndarray] = {}
         if paths:
             raw_df = scan_block_files(spark, container, dataset, ndim, paths=paths)
-            for r in raw_df.select(*coords, "raw").collect():
+            for r in raw_df.select(*coords, "raw", "path").collect():
                 g = tuple(int(r[c]) for c in coords)
-                got[g] = decode_block(bytes(r["raw"]), attrs.data_type, attrs.compression)
+                got[g] = decode_block_at(
+                    bytes(r["raw"]), attrs.data_type, attrs.compression, r["path"]
+                )
         for grid, b0, b1, region_sel, block_sel in group:
             arr_zyx = got.get(tuple(grid))
             if arr_zyx is None:  # sparse: absent block file means zeros

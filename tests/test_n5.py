@@ -541,13 +541,15 @@ def test_corrupt_block_files_fail_loudly_zero_byte_is_not_sparse(spark):
     with pytest.raises(ValueError, match="zero-byte block file"):
         read_full(spark, c, "d/s0")
 
-    # truncated / garbage: already loud in decode_block — pinned
+    # truncated / garbage: loud, and the error NAMES the file (a
+    # million-block job must point at the bad object, not a bare
+    # struct/zlib error — decode_block_at)
     for corrupt in (
         lambda bf: bf.write_bytes(bf.read_bytes()[: len(bf.read_bytes()) // 2]),
         lambda bf: bf.write_bytes(b"\x00\x01" + b"\xff" * 64),
     ):
         c = fresh(corrupt)
-        with pytest.raises(Exception):
+        with pytest.raises(ValueError, match="corrupt N5 block file .*/d/s0/"):
             read_full(spark, c, "d/s0")
 
     # deleted: legal N5 sparseness — fill-value zeros for that block only
