@@ -381,6 +381,23 @@ def tif_series_scan(spark: SparkSession, input_dir: str) -> DataFrame:
     )
     if not files:
         raise FileNotFoundError(f"no *.tif in {input_dir}")
+    # Zero-byte-slice integrity guard (r10 corrupt-block probe, same lane
+    # as the N5 scan's): Spark's binaryFile listing silently DROPS
+    # zero-length files, so a truncated-to-empty slice (torn external
+    # writer / partial copy) would vanish from the scan while the
+    # driver-side glob still counts it — the import then zero-fills that z
+    # as if it were a sparse-export gap: silent wrong data. The glob above
+    # already listed every file, so the stat is free.
+    empties = [p for p in files if os.path.getsize(p) == 0]
+    if empties:
+        raise ValueError(
+            f"zero-byte .tif slice file(s) in {input_dir}: "
+            f"{[os.path.basename(p) for p in empties[:5]]}"
+            f"{' ...' if len(empties) > 5 else ''} — Spark's binaryFile "
+            "listing silently drops empty files, so these slices would "
+            "otherwise read as all zeros. Likely a torn writer or partial "
+            "copy; restore or remove the affected files."
+        )
     order = {os.path.basename(p): z for z, p in enumerate(files)}
     from n5_dask_spark.sources.n5.reader import escape_hadoop_glob
 
@@ -393,7 +410,7 @@ def tif_series_scan(spark: SparkSession, input_dir: str) -> DataFrame:
     return (
         df.withColumn("fname", F.element_at(F.split("path", "/"), -1))
         .join(F.broadcast(order_df), "fname")
-        .select("z", F.col("content").alias("raw"))
+        .select("z", F.col("content").alias("raw"), "fname")
     )
 
 
@@ -425,16 +442,24 @@ def tif_series_to_n5(
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for z, raw in zip(pdf["z"], pdf["raw"]):
-                arr = decode_tiff(bytes(raw))
+            for z, raw, fname in zip(pdf["z"], pdf["raw"], pdf["fname"]):
+                try:
+                    arr = decode_tiff(bytes(raw))
+                except Exception as e:
+                    # name the FILE: a long series dying on one corrupt
+                    # slice must point at it (decode_block_at discipline)
+                    raise ValueError(
+                        f"corrupt TIFF slice {fname} (z={int(z)}, "
+                        f"{len(raw)} bytes): {type(e).__name__}: {e}"
+                    ) from e
                 # every slice must match the probe: a mismatched shape would
                 # otherwise be silently clipped/zero-padded by the rechunk
                 # kernel, and a same-width dtype reinterpreted bit-for-bit
                 if arr.shape != (probe_h, probe_w) or arr.dtype != probe_dt:
                     raise ValueError(
-                        f"slice z={int(z)} is {arr.shape} {arr.dtype}; the series "
-                        f"probe says ({probe_h}, {probe_w}) {probe_dt} — all "
-                        "slices of a series must share one shape and dtype"
+                        f"slice {fname} (z={int(z)}) is {arr.shape} {arr.dtype}; "
+                        f"the series probe says ({probe_h}, {probe_w}) {probe_dt} "
+                        "— all slices of a series must share one shape and dtype"
                     )
                 arr = arr[None, :, :]  # (1, Y, X)
                 rows.append((0, 0, int(z), list(arr.shape), arr.tobytes()))

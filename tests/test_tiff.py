@@ -191,6 +191,33 @@ def test_series_with_mismatched_slice_refused(spark):
         tif_series_to_n5(spark, src, temp_container(), "a/s0", [8, 8, 2])
 
 
+def test_tif_series_zero_byte_and_corrupt_slices_fail_loudly(spark):
+    """r10 corrupt-block probe, TIFF lane: Spark's binaryFile listing
+    silently drops zero-length files, so a truncated-to-empty slice used
+    to vanish from the scan while the driver glob counted it — the import
+    zero-filled that z as if it were a sparse-export gap (silent wrong
+    data). Scan now refuses zero-byte slices; a non-empty corrupt slice
+    fails naming the file."""
+    from n5_dask_spark.sources.n5.writer import temp_container
+    from n5_dask_spark.sources.tiff import tif_series_scan, tif_series_to_n5, write_tiff
+
+    src = tmpdir()
+    for z in range(4):
+        write_tiff(os.path.join(src, f"s{z:03d}.tif"), np.full((4, 6), z + 1, np.uint8))
+    open(os.path.join(src, "s002.tif"), "wb").close()  # truncate to empty
+    with pytest.raises(ValueError, match="zero-byte .tif slice"):
+        tif_series_scan(spark, src).collect()
+    with pytest.raises(ValueError, match="zero-byte .tif slice"):
+        tif_series_to_n5(spark, src, temp_container(), "a/s0", [6, 4, 4])
+
+    # non-empty garbage slice: loud AND names the file
+    write_tiff(os.path.join(src, "s002.tif"), np.full((4, 6), 3, np.uint8))
+    with open(os.path.join(src, "s001.tif"), "wb") as f:
+        f.write(b"\x00\x01garbage-not-a-tiff")
+    with pytest.raises(Exception, match="s001.tif"):
+        tif_series_to_n5(spark, src, temp_container(), "a/s0", [6, 4, 4])
+
+
 def test_tif_series_to_n5_empty_dir(spark):
     """r10 ADVICE closure: an empty input_dir raises the same
     FileNotFoundError contract as tif_series_scan, not a bare IndexError
