@@ -112,9 +112,22 @@ def escape_hadoop_glob(path: str) -> str:
 
 
 def _reject_empty_block_files(
-    container: str, dataset: str, ndim: int, paths: list[str] | None
+    container: str, dataset: str, ndim: int, paths: list[str] | None,
+    grid_shape: list[int] | None = None,
 ) -> None:
-    """Zero-byte-block integrity guard (r10 corrupt-block probe find).
+    """Zero-byte-block + stale-block integrity guard (r10 probe finds).
+
+    When ``grid_shape`` is given (glob-branch callers that know the
+    dataset attributes), the same os.walk ALSO refuses block files whose
+    grid coordinates fall OUTSIDE the current grid: N5 leaves old block
+    files behind when a dataset is overwritten in place with smaller
+    dimensions (the classic N5 footgun), and the glob scan would read
+    them as data — probe-measured: a 16x16x8 volume shrunk to 8x8x4
+    still block_stats'ed all 8 old blocks, 7 of them stale. Out-of-grid
+    files mean the IN-grid cells may be stale too (an in-place overwrite
+    does not clear absent cells), so this refuses loudly instead of
+    silently filtering. Explicit-path callers enumerate from grid math
+    and are immune by construction.
 
     Spark's binaryFile source silently DROPS zero-length files from its
     listing (verified empirically on both the glob and explicit-path
@@ -136,6 +149,7 @@ def _reject_empty_block_files(
     asymmetry in read_region."""
     if _has_uri_scheme(container):
         return
+    stale: list[str] = []
     if paths is not None:
         empties = [
             p for p in paths if os.path.exists(p) and os.path.getsize(p) == 0
@@ -149,11 +163,32 @@ def _reject_empty_block_files(
             depth = 0 if rel == "." else rel.count(os.sep) + 1
             if depth != ndim - 1:
                 continue  # block files sit exactly ndim levels deep
+            dir_coords = [] if rel == "." else rel.split(os.sep)
             for fn in filenames:
                 if pat.match(fn):
                     full = os.path.join(dirpath, fn)
                     if os.path.getsize(full) == 0:
                         empties.append(full)
+                    elif (
+                        grid_shape is not None
+                        # only numeric-tail paths — non-numeric segments are
+                        # dropped by the scan's coordinate filter anyway
+                        and all(c.isdigit() for c in dir_coords)
+                        and any(
+                            int(c) >= g
+                            for c, g in zip([*dir_coords, fn], grid_shape)
+                        )
+                    ):
+                        stale.append(full)
+    if stale:
+        raise ValueError(
+            f"stale block file(s) outside the {grid_shape} grid of "
+            f"{os.path.join(container, dataset)}: {sorted(stale)[:5]}"
+            f"{' ...' if len(stale) > 5 else ''} — N5 leaves old blocks "
+            "behind when a dataset is overwritten in place with smaller "
+            "dimensions, and the in-grid cells may be stale too. "
+            "Re-create the dataset directory fresh instead of overwriting."
+        )
     if empties:
         raise ValueError(
             f"zero-byte block file(s) in {os.path.join(container, dataset)}: "
@@ -171,6 +206,7 @@ def scan_block_files(
     dataset: str,
     ndim: int = 3,
     paths: list[str] | None = None,
+    grid_shape: list[int] | None = None,
 ) -> DataFrame:
     """Raw block-file scan: (gx, gy, gz, length, raw) via binaryFile.
 
@@ -189,7 +225,7 @@ def scan_block_files(
     dataset's own attributes.json) are dropped by the numeric-path
     filter rather than decoded as blocks."""
     tune_session(spark)
-    _reject_empty_block_files(container, dataset, ndim, paths)
+    _reject_empty_block_files(container, dataset, ndim, paths, grid_shape)
     glob = "/".join(["*"] * ndim)
 
     def _empty() -> DataFrame:
@@ -262,7 +298,10 @@ def decoded_blocks(
 ) -> DataFrame:
     """Blocks DataFrame with decoded payloads (shape_zyx + native bytes)."""
     attrs = read_attributes(container, dataset)
-    raw_df = scan_block_files(spark, container, dataset, attrs.ndim, paths=paths)
+    raw_df = scan_block_files(
+        spark, container, dataset, attrs.ndim, paths=paths,
+        grid_shape=None if paths is not None else attrs.grid_shape,
+    )
     data_type, compression = attrs.data_type, dict(attrs.compression)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -287,7 +326,9 @@ def decoded_blocks(
 def block_stats(spark: SparkSession, container: str, dataset: str) -> DataFrame:
     """Per-block stats — decode and reduce inside the UDF; only scalars leave."""
     attrs = read_attributes(container, dataset)
-    raw_df = scan_block_files(spark, container, dataset, attrs.ndim)
+    raw_df = scan_block_files(
+        spark, container, dataset, attrs.ndim, grid_shape=attrs.grid_shape
+    )
     data_type, compression = attrs.data_type, dict(attrs.compression)
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -558,3 +558,31 @@ def test_corrupt_block_files_fail_loudly_zero_byte_is_not_sparse(spark):
     assert back.shape == arr.shape
     assert not np.array_equal(back, arr)  # one block zeroed
     assert (back == arr).mean() > 0.5  # the other seven blocks intact
+
+
+def test_stale_blocks_from_inplace_shrink_refused(spark):
+    """r10 stale-block probe: N5 leaves old block files behind when a
+    dataset is overwritten in place with SMALLER dimensions, and before
+    the guard the glob scan read them as data (a 16x16x8 volume shrunk
+    to 8x8x4 still block_stats'ed all 8 old blocks — 7 stale). Grid-aware
+    scans now refuse loudly; grid-math-pruned region reads stay immune
+    and correct."""
+    from n5_dask_spark.sources.n5.reader import block_stats, decoded_blocks, read_full
+    from n5_dask_spark.sources.n5.writer import temp_container, write_array
+
+    big = np.full((16, 16, 8), 9, np.uint8)
+    small = np.full((8, 8, 4), 1, np.uint8)
+    c = temp_container("stale")
+    write_array(spark, big, c, "d/s0", [8, 8, 4])  # 2x2x2 grid
+    write_array(spark, small, c, "d/s0", [8, 8, 4])  # in-place shrink: 1-block grid
+    with pytest.raises(ValueError, match="stale block file"):
+        block_stats(spark, c, "d/s0").collect()
+    with pytest.raises(ValueError, match="stale block file"):
+        decoded_blocks(spark, c, "d/s0").collect()
+    # region read enumerates from grid math: immune by construction
+    np.testing.assert_array_equal(read_full(spark, c, "d/s0"), small)
+
+    # a FRESH dataset of the same small shape scans clean
+    c2 = temp_container("fresh")
+    write_array(spark, small, c2, "d/s0", [8, 8, 4])
+    assert block_stats(spark, c2, "d/s0").count() == 1
