@@ -89,6 +89,12 @@ class DatasetAttributes:
                 "(ndim <= 3); split channel/time axes into per-channel "
                 "3-D datasets (the reference's c{c}/s{level} layout)"
             )
+        # validate dataType EAGERLY (r10 corrupt-metadata probe): an unknown
+        # type used to pass attribute parsing and only fail at first decode/
+        # encode, far from the metadata that caused it
+        from n5_dask_spark.sources.n5.codec import np_dtype
+
+        np_dtype(obj["dataType"])
         return cls(
             data_type=obj["dataType"],
             dimensions=dims,
@@ -105,8 +111,15 @@ def attributes_path(container: str, dataset: str = "") -> str:
 
 
 def read_attributes(container: str, dataset: str) -> DatasetAttributes:
-    with open(attributes_path(container, dataset)) as f:
-        return DatasetAttributes.from_json(json.load(f))
+    path = attributes_path(container, dataset)
+    with open(path) as f:
+        try:
+            obj = json.load(f)
+        except json.JSONDecodeError as e:
+            # name the FILE: a bare JSONDecodeError gives a fleet operator
+            # nothing to act on (r10 corrupt-metadata probe)
+            raise ValueError(f"corrupt attributes.json at {path}: {e}") from e
+    return DatasetAttributes.from_json(obj)
 
 
 def read_raw_attributes(container: str, dataset: str = "") -> dict[str, Any]:
@@ -114,7 +127,10 @@ def read_raw_attributes(container: str, dataset: str = "") -> dict[str, Any]:
     if not os.path.exists(path):
         return {}
     with open(path) as f:
-        return json.load(f)
+        try:
+            return json.load(f)
+        except json.JSONDecodeError as e:
+            raise ValueError(f"corrupt attributes.json at {path}: {e}") from e
 
 
 def _atomic_write_json(path: str, obj: Any) -> None:

@@ -586,3 +586,32 @@ def test_stale_blocks_from_inplace_shrink_refused(spark):
     c2 = temp_container("fresh")
     write_array(spark, small, c2, "d/s0", [8, 8, 4])
     assert block_stats(spark, c2, "d/s0").count() == 1
+
+
+def test_corrupt_attributes_json_fails_naming_the_file(tmp_path):
+    """r10 corrupt-metadata probe: a torn/garbage attributes.json must
+    fail naming the file (a bare JSONDecodeError is unactionable at fleet
+    scale), and an unknown dataType fails at attribute parse, not at the
+    first decode far from the cause."""
+    from n5_dask_spark.sources.n5.metadata import read_attributes, read_raw_attributes
+
+    c = tmp_path / "c.n5"
+    (c / "ds").mkdir(parents=True)
+    (c / "attributes.json").write_text('{"n5":"2.5.1"}')
+    (c / "ds" / "attributes.json").write_text('{"dataType": "uint8", "dim')
+    with pytest.raises(ValueError, match="corrupt attributes.json at .*/ds/"):
+        read_attributes(str(c), "ds")
+    with pytest.raises(ValueError, match="corrupt attributes.json at .*/ds/"):
+        read_raw_attributes(str(c), "ds")
+    (c / "ds" / "attributes.json").write_text(
+        json.dumps(
+            {
+                "dataType": "complex128",
+                "dimensions": [8, 8, 8],
+                "blockSize": [8, 8, 8],
+                "compression": {"type": "raw"},
+            }
+        )
+    )
+    with pytest.raises(ValueError, match="unsupported N5 dataType"):
+        read_attributes(str(c), "ds")
