@@ -120,7 +120,14 @@ class N5Reader(DataSourceReader):
                 raw = f.read()
         except FileNotFoundError:
             return  # block sparsified after planning -> fill-value (no row)
-        arr = decode_block_at(raw, attrs.data_type, attrs.compression, partition.path)
+        from n5_dask_spark.sources.n5.reader import check_block_shape
+
+        arr = check_block_shape(
+            decode_block_at(raw, attrs.data_type, attrs.compression, partition.path),
+            partition.grid,
+            attrs,
+            partition.path,
+        )
         g = list(partition.grid) + [0] * (3 - len(partition.grid))
         yield (g[0], g[1], g[2], list(arr.shape), arr.tobytes())
 

@@ -200,6 +200,29 @@ def _reject_empty_block_files(
         )
 
 
+def check_block_shape(
+    arr_zyx: np.ndarray, grid: tuple[int, ...], attrs: DatasetAttributes, source: str
+) -> np.ndarray:
+    """Refuse a block whose decoded shape OVERFLOWS its grid cell (r10
+    oversized-block probe): a foreign block declaring header dims larger
+    than blockSize spills voxels into neighboring cells' coordinates —
+    probe-measured, read_full let whichever block decoded later win the
+    overlap (order-dependent silent wrong data) and block_stats counted
+    1024 elems for an 8^3 cell. Undersized blocks pass: a shape SMALLER
+    than the cell is the edge-truncation rule applied conservatively and
+    degrades like sparseness (fill value), never touching other cells."""
+    expected = attrs.block_dims(tuple(grid)[: attrs.ndim])
+    shape_xyz = list(reversed(arr_zyx.shape))
+    if any(s > e for s, e in zip(shape_xyz, expected)):
+        raise ValueError(
+            f"block {source} decodes to {shape_xyz} (x,y,z) but grid cell "
+            f"{tuple(grid)[: attrs.ndim]} of a {attrs.dimensions} volume with "
+            f"blockSize {attrs.block_size} holds at most {expected} — an "
+            "oversized block would silently overwrite neighboring cells"
+        )
+    return arr_zyx
+
+
 def scan_block_files(
     spark: SparkSession,
     container: str,
@@ -307,8 +330,15 @@ def decoded_blocks(
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             arrs = [
-                decode_block_at(bytes(r), data_type, compression, p)
-                for r, p in zip(pdf["raw"], pdf["path"])
+                check_block_shape(
+                    decode_block_at(bytes(r), data_type, compression, p),
+                    (int(gx), int(gy), int(gz)),
+                    attrs,
+                    p,
+                )
+                for r, p, gx, gy, gz in zip(
+                    pdf["raw"], pdf["path"], pdf["gx"], pdf["gy"], pdf["gz"]
+                )
             ]
             yield pd.DataFrame(
                 {
@@ -337,7 +367,12 @@ def block_stats(spark: SparkSession, container: str, dataset: str) -> DataFrame:
             for gx, gy, gz, raw, p in zip(
                 pdf["gx"], pdf["gy"], pdf["gz"], pdf["raw"], pdf["path"]
             ):
-                a = decode_block_at(bytes(raw), data_type, compression, p)
+                a = check_block_shape(
+                    decode_block_at(bytes(raw), data_type, compression, p),
+                    (int(gx), int(gy), int(gz)),
+                    attrs,
+                    p,
+                )
                 rows.append(
                     (
                         int(gx),
@@ -444,8 +479,13 @@ def read_region(
     bs = attrs.block_size
     for r in rows:
         grid = tuple(r[i] for i in range(attrs.ndim))  # x,y,z
-        arr = decode_block_at(
-            bytes(r["content"]), attrs.data_type, attrs.compression, r["path"]
+        arr = check_block_shape(
+            decode_block_at(
+                bytes(r["content"]), attrs.data_type, attrs.compression, r["path"]
+            ),
+            grid,
+            attrs,
+            r["path"],
         )
         # block extent in global xyz coords
         b_start = [g * b for g, b in zip(grid, bs)]

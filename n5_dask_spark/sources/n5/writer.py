@@ -313,10 +313,17 @@ def write_region(
         got: dict[tuple, np.ndarray] = {}
         if paths:
             raw_df = scan_block_files(spark, container, dataset, ndim, paths=paths)
+            from n5_dask_spark.sources.n5.reader import check_block_shape
+
             for r in raw_df.select(*coords, "raw", "path").collect():
                 g = tuple(int(r[c]) for c in coords)
-                got[g] = decode_block_at(
-                    bytes(r["raw"]), attrs.data_type, attrs.compression, r["path"]
+                got[g] = check_block_shape(
+                    decode_block_at(
+                        bytes(r["raw"]), attrs.data_type, attrs.compression, r["path"]
+                    ),
+                    g,
+                    attrs,
+                    r["path"],
                 )
         for grid, b0, b1, region_sel, block_sel in group:
             arr_zyx = got.get(tuple(grid))

@@ -615,3 +615,36 @@ def test_corrupt_attributes_json_fails_naming_the_file(tmp_path):
     )
     with pytest.raises(ValueError, match="unsupported N5 dataType"):
         read_attributes(str(c), "ds")
+
+
+def test_oversized_block_refused(spark):
+    """r10 oversized-block probe: a foreign block whose header declares
+    dims LARGER than its grid cell spills voxels into neighboring cells'
+    coordinates — read_full let whichever block decoded later win the
+    overlap (order-dependent silent wrong data) and block_stats counted
+    1024 elems for an 8^3 cell. Every decode path now refuses, naming the
+    file; a legally SMALLER (edge-truncation-style) block still reads."""
+    import struct
+
+    from n5_dask_spark.sources.n5.reader import block_stats, read_full
+    from n5_dask_spark.sources.n5.writer import temp_container, write_array
+
+    arr = np.full((16, 8, 8), 5, np.uint8)  # 2 blocks in x at bs 8
+    c = temp_container("ovf")
+    write_array(spark, arr, c, "d/s0", [8, 8, 8])
+    big = np.full((8, 8, 16), 200, np.uint8)  # zyx: 16 wide in x
+    raw = struct.pack(">HH3i", 0, 3, 16, 8, 8) + big.tobytes()
+    with open(os.path.join(c, "d/s0/0/0/0"), "wb") as f:
+        f.write(raw)
+    with pytest.raises(Exception, match="holds at most"):
+        read_full(spark, c, "d/s0")
+    with pytest.raises(Exception, match="holds at most"):
+        block_stats(spark, c, "d/s0").collect()
+
+    # undersized (conservative edge truncation): legal, fills the rest
+    small = np.full((8, 8, 4), 7, np.uint8)
+    raw = struct.pack(">HH3i", 0, 3, 4, 8, 8) + small.tobytes()
+    with open(os.path.join(c, "d/s0/0/0/0"), "wb") as f:
+        f.write(raw)
+    back = read_full(spark, c, "d/s0")
+    assert (back[:4, :, :] == 7).all() and (back[8:, :, :] == 5).all()
