@@ -144,10 +144,17 @@ def _reject_empty_block_files(
     the paths were already being stat'ed (os.path.exists), so the size
     check is free; for the glob branch one os.walk of the dataset tree
     costs the same order as the file listing Spark itself performs
-    driver-side for binaryFile. URI-scheme containers cannot be stat'ed
-    from the driver — documented residual, same footing as the URI sparse
-    asymmetry in read_region."""
-    if _has_uri_scheme(container):
+    driver-side for binaryFile — measured 75 ms for an 8,192-block
+    dataset (~9 us/block, linear). URI-scheme containers cannot be
+    stat'ed from the driver — documented residual, same footing as the
+    URI sparse asymmetry in read_region. Operators of datasets whose
+    listing itself is the bottleneck (many millions of block files, where
+    Spark's own driver-side file index pays the same linear cost) can set
+    N5DS_SKIP_SCAN_AUDIT=1 to trade this integrity audit for listing
+    time — corruption then surfaces only via decode errors (loud) and
+    the zero-byte lane reverts to silent fill-value reads (the documented
+    risk this guard exists to close)."""
+    if _has_uri_scheme(container) or os.environ.get("N5DS_SKIP_SCAN_AUDIT"):
         return
     stale: list[str] = []
     if paths is not None:

@@ -648,3 +648,24 @@ def test_oversized_block_refused(spark):
         f.write(raw)
     back = read_full(spark, c, "d/s0")
     assert (back[:4, :, :] == 7).all() and (back[8:, :, :] == 5).all()
+
+
+def test_scan_audit_escape_hatch(spark, monkeypatch):
+    """N5DS_SKIP_SCAN_AUDIT=1 trades the integrity audit for listing time
+    on datasets whose driver-side listing is itself the bottleneck — the
+    zero-byte lane then reverts to binaryFile's silent drop (documented)."""
+    import pathlib
+
+    from n5_dask_spark.sources.n5.reader import block_stats
+    from n5_dask_spark.sources.n5.writer import temp_container, write_array
+
+    arr = np.full((16, 8, 8), 5, np.uint8)
+    c = temp_container("hatch")
+    write_array(spark, arr, c, "d/s0", [8, 8, 8])
+    pathlib.Path(c, "d/s0/0/0/0").write_bytes(b"")
+    with pytest.raises(ValueError, match="zero-byte block file"):
+        block_stats(spark, c, "d/s0").collect()
+    monkeypatch.setenv("N5DS_SKIP_SCAN_AUDIT", "1")
+    # audit off: the empty file is silently dropped by binaryFile (the
+    # documented trade) and the remaining block still reads
+    assert block_stats(spark, c, "d/s0").count() == 1
