@@ -2,11 +2,13 @@
 may run with arbitrary confs; results must be invariant to execution
 mode and partitioning, not green by optimizer luck. This net flips every
 lever at once — ANSI off, spark.sql.shuffle.partitions=7 (odd, tiny),
-whole-stage codegen OFF (interpreted expressions), AQE OFF — and
-hash-compares against the DuckDB oracles. The full 160-query registry
-ran green under these confs at sf0.01 in round 10 (168.5 s); this pins a
-cross-family sample so the net stays reproducible (subprocess: the confs
-are session-static, the shared fixture can't carry them).
+whole-stage codegen OFF (interpreted expressions), AQE OFF,
+caseSensitive=true, vectorized parquet reader OFF — and hash-compares
+against the DuckDB oracles. The full 160-query registry ran green in
+round 10 under the first four levers (168.5 s at sf0.01) AND under
+caseSensitive+non-vectorized (173.3 s); this pins a cross-family sample
+with ALL levers at once so the net stays reproducible (subprocess: the
+confs are session-static, the shared fixture can't carry them).
 """
 
 import os
@@ -29,6 +31,8 @@ spark = (
     .config("spark.sql.shuffle.partitions", "7")
     .config("spark.sql.codegen.wholeStage", "false")
     .config("spark.sql.adaptive.enabled", "false")
+    .config("spark.sql.caseSensitive", "true")
+    .config("spark.sql.parquet.enableVectorizedReader", "false")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 )
