@@ -3,10 +3,12 @@ may run with arbitrary confs; results must be invariant to execution
 mode and partitioning, not green by optimizer luck. This net flips every
 lever at once — ANSI off, spark.sql.shuffle.partitions=7 (odd, tiny),
 whole-stage codegen OFF (interpreted expressions), AQE OFF,
-caseSensitive=true, vectorized parquet reader OFF — and hash-compares
-against the DuckDB oracles. The full 160-query registry ran green in
-round 10 under the first four levers (168.5 s at sf0.01) AND under
-caseSensitive+non-vectorized (173.3 s); this pins a cross-family sample
+caseSensitive=true, vectorized parquet reader OFF, Arrow batches of
+SEVEN rows (any pandas-UDF logic assuming one batch per partition
+breaks) — and hash-compares against the DuckDB oracles. The full
+160-query registry ran green in round 10 under the first four levers
+(168.5 s at sf0.01), under caseSensitive+non-vectorized (173.3 s), and
+under 7-row Arrow batches (186.0 s); this pins a cross-family sample
 with ALL levers at once so the net stays reproducible (subprocess: the
 confs are session-static, the shared fixture can't carry them).
 """
@@ -33,6 +35,7 @@ spark = (
     .config("spark.sql.adaptive.enabled", "false")
     .config("spark.sql.caseSensitive", "true")
     .config("spark.sql.parquet.enableVectorizedReader", "false")
+    .config("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 )
