@@ -198,6 +198,41 @@ def test_atomic_block_write_race_never_tears(tmp_path):
     assert not list((tmp_path / "b").glob(".inprogress-*"))
 
 
+def test_concurrent_dataset_writes_same_container(spark):
+    """Two jobs writing DIFFERENT datasets of one container concurrently
+    (multiscale levels landing in parallel is the fleet-real shape): the
+    shared root attributes.json is created under a check-then-write race
+    that the r10 atomic-rename fix makes safe, and both volumes must read
+    back exactly."""
+    import threading
+
+    import numpy as np
+
+    from n5_dask_spark.sources.n5.reader import read_full
+    from n5_dask_spark.sources.n5.writer import temp_container, write_array
+
+    c = temp_container("concurrent")
+    arrs = {
+        f"d{i}/s0": np.full((16, 16, 8), i + 1, np.uint8) for i in range(4)
+    }
+    errors = []
+
+    def job(ds, arr):
+        try:
+            write_array(spark, arr, c, ds, [8, 8, 4], compression={"type": "gzip"})
+        except Exception as e:  # surfaced after join
+            errors.append((ds, repr(e)))
+
+    threads = [threading.Thread(target=job, args=(ds, a)) for ds, a in arrs.items()]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    for ds, arr in arrs.items():
+        np.testing.assert_array_equal(read_full(spark, c, ds), arr)
+
+
 def test_write_paths_survive_injected_task_retries():
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
