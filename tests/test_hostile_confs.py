@@ -8,9 +8,12 @@ SEVEN rows (any pandas-UDF logic assuming one batch per partition
 breaks) — and hash-compares against the DuckDB oracles. The full
 160-query registry ran green in round 10 under the first four levers
 (168.5 s at sf0.01), under caseSensitive+non-vectorized (173.3 s), and
-under 7-row Arrow batches (186.0 s); this pins a cross-family sample
-with ALL levers at once so the net stays reproducible (subprocess: the
-confs are session-static, the shared fixture can't carry them).
+under 7-row Arrow batches (186.0 s), and under
+autoBroadcastJoinThreshold=-1 (sort-merge everywhere, 224.2 s — our
+explicit F.broadcast hints still apply, auto decisions all flip); this
+pins a cross-family sample with ALL levers at once so the net stays
+reproducible (subprocess: the confs are session-static, the shared
+fixture can't carry them).
 """
 
 import os
@@ -36,6 +39,7 @@ spark = (
     .config("spark.sql.caseSensitive", "true")
     .config("spark.sql.parquet.enableVectorizedReader", "false")
     .config("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    .config("spark.sql.autoBroadcastJoinThreshold", "-1")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 )
