@@ -199,7 +199,7 @@ def reduce_passes(
        deflate toward truth but a fast probe can never inflate, and
        normalized <= raw always holds per sample.
 
-    Pure (passes -> bests) so tests/test_registry.py can pin the r9
+    Pure (passes -> bests) so tests/test_bench_norm.py can pin the r9
     artifact scenario without running Spark.
     """
     best = {name: min(s[name] for _, s in passes) for name in names}

@@ -236,6 +236,78 @@ REGISTRY: dict[str, Query] = {}
 # stale. Build the next rotation from CORRECTNESS_r*.json last-green ages,
 # not from family coverage — cumulative coverage is already total.
 DRIVER_WINDOW: tuple[str, ...] = (
+    # --- round 11 policy (VERDICT r10 #2): rotate onto the r7/r8-stale
+    # greens. (a) changed-first: two N5 reps traverse every line changed
+    # this round — the scheme-independent integrity audit + Hadoop-stat
+    # sparse resolution in scan_block_files/read_region, the atomic-write
+    # permission fix, and the check_block_shape ndim guard
+    # (n5_roundtrip_zprofile = glob scan + write; n5_region_read =
+    # explicit-path scan + read_region + per-block shape check). The rest
+    # of the N5 cohort is r10-fresh and re-proven by the round-end full
+    # ritual gate + driver-sim. (b) all 28 r7-stale greens. (c) the 20
+    # oldest r8-stale: the 14 whose prior green is r4, then the first 6
+    # (alphabetical) of the prior-green-r5 dozen. The 12 remaining
+    # r8-greens stay within the <=3-round freshness policy and lead the
+    # r12 rotation. After r11 no query's last driver green predates
+    # round 8 (target histogram: r8=12, r9=49, r10=49, r11=50).
+    # (a) changed-in-r11 representatives:
+    "n5_roundtrip_zprofile",
+    "n5_region_read",
+    # (b) the 28 round-7-stale greens:
+    "agg_approx_distinct",
+    "agg_argminmax_bool",
+    "events_cohort_retention",
+    "pipeline_outlier_filter",
+    "q1_pricing_summary",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_value",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q19_discounted_revenue",
+    "q20_potential_promotion",
+    "q21_suppliers_kept_waiting",
+    "q22_global_sales_opportunity",
+    "scalar_bitwise_funcs",
+    "streaming_dedup_events",
+    "streaming_foreachbatch_parquet",
+    "streaming_static_dim_join",
+    "streaming_stream_stream_left_join",
+    "streaming_tumbling_agg",
+    "streaming_watermark_append",
+    "text_quality_score",
+    "window_distribution_funcs",
+    # (c) the 20 oldest round-8-stale greens — prior green r4 first:
+    "dedup_exact",
+    "formats_partitioned_pruning",
+    "join_bucketed_colocated",
+    "join_null_safe_eq",
+    "join_range_binned",
+    "multimodal_audio_frame_energy",
+    "q6_forecast_revenue",
+    "q12_late_shipment",
+    "sample_pergroup_topk_hash",
+    "sample_stratified_hash",
+    "scalar_url_funcs",
+    "text_bpe_pretokenize",
+    "upsert_orders_snapshot",
+    "window_row_number",
+    # ... then prior green r5, alphabetical:
+    "agg_cube",
+    "agg_grouping_sets",
+    "events_session_window",
+    "events_sessionization_funnel",
+    "join_full_outer",
+    "join_range_nonequi",
+)
+
+# --- round 10 window, retired (kept for the rotation audit trail) ---
+_DRIVER_WINDOW_R10: tuple[str, ...] = (
     # --- round 10 policy (VERDICT r9 #1 — rotation debt): the graded set
     # is exactly the 40 queries whose last driver green is stale (the nine
     # r5-stale leads + all 31 r6-stale, including the 11-query N5 cohort

@@ -133,6 +133,13 @@ def read_raw_attributes(container: str, dataset: str = "") -> dict[str, Any]:
             raise ValueError(f"corrupt attributes.json at {path}: {e}") from e
 
 
+def current_umask() -> int:
+    """The process umask (no read-only accessor exists; set-and-restore)."""
+    u = os.umask(0)
+    os.umask(u)
+    return u
+
+
 def _atomic_write_json(path: str, obj: Any) -> None:
     """Atomic metadata write (r10 concurrency hardening): same temp-file +
     os.replace discipline as the block sink. A plain truncating open("w")
@@ -141,12 +148,18 @@ def _atomic_write_json(path: str, obj: Any) -> None:
     attributes.json; at fleet scale "two jobs touch one container" is
     routine (multiscale levels s0..sN land as separate jobs). With rename,
     readers see the old complete file or the new complete file, never a
-    partial one; concurrent writers of identical content are idempotent."""
+    partial one; concurrent writers of identical content are idempotent.
+
+    mkstemp creates 0600 files; the pre-r10 open("w") path produced
+    umask-governed (typically 0644) metadata, and on shared containers a
+    0600 attributes.json locks out group/other readers. fchmod restores
+    the umask-governed mode before the rename (r10 advice)."""
     import tempfile
 
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), prefix=".inprogress-")
     try:
         with os.fdopen(fd, "w") as f:
+            os.fchmod(f.fileno(), 0o666 & ~current_umask())
             json.dump(obj, f)
         os.replace(tmp, path)
     finally:

@@ -205,11 +205,11 @@ def export_region(
 
     from n5_dask_spark.sources.n5.reader import _has_uri_scheme
 
-    # same sparse-vs-URI contract as read_region: local containers
-    # pre-filter to existing block files (absent = fill-value, stays
-    # sparse in the output); URI containers pass every candidate so
-    # scan_block_files can refuse loudly rather than driver-stat them
-    # all False and silently export zeros
+    # same sparse contract as read_region: local containers pre-filter to
+    # existing block files (absent = fill-value, stays sparse in the
+    # output); URI containers pass every candidate and scan_block_files
+    # resolves absent ones through the Hadoop FileSystem (r11), so sparse
+    # URI datasets export correctly instead of refusing
     candidates = [_os.path.join(container, dataset, *map(str, g)) for g in hits]
     if _has_uri_scheme(container):
         paths = candidates

@@ -35,6 +35,7 @@ from n5_dask_spark.session import tune_session
 from n5_dask_spark.sources.n5.codec import data_type_of, encode_block, np_dtype
 from n5_dask_spark.sources.n5.metadata import (
     DatasetAttributes,
+    current_umask,
     read_attributes,
     read_raw_attributes,
     write_attributes,
@@ -78,6 +79,10 @@ def _atomic_write(path: str, payload: bytes) -> None:
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), prefix=".inprogress-")
     try:
         with os.fdopen(fd, "wb") as f:
+            # mkstemp creates 0600; restore umask-governed permissions so
+            # block files written by one user stay readable by the shared
+            # container's other readers (r10 advice, same fix as metadata)
+            os.fchmod(f.fileno(), 0o666 & ~current_umask())
             f.write(payload)
         os.replace(tmp, path)  # atomic: retried tasks overwrite, never interleave
     finally:
@@ -304,11 +309,10 @@ def write_region(
     for group in groups:
         # Pass EVERY candidate edge path to the scan — no driver-local
         # os.path.exists pre-filter. Sparse (absent) blocks are resolved by
-        # scan_block_files' missing-path handling: survivor retry for local
-        # paths, loud refusal for URI-scheme paths the driver cannot stat
-        # (a driver-side exists() filter would test those all False and
-        # silently zero stored data outside the region — the exact failure
-        # reader.py:146-150 guards against).
+        # scan_block_files' missing-path handling: survivor retry via os
+        # stats for local paths and via the Hadoop FileSystem for
+        # URI-scheme paths (r11; a bare exists() filter would test URIs
+        # all False and silently zero stored data outside the region).
         paths = [os.path.join(container, dataset, *map(str, grid)) for (grid, *_rest) in group]
         got: dict[tuple, np.ndarray] = {}
         if paths:

@@ -669,3 +669,115 @@ def test_scan_audit_escape_hatch(spark, monkeypatch):
     # audit off: the empty file is silently dropped by binaryFile (the
     # documented trade) and the remaining block still reads
     assert block_stats(spark, c, "d/s0").count() == 1
+
+
+def test_integrity_audit_uri_scheme_parity(spark):
+    """r11 (r10 verdict item 1): the zero-byte/stale refusals hold for
+    URI-scheme containers with the SAME semantics as local paths. The
+    audit walks the Hadoop FileSystem API — the listing machinery
+    binaryFile itself uses — so any scheme the scan can read, the audit
+    audits; before r11 the guard returned early for URI containers and an
+    object-store partial put (the torn-write scenario the guard exists
+    for) read its populated cell as silent fill-value zeros. ``file:``
+    exercises the branch; s3a/hdfs ride the same API."""
+    import pathlib
+
+    from n5_dask_spark.sources.n5.reader import scan_block_files
+    from n5_dask_spark.sources.n5.writer import temp_container, write_array
+
+    arr = np.full((16, 16, 8), 9, np.uint8)
+    c = temp_container("uri")
+    write_array(spark, arr, c, "d/s0", [8, 8, 4])  # 2x2x2 grid
+    uri = "file:" + c
+    # clean URI scan: all 8 blocks, audit quiet
+    assert scan_block_files(spark, uri, "d/s0", 3, grid_shape=[2, 2, 2]).count() == 8
+    # zero-byte refusal, glob branch (was a silent fill-value read pre-r11)
+    pathlib.Path(c, "d/s0/0/0/0").write_bytes(b"")
+    with pytest.raises(ValueError, match="zero-byte block file"):
+        scan_block_files(spark, uri, "d/s0", 3, grid_shape=[2, 2, 2]).collect()
+    # zero-byte refusal, explicit-path branch (the pruned region-read lane)
+    with pytest.raises(ValueError, match="zero-byte block file"):
+        scan_block_files(
+            spark, uri, "d/s0", 3, paths=[uri + "/d/s0/0/0/0"]
+        ).collect()
+    # an ABSENT path in an explicit URI list stays legal N5 sparseness
+    os.unlink(os.path.join(c, "d/s0/0/0/0"))
+    assert (
+        scan_block_files(
+            spark, uri, "d/s0", 3,
+            paths=[uri + "/d/s0/0/0/0", uri + "/d/s0/1/0/0"],
+        ).count()
+        == 1
+    )
+    # stale-block refusal after an in-place shrink, URI glob branch
+    small = np.full((8, 8, 4), 1, np.uint8)
+    write_array(spark, small, c, "d/s0", [8, 8, 4])  # 1-block grid now
+    with pytest.raises(ValueError, match="stale block file"):
+        scan_block_files(spark, uri, "d/s0", 3, grid_shape=[1, 1, 1]).collect()
+    # escape hatch applies to URI containers too
+    os.environ["N5DS_SKIP_SCAN_AUDIT"] = "1"
+    try:
+        assert (
+            scan_block_files(spark, uri, "d/s0", 3, grid_shape=[1, 1, 1]).count()
+            == 8
+        )
+    finally:
+        del os.environ["N5DS_SKIP_SCAN_AUDIT"]
+
+
+def test_atomic_writes_restore_umask_permissions(spark, tmp_path):
+    """r10 advice: mkstemp creates 0600 temp files, so without the fchmod
+    the atomic rename left attributes.json and block files unreadable by
+    group/other on shared containers (pre-r10 open('w') wrote
+    umask-governed 0644). Pins the restored mode on both sinks."""
+    import stat
+
+    from n5_dask_spark.sources.n5.writer import write_array
+
+    arr = np.full((8, 8, 4), 3, np.uint8)
+    c = str(tmp_path / "perm.n5")
+    write_array(spark, arr, c, "d/s0", [8, 8, 4])
+    umask = os.umask(0)
+    os.umask(umask)
+    want = 0o666 & ~umask
+    for rel in ("attributes.json", "d/s0/attributes.json", "d/s0/0/0/0"):
+        mode = stat.S_IMODE(os.stat(os.path.join(c, rel)).st_mode)
+        assert mode == want, (rel, oct(mode), oct(want))
+
+
+def test_block_header_more_dims_than_dataset_refused(spark):
+    """r10 advice: check_block_shape zipped xyz shape against the
+    dataset's ndim-length expectation, so a 4-D header in a 3-D dataset
+    had its extra dims unchecked and surfaced as a downstream reshape
+    error; now a named refusal."""
+    import struct
+
+    from n5_dask_spark.sources.n5.reader import read_full
+    from n5_dask_spark.sources.n5.writer import temp_container, write_array
+
+    arr = np.full((8, 8, 8), 5, np.uint8)
+    c = temp_container("ndim")
+    write_array(spark, arr, c, "d/s0", [8, 8, 8])
+    payload = np.full((2, 8, 8, 8), 1, np.uint8)  # 4-D block, 3-D dataset
+    raw = struct.pack(">HH4i", 0, 4, 8, 8, 8, 2) + payload.tobytes()
+    with open(os.path.join(c, "d/s0/0/0/0"), "wb") as f:
+        f.write(raw)
+    with pytest.raises(Exception, match="foreign or corrupt block header"):
+        read_full(spark, c, "d/s0")
+
+
+def test_audit_skips_non_numeric_dir_segments(spark):
+    """r10 advice: a zero-byte NUMERIC-named file under a NON-numeric
+    directory segment is invisible to the scan's coordinate filter, so
+    the audit must not hard-fail on it (it was never going to be read)."""
+    from n5_dask_spark.sources.n5.reader import block_stats
+    from n5_dask_spark.sources.n5.writer import temp_container, write_array
+
+    arr = np.full((8, 8, 8), 5, np.uint8)
+    c = temp_container("nonnum")
+    write_array(spark, arr, c, "d/s0", [8, 8, 8])
+    side = os.path.join(c, "d/s0", "foo", "0")
+    os.makedirs(side)
+    with open(os.path.join(side, "1"), "wb"):
+        pass  # zero-byte, scan-invisible
+    assert block_stats(spark, c, "d/s0").count() == 1

@@ -177,24 +177,42 @@ def test_scan_reraises_non_path_failures(spark, monkeypatch):
         rd.scan_block_files(spark, "/tmp/x.n5", "ds", paths=["/tmp/x.n5/ds/0/0/0"])
 
 
-def test_scan_uri_paths_refuse_local_stat_retry(spark, monkeypatch):
-    """The survivor retry filters with driver-local os.path.exists; on URI
-    paths (hdfs://, s3a://) every path would test False and a populated
-    region would read as silent zeros — it must re-raise instead."""
+def test_scan_uri_paths_hadoop_stat_retry(spark, monkeypatch):
+    """r11: the survivor retry stats URI paths through the Hadoop
+    FileSystem and retries with the real survivors. Pre-r11 it refused
+    loudly (the driver could only os.path.exists LOCAL paths, which would
+    test every URI False and read a populated region as silent zeros —
+    the original failure this test pinned). A first-load PATH_NOT_FOUND
+    on a part-absent URI list must now degrade to the surviving blocks,
+    never to silence and never to a spurious hard failure."""
     import pyspark.sql.readwriter as rw
 
     from pyspark.errors import AnalysisException
 
     from n5_dask_spark.sources.n5 import reader as rd
+    from n5_dask_spark.sources.n5.writer import temp_container, write_array
 
-    def missing(self, *a, **k):
-        raise AnalysisException("[PATH_NOT_FOUND] Path does not exist: s3a://bucket/ds/0/0/0")
+    arr = np.full((16, 8, 8), 7, np.uint8)  # 2 blocks in x
+    c = temp_container("uriretry")
+    write_array(spark, arr, c, "ds", [8, 8, 8])
+    os.unlink(os.path.join(c, "ds/1/0/0"))
+    uri = "file:" + c
+    real_load = rw.DataFrameReader.load
+    calls = {"n": 0}
 
-    monkeypatch.setattr(rw.DataFrameReader, "load", missing)
-    with pytest.raises(AnalysisException, match="PATH_NOT_FOUND"):
-        rd.scan_block_files(
-            spark, "s3a://bucket", "ds", paths=["s3a://bucket/ds/0/0/0"]
-        )
+    def flaky(self, *a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise AnalysisException(
+                f"[PATH_NOT_FOUND] Path does not exist: {uri}/ds/1/0/0"
+            )
+        return real_load(self, *a, **k)
+
+    monkeypatch.setattr(rw.DataFrameReader, "load", flaky)
+    df = rd.scan_block_files(
+        spark, uri, "ds", paths=[f"{uri}/ds/0/0/0", f"{uri}/ds/1/0/0"]
+    )
+    assert df.count() == 1 and calls["n"] >= 2
 
 
 def test_tiff_with_metadata_tags_decodes():
@@ -336,31 +354,28 @@ def test_write_region_out_of_bounds_refused(spark):
         write_region(spark, c, "a/s0", np.ones((2, 2, 2), dtype="u1"), [-1, 0, 0])
 
 
-def test_read_region_uri_container_passes_all_candidates(spark, monkeypatch):
-    """read_region must not driver-stat-filter candidate block paths for a
-    URI container (every path would test False -> silent zeros); all
-    candidates go to scan_block_files, whose missing-path handling refuses
-    loudly for URI paths."""
+def test_read_region_uri_container_sparse_reads_fill_value(spark, monkeypatch):
+    """r11: read_region pre-filters URI candidates through the Hadoop
+    FileSystem, so a SPARSE URI dataset reads absent blocks as fill-value
+    zeros — exactly the local contract (pre-r11 the driver could not stat
+    URI paths, passed all candidates, and a sparse URI region refused
+    loudly). read_attributes is monkeypatched because remote metadata
+    reads are a separate, unimplemented surface; the block path is real."""
     from n5_dask_spark.sources.n5 import reader as rd
-    from n5_dask_spark.sources.n5.metadata import DatasetAttributes
+    from n5_dask_spark.sources.n5.metadata import read_attributes as real_read
+    from n5_dask_spark.sources.n5.writer import temp_container, write_array
 
-    attrs = DatasetAttributes(
-        data_type="uint8",
-        dimensions=[16, 8, 8],
-        block_size=[8, 8, 8],
-        compression={"type": "raw"},
+    arr = np.full((16, 8, 8), 7, np.uint8)  # 2 blocks in x
+    c = temp_container("urisparse")
+    write_array(spark, arr, c, "vol", [8, 8, 8])
+    os.unlink(os.path.join(c, "vol/1/0/0"))  # sparsify the second block
+
+    monkeypatch.setattr(
+        rd, "read_attributes", lambda cont, d: real_read(c, d)
     )
-    monkeypatch.setattr(rd, "read_attributes", lambda c, d: attrs)
-    captured = {}
-
-    def fake_scan(spark_, container, dataset, ndim=3, paths=None):
-        captured["paths"] = paths
-        raise RuntimeError("stop after path selection")
-
-    monkeypatch.setattr(rd, "scan_block_files", fake_scan)
-    with pytest.raises(RuntimeError, match="stop after path selection"):
-        rd.read_region(spark, "s3a://bucket/c.n5", "vol", [0, 0, 0], [16, 8, 8])
-    assert captured["paths"] is not None and len(captured["paths"]) == 2
+    out = rd.read_region(spark, "file:" + c, "vol", [0, 0, 0], [16, 8, 8])
+    assert out.shape == (16, 8, 8)
+    assert (out[:8] == 7).all() and (out[8:] == 0).all()
 
 
 def test_export_region_uri_container_passes_all_candidates(spark, monkeypatch, tmp_path):
