@@ -263,7 +263,9 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4"))
     calibration_secs: list[float] = []
 
-    def time_set(names: list[str]) -> tuple[dict[str, float], dict[str, float]]:
+    def time_set(
+        names: list[str], at_dir: str = sf_dir, n_runs: int | None = None
+    ) -> tuple[dict[str, float], dict[str, float]]:
         """Per-query (best raw sec, best calibration-normalized sec).
 
         Each pass opens with the calibration probe. For the normalized
@@ -275,13 +277,13 @@ def main() -> None:
         # the normalized min AFTER all calibrations are known (r10 fix, see
         # below): (cal, {name: raw_dt}) per pass.
         passes: list[tuple[float, dict[str, float]]] = []
-        for _ in range(runs):
+        for _ in range(n_runs or runs):
             cal = _calibration(spark)
             calibration_secs.append(round(cal, 3))
             samples: dict[str, float] = {}
             for name in names:
                 t0 = time.perf_counter()
-                rows = registry[name].fn(spark, sf_dir).collect()
+                rows = registry[name].fn(spark, at_dir).collect()
                 dt = time.perf_counter() - t0
                 assert rows is not None
                 samples[name] = dt
@@ -294,6 +296,43 @@ def main() -> None:
 
     per, per_norm = time_set(HEADLINE)
     pipelines, pipelines_norm = time_set(PIPELINES)
+
+    # Once-per-round sf1 leg (r10 verdict item 3): at sf0.1 the headline
+    # queries run 0.24-1.4 s, where JVM/scheduler fixed costs and broadcast
+    # latency dominate — the regime behind knn_bruteforce's nine-round
+    # +/-40% noise band. One pass at sf1 (~6M-row lineitem, deterministic
+    # x10 scale-up cached under .testdata/, see tools/gen_sf1.py) grades
+    # the PLAN: scale-linear operators should sit near 10x their sf0.1
+    # time (ratio well above ~10 = a superlinear shuffle/skew problem;
+    # near 1x = the fixed-size N5/fixture pipelines, whose volumes don't
+    # grow with sf by design). Same fixed protocol — per-pass calibration
+    # probes, suspect-pass exclusion, best-of-N — at best-of-2 to bound
+    # added wall time. SPARK_GRAFT_BENCH_SF1=0 skips (e.g. CI smoke).
+    sf1_block = None
+    if os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") != "0":
+        from tools.gen_sf1 import ensure_sf1
+
+        t_gen = time.perf_counter()
+        sf1_dir = ensure_sf1(spark)
+        gen_sec = round(time.perf_counter() - t_gen, 3)
+        t_warm1 = time.perf_counter()
+        for name in HEADLINE:
+            registry[name].fn(spark, sf1_dir).collect()
+        warm1_sec = round(time.perf_counter() - t_warm1, 3)
+        sf1_runs = int(os.environ.get("SPARK_GRAFT_BENCH_SF1_RUNS", "2"))
+        per1, per1_norm = time_set(HEADLINE, at_dir=sf1_dir, n_runs=sf1_runs)
+        sf1_block = {
+            "queries": per1,
+            "queries_normalized": per1_norm,
+            "value": round(sum(per1.values()), 3),
+            "value_normalized": round(sum(per1_norm.values()), 3),
+            "ratio_vs_sf0.1": {
+                k: (round(per1[k] / per[k], 2) if per[k] else None) for k in per1
+            },
+            "runs_per_query": sf1_runs,
+            "warmup_sec": warm1_sec,
+            "ensure_sf1_sec": gen_sec,
+        }
     # best-of-2, same single-hiccup argument as the CPU probe
     aux = _aux_probes(spark, int(cpus))
     aux2 = _aux_probes(spark, int(cpus))
@@ -316,6 +355,7 @@ def main() -> None:
                 "runs_per_query": runs,
                 "calibration_sec": calibration_secs,
                 "calibration_ref_sec": CAL_REFERENCE_SEC,
+                **({"sf1": sf1_block} if sf1_block else {}),
                 **aux,
             }
         )

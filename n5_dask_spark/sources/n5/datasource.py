@@ -151,6 +151,22 @@ class N5Writer(DataSourceWriter):
         if missing:
             raise ValueError(f"n5 sink input is missing columns {missing}; need {self.REQUIRED}")
         self.columns = list(columns)
+        # write-session marker (r11): __init__ runs driver-side exactly
+        # once per write job (executors get this instance by pickle, which
+        # does not re-run __init__), so the claim/commit pair brackets the
+        # whole job like writer.write_blocks' marker does
+        from n5_dask_spark.sources.n5.writer import claim_dataset_write
+
+        self._marker = claim_dataset_write(self.container, self.dataset)
+
+    def commit(self, messages) -> None:
+        from n5_dask_spark.sources.n5.writer import release_dataset_write
+
+        release_dataset_write(self._marker)
+
+    def abort(self, messages) -> None:
+        # leave the marker: the dataset is incomplete and must stay loud
+        pass
 
     def write(self, rows) -> WriterCommitMessage:
         import numpy as np

@@ -133,6 +133,15 @@ def read_raw_attributes(container: str, dataset: str = "") -> dict[str, Any]:
             raise ValueError(f"corrupt attributes.json at {path}: {e}") from e
 
 
+# Write-session marker (r11 reader-during-write probe): present in a
+# dataset directory exactly while a sink job is writing it, or forever
+# after a writer died mid-job. Dot-named: invisible to Spark's hidden-file
+# filter and to the numeric-path block scan, so it can never be read as
+# data. Claimed/released by writer.write_blocks and the n5 DataSource
+# sink; refused by the reader's scan audit.
+INCOMPLETE_MARKER = ".n5ds-incomplete"
+
+
 def current_umask() -> int:
     """The process umask (no read-only accessor exists; set-and-restore)."""
     u = os.umask(0)

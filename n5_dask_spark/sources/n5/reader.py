@@ -166,6 +166,16 @@ def _walk_audit_hadoop(
             yield dir_coords, fn, full, int(st.getLen())
 
 
+def _path_exists(path: str, spark: SparkSession | None) -> bool:
+    """Existence check that follows the path's scheme: os.stat for local
+    paths, the Hadoop FileSystem for URI-scheme paths (spark required)."""
+    if spark is None:
+        return os.path.exists(path)
+    jvm = spark._jvm
+    jp = jvm.org.apache.hadoop.fs.Path(path)
+    return bool(jp.getFileSystem(spark._jsc.hadoopConfiguration()).exists(jp))
+
+
 def _stat_paths_hadoop(
     spark: SparkSession, paths: list[str]
 ) -> Iterator[tuple[str, int]]:
@@ -243,6 +253,27 @@ def _reject_empty_block_files(
         # no session to reach a remote filesystem through (library misuse;
         # every in-package caller passes its session)
         return
+    # write-session marker (r11 reader-during-write probe): a dataset
+    # being written — or abandoned mid-write by a dead writer — must not
+    # read as a silent partial snapshot (written blocks as data, unwritten
+    # cells as legal sparse fill-value zeros)
+    from n5_dask_spark.sources.n5.metadata import INCOMPLETE_MARKER
+
+    marker = (
+        container.rstrip("/") + "/" + dataset + "/" + INCOMPLETE_MARKER
+        if is_uri
+        else os.path.join(container, dataset, INCOMPLETE_MARKER)
+    )
+    if _path_exists(marker, spark if is_uri else None):
+        raise ValueError(
+            f"dataset {os.path.join(container, dataset)} carries the "
+            f"write-session marker {marker} — a sink job is writing it "
+            "right now, or a writer died mid-job leaving it incomplete; "
+            "reading it would return a silent partial snapshot (written "
+            "blocks as data, unwritten cells as fill-value zeros). Wait "
+            "for the writer, or if it is known dead, re-create the "
+            "dataset (or delete the marker to accept partial contents)."
+        )
     stale: list[str] = []
     empties: list[str] = []
     if paths is not None:

@@ -34,12 +34,55 @@ from pyspark.sql import functions as F
 from n5_dask_spark.session import tune_session
 from n5_dask_spark.sources.n5.codec import data_type_of, encode_block, np_dtype
 from n5_dask_spark.sources.n5.metadata import (
+    INCOMPLETE_MARKER,
     DatasetAttributes,
     current_umask,
     read_attributes,
     read_raw_attributes,
     write_attributes,
 )
+
+
+def claim_dataset_write(container: str, dataset: str) -> str:
+    """Claim the dataset's write session; returns the marker path.
+
+    r11 reader-during-write probe: every block file is atomic, but the
+    DATASET is not — a scan concurrent with a sink job read the
+    already-written blocks as data and the not-yet-written cells as legal
+    sparse fill-value zeros, a silent partial snapshot with zero errors
+    (probe-frozen mid-write state, pinned in test_n5.py). The marker makes
+    the job window visible: readers refuse while it exists, a writer crash
+    leaves it behind (loud forever instead of silent once — the N5 analog
+    of a missing _SUCCESS file), and the O_EXCL create refuses a SECOND
+    concurrent writer on the same dataset up front (two sinks interleaving
+    one dataset is last-writer-wins chaos; within-job duplicates were
+    already guarded). Spark's own task retries never re-enter here — the
+    claim is driver-side, once per sink job."""
+    path = os.path.join(container, dataset, INCOMPLETE_MARKER)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise RuntimeError(
+            f"refusing to write {os.path.join(container, dataset)}: "
+            f"write-session marker {path} already exists — either another "
+            "writer is mid-job on this dataset (concurrent same-dataset "
+            "writers are refused up front) or a previous writer died "
+            "leaving the dataset incomplete. If the previous writer is "
+            "known dead, delete the marker; the dataset may be partially "
+            "written — prefer re-creating it from source."
+        ) from None
+    with os.fdopen(fd, "w") as f:
+        f.write(f"writer pid {os.getpid()}\n")
+    return path
+
+
+def release_dataset_write(marker: str) -> None:
+    """Release a claim: the dataset is complete and visible to readers."""
+    try:
+        os.unlink(marker)
+    except FileNotFoundError:
+        pass  # already released (idempotent)
 
 
 # Chaos hook (r10 fault-injection net). At 100 TB an executor WILL die
@@ -131,7 +174,16 @@ def write_blocks(
     bytes), and the same job's aggregate compares the write count against
     countDistinct(gx,gy,gz). A producer emitting the same cell from two
     partitions (nondeterministic last-writer-wins contents) fails loudly
-    instead of shipping whichever write landed second."""
+    instead of shipping whichever write landed second.
+
+    The whole job (metadata + blocks + guards) runs under the dataset's
+    write-session marker (claim_dataset_write): concurrent readers refuse
+    a mid-write dataset instead of silently reading a partial snapshot,
+    and a failed job leaves the marker so the incomplete dataset stays
+    loud. The marker is released only after the duplicate-producer guard
+    passes — a guard failure means nondeterministic contents, which is
+    exactly an incomplete dataset."""
+    marker = claim_dataset_write(container, dataset)
     write_attributes(container, dataset, attrs)
     data_type, compression = attrs.data_type, dict(attrs.compression)
     dt = np_dtype(data_type)
@@ -170,6 +222,7 @@ def write_blocks(
         )
     if written > attrs.n_blocks:
         raise RuntimeError(f"wrote {written} blocks for a {attrs.n_blocks}-block grid")
+    release_dataset_write(marker)
 
 
 def write_array(
@@ -197,7 +250,9 @@ def write_array(
         compression=compression or {"type": "raw"},
         extra=dict(extra_attrs or {}),
     )
-    write_attributes(container, dataset, attrs)
+    # metadata lands inside write_blocks' marker window — writing it here
+    # too would expose the new attributes BEFORE the session is claimed
+    # (a torn-visibility gap the r11 marker exists to close)
     bcast = spark.sparkContext.broadcast(arr_zyx)
     bs_xyz = list(attrs.block_size)
     dt = np_dtype(data_type)

@@ -781,3 +781,69 @@ def test_audit_skips_non_numeric_dir_segments(spark):
     with open(os.path.join(side, "1"), "wb"):
         pass  # zero-byte, scan-invisible
     assert block_stats(spark, c, "d/s0").count() == 1
+
+
+def test_reader_during_write_refused(spark):
+    """r11 probe: reader-during-write visibility on the SAME dataset.
+    Every block file is atomic, but the DATASET is not — before the
+    marker, a scan concurrent with a sink job read the already-written
+    blocks as data and the not-yet-written cells as legal sparse
+    fill-value zeros: a silent partial snapshot with zero errors
+    (probe-frozen mid-write state below). Pins all four marker semantics:
+    mid-write scans/region reads refuse; a concurrent second writer is
+    refused up front; a crashed writer leaves the dataset loud; a
+    completed write is marker-free and reads clean."""
+    from n5_dask_spark.sources.n5.metadata import INCOMPLETE_MARKER, read_attributes
+    from n5_dask_spark.sources.n5.reader import block_stats, read_full
+    from n5_dask_spark.sources.n5.writer import (
+        temp_container,
+        write_array,
+        write_blocks,
+    )
+
+    arr = np.full((16, 16, 8), 9, np.uint8)
+    c = temp_container("midwrite")
+    write_array(spark, arr, c, "d/s0", [8, 8, 4])  # complete: no marker
+    assert not os.path.exists(os.path.join(c, "d/s0", INCOMPLETE_MARKER))
+    np.testing.assert_array_equal(read_full(spark, c, "d/s0"), arr)
+
+    # freeze the mid-write state: marker present, half the blocks missing
+    # (exactly what a concurrent reader sees halfway through a sink job)
+    with open(os.path.join(c, "d/s0", INCOMPLETE_MARKER), "w") as f:
+        f.write("writer pid 0\n")
+    os.unlink(os.path.join(c, "d/s0/1/0/0"))
+    with pytest.raises(ValueError, match="write-session marker"):
+        block_stats(spark, c, "d/s0").collect()  # glob branch
+    with pytest.raises(ValueError, match="write-session marker"):
+        read_full(spark, c, "d/s0")  # explicit-path branch
+
+    # a SECOND writer on the marked dataset is refused up front
+    with pytest.raises(RuntimeError, match="another writer is mid-job"):
+        write_array(spark, arr, c, "d/s0", [8, 8, 4])
+
+    # URI-scheme parity: the same marked dataset refuses through file:
+    from n5_dask_spark.sources.n5.reader import scan_block_files
+
+    with pytest.raises(ValueError, match="write-session marker"):
+        scan_block_files(spark, "file:" + c, "d/s0", 3).collect()
+
+    # operator cleared the marker -> readable again (sparse fill for the
+    # deleted 1/0/0 cell only: x 8:, y :8, z :4 of the 2x2x2 grid)
+    os.unlink(os.path.join(c, "d/s0", INCOMPLETE_MARKER))
+    back = read_full(spark, c, "d/s0")
+    assert (back[:8] == 9).all()
+    assert (back[8:, :8, :4] == 0).all() and (back[8:, 8:, :] == 9).all()
+
+    # a FAILING sink job leaves the marker: the incomplete dataset stays
+    # loud for every subsequent reader and writer
+    bad = spark.createDataFrame(
+        [(0, 0, 0, [4, 8, 8], b"\x00" * 999)],  # 999 bytes can't reshape
+        "gx int, gy int, gz int, shape_zyx array<int>, data binary",
+    )
+    c2 = temp_container("crash")
+    write_array(spark, arr, c2, "d/s0", [8, 8, 4])
+    with pytest.raises(Exception):
+        write_blocks(bad, c2, "d/s0", read_attributes(c2, "d/s0"))
+    assert os.path.exists(os.path.join(c2, "d/s0", INCOMPLETE_MARKER))
+    with pytest.raises(ValueError, match="write-session marker"):
+        block_stats(spark, c2, "d/s0").collect()

@@ -41,9 +41,33 @@ from n5_dask_spark.session import get_spark
 _TS_BASE = 1_704_067_200
 
 
+def shuffle_partitions_for(rows: int) -> int:
+    """Self-scale shuffle partitions to the synthesized row count (r10
+    verdict item 4): target <=64 MB of working set per partition at ~1 KB
+    per row — the per-row cost measured from the r9 diagnosis, where the
+    40M run's 1.25M-row partitions under the fixed 32 carried ~1.25 GB
+    working sets apiece (shingle/signature expansion through Arrow) and
+    needed SPARK_GRAFT_DRIVER_MEM=48g to survive. This is the knob a real
+    cluster turns as data grows; AQE coalesces the post-shuffle partitions
+    that come out small, so over-partitioning costs scheduling noise only.
+    Floor of 32 keeps the small/smoke runs on the session default."""
+    est_working_bytes_per_row = 1024
+    target_partition_bytes = 64 << 20
+    return max(32, -(-rows * est_working_bytes_per_row // target_partition_bytes))
+
+
 def main(rows: int = 20_000_000) -> None:
     spark = get_spark("n5ds-stress")  # get_spark owns the SPARK_GRAFT_CPUS policy
     spark.sparkContext.setLogLevel("ERROR")
+    partitions = shuffle_partitions_for(rows)
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    # record as a user conf so tune_session (called by every operator's
+    # table load) doesn't revert the scaling back to the 32 default
+    spark._n5ds_user_confs = frozenset(
+        set(getattr(spark, "_n5ds_user_confs", frozenset()))
+        | {"spark.sql.shuffle.partitions"}
+    )
+    print(f"shuffle partitions scaled to {partitions} for {rows} rows", file=sys.stderr)
     base = os.path.join(tempfile.gettempdir(), f"n5ds-stress-{rows}")
 
     fact_path = os.path.join(base, "fact.parquet")
@@ -214,7 +238,7 @@ def main(rows: int = 20_000_000) -> None:
     # 5M embeddings with planted near-dups (r8)
     out.update(similarity_lsh_stress(spark, base, n_vec=rows // 4, n_planted=rows // 400))
 
-    print(json.dumps({"rows": rows, "shapes": out}))
+    print(json.dumps({"rows": rows, "shuffle_partitions": partitions, "shapes": out}))
 
 
 def dedup_stress(spark, base: str, rows: int) -> dict[str, float]:
