@@ -110,27 +110,69 @@ def attributes_path(container: str, dataset: str = "") -> str:
     )
 
 
+def _is_uri(path: str) -> bool:
+    head = path.split("/", 1)[0]
+    return head.endswith(":") and len(head) > 1
+
+
+def _read_text(path: str) -> str | None:
+    """File contents, or None if absent. Local paths read through the OS;
+    URI-scheme paths (file:, hdfs:, s3a:, ...) read through the Hadoop
+    FileSystem of the ACTIVE SparkSession (r11: before this, every
+    metadata-reading operator — decoded_blocks, block_stats, read_region —
+    failed on URI containers at open(), leaving only the raw scan
+    URI-capable; now the whole READ surface works against object stores.
+    The write path stays local-only: object-store rename is not atomic,
+    so the sinks' temp+rename discipline doesn't transfer)."""
+    if _is_uri(path):
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise ValueError(
+                f"reading {path} requires an active SparkSession — "
+                "URI-scheme metadata is read through the Hadoop FileSystem"
+            )
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(p):
+            return None
+        stream = fs.open(p)
+        try:
+            data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+        finally:
+            stream.close()
+        return data.decode("utf-8")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return f.read()
+
+
 def read_attributes(container: str, dataset: str) -> DatasetAttributes:
     path = attributes_path(container, dataset)
-    with open(path) as f:
-        try:
-            obj = json.load(f)
-        except json.JSONDecodeError as e:
-            # name the FILE: a bare JSONDecodeError gives a fleet operator
-            # nothing to act on (r10 corrupt-metadata probe)
-            raise ValueError(f"corrupt attributes.json at {path}: {e}") from e
+    text = _read_text(path)
+    if text is None:
+        raise FileNotFoundError(path)
+    try:
+        obj = json.loads(text)
+    except json.JSONDecodeError as e:
+        # name the FILE: a bare JSONDecodeError gives a fleet operator
+        # nothing to act on (r10 corrupt-metadata probe)
+        raise ValueError(f"corrupt attributes.json at {path}: {e}") from e
     return DatasetAttributes.from_json(obj)
 
 
 def read_raw_attributes(container: str, dataset: str = "") -> dict[str, Any]:
     path = attributes_path(container, dataset)
-    if not os.path.exists(path):
+    text = _read_text(path)
+    if text is None:
         return {}
-    with open(path) as f:
-        try:
-            return json.load(f)
-        except json.JSONDecodeError as e:
-            raise ValueError(f"corrupt attributes.json at {path}: {e}") from e
+    try:
+        return json.loads(text)
+    except json.JSONDecodeError as e:
+        raise ValueError(f"corrupt attributes.json at {path}: {e}") from e
 
 
 # Write-session marker (r11 reader-during-write probe): present in a

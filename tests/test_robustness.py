@@ -354,15 +354,14 @@ def test_write_region_out_of_bounds_refused(spark):
         write_region(spark, c, "a/s0", np.ones((2, 2, 2), dtype="u1"), [-1, 0, 0])
 
 
-def test_read_region_uri_container_sparse_reads_fill_value(spark, monkeypatch):
-    """r11: read_region pre-filters URI candidates through the Hadoop
-    FileSystem, so a SPARSE URI dataset reads absent blocks as fill-value
-    zeros — exactly the local contract (pre-r11 the driver could not stat
-    URI paths, passed all candidates, and a sparse URI region refused
-    loudly). read_attributes is monkeypatched because remote metadata
-    reads are a separate, unimplemented surface; the block path is real."""
+def test_read_region_uri_container_sparse_reads_fill_value(spark):
+    """r11: the whole READ surface works against URI-scheme containers
+    end to end — metadata through the Hadoop FileSystem (_read_text),
+    candidate pre-filtering through getFileStatus — so a SPARSE URI
+    dataset reads absent blocks as fill-value zeros, exactly the local
+    contract (pre-r11: read_attributes failed at open() and a sparse URI
+    region refused loudly even with metadata monkeypatched)."""
     from n5_dask_spark.sources.n5 import reader as rd
-    from n5_dask_spark.sources.n5.metadata import read_attributes as real_read
     from n5_dask_spark.sources.n5.writer import temp_container, write_array
 
     arr = np.full((16, 8, 8), 7, np.uint8)  # 2 blocks in x
@@ -370,12 +369,14 @@ def test_read_region_uri_container_sparse_reads_fill_value(spark, monkeypatch):
     write_array(spark, arr, c, "vol", [8, 8, 8])
     os.unlink(os.path.join(c, "vol/1/0/0"))  # sparsify the second block
 
-    monkeypatch.setattr(
-        rd, "read_attributes", lambda cont, d: real_read(c, d)
-    )
     out = rd.read_region(spark, "file:" + c, "vol", [0, 0, 0], [16, 8, 8])
     assert out.shape == (16, 8, 8)
     assert (out[:8] == 7).all() and (out[8:] == 0).all()
+    # full-surface parity: block_stats and read_full through the URI too
+    assert rd.block_stats(spark, "file:" + c, "vol").count() == 1
+    np.testing.assert_array_equal(
+        rd.read_full(spark, "file:" + c, "vol"), out
+    )
 
 
 def test_export_region_uri_container_passes_all_candidates(spark, monkeypatch, tmp_path):
