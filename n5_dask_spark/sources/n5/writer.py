@@ -58,6 +58,21 @@ def claim_dataset_write(container: str, dataset: str) -> str:
     one dataset is last-writer-wins chaos; within-job duplicates were
     already guarded). Spark's own task retries never re-enter here — the
     claim is driver-side, once per sink job."""
+    from n5_dask_spark.sources.n5.metadata import _is_uri
+
+    if _is_uri(container):
+        # the whole write path is os-based and local-only BY CONTRACT
+        # (object-store rename is not atomic, so the temp+rename
+        # discipline doesn't transfer); without this refusal os.makedirs
+        # would create a literal local directory named "s3a:" and the
+        # sink would "succeed" writing to the wrong filesystem
+        raise NotImplementedError(
+            f"N5 sinks write local filesystems only; {container!r} is a "
+            "URI-scheme container. Stage the dataset on local disk and "
+            "upload it, or mount the store. (Reads ARE URI-capable: scan, "
+            "stats, regions and metadata all go through the Hadoop "
+            "FileSystem.)"
+        )
     path = os.path.join(container, dataset, INCOMPLETE_MARKER)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     try:

@@ -847,3 +847,16 @@ def test_reader_during_write_refused(spark):
     assert os.path.exists(os.path.join(c2, "d/s0", INCOMPLETE_MARKER))
     with pytest.raises(ValueError, match="write-session marker"):
         block_stats(spark, c2, "d/s0").collect()
+
+
+def test_uri_container_sink_refused_loudly(spark, tmp_path):
+    """r11: the write path is local-only BY CONTRACT (object-store rename
+    is not atomic). Before the refusal, writing to an s3a:// container
+    os.makedirs'd a literal local directory named 's3a:' and 'succeeded'
+    against the wrong filesystem."""
+    from n5_dask_spark.sources.n5.writer import write_array
+
+    arr = np.full((8, 8, 4), 1, np.uint8)
+    with pytest.raises(NotImplementedError, match="local filesystems only"):
+        write_array(spark, arr, "s3a://bucket/c.n5", "d/s0", [8, 8, 4])
+    assert not os.path.exists("s3a:")  # no literal scheme-named dir
