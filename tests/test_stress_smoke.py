@@ -82,3 +82,38 @@ def test_similarity_lsh_stress_smoke(spark, tmp_path):
     assert out["lsh_planted_recall"] >= 0.85
     assert out["lsh_candidate_fraction"] < 1e-3  # candidates ~ buckets, not n^2
     assert out["lsh_bucket_max_over_mean"] <= 50  # Poisson tail at sparse smoke scale
+
+
+@pytest.mark.skipif(not os.environ.get("N5DS_STRESS"), reason="set N5DS_STRESS=1 to run")
+def test_reference_default_chunk_big_block_smoke(spark, tmp_path):
+    """r11 big-block probe: the REFERENCE's own default chunk size
+    (tif_to_n5.py:76) is 512x512x512 — one ~134 MB block per file — so
+    foreign containers at that geometry are realistic and the engine's
+    own bench/stress only exercised <=128^3 (~2 MB) blocks. The full
+    512^3 probe ran clean in r11 (write 16.3 s / stats 3.7 / read_full
+    6.3 / rechunk 9.7 down + 12.7 up, all bit-equal; binaryFile is
+    unsplittable so one block file = one row = one Arrow batch, and
+    working sets stay bounded by blocks-per-partition). This gated smoke
+    pins the lane at 256^3 (~17 MB/block) to stay quick."""
+    import numpy as np
+
+    from n5_dask_spark.sources.n5.metadata import read_attributes
+    from n5_dask_spark.sources.n5.reader import decoded_blocks, read_full
+    from n5_dask_spark.sources.n5.transforms import rechunk
+    from n5_dask_spark.sources.n5.writer import write_blocks, write_array
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 255, (256, 256, 256), dtype=np.uint8)
+    c = str(tmp_path / "big.n5")
+    write_array(spark, arr, c, "d/s0", [256, 256, 256], compression={"type": "gzip", "level": 1})
+    np.testing.assert_array_equal(read_full(spark, c, "d/s0"), arr)
+    blocks, out_attrs = rechunk(
+        decoded_blocks(spark, c, "d/s0"), read_attributes(c, "d/s0"), [64, 64, 64]
+    )
+    write_blocks(blocks, c, "d/s64", out_attrs)
+    np.testing.assert_array_equal(read_full(spark, c, "d/s64"), arr)
+    blocks2, attrs2 = rechunk(
+        decoded_blocks(spark, c, "d/s64"), read_attributes(c, "d/s64"), [256, 256, 256]
+    )
+    write_blocks(blocks2, c, "d/sbig", attrs2)
+    np.testing.assert_array_equal(read_full(spark, c, "d/sbig"), arr)
