@@ -197,6 +197,7 @@ def _stat_paths_hadoop(
             ) and "FileNotFoundException" not in str(exc):
                 raise
 
+
 def _reject_empty_block_files(
     container: str,
     dataset: str,
