@@ -34,9 +34,7 @@ def test_gen_sf1_scales_and_preserves_integrity(spark, tmp_path):
                     ("documents", 3), ("embeddings", 3), ("events", 3),
                     ("region", 1), ("nation", 1)]:
         n_src = q(f"SELECT count(*) FROM '{{src}}/{t}.parquet'")[0]
-        n_out = q(f"SELECT count(*) FROM '{{out}}/{t}.parquet/*.parquet'"
-                  if mult > 1 or t not in ("region", "nation")
-                  else f"SELECT count(*) FROM '{{out}}/{t}.parquet/*.parquet'")[0]
+        n_out = q(f"SELECT count(*) FROM '{{out}}/{t}.parquet/*.parquet'")[0]
         assert n_out == n_src * mult, (t, n_src, n_out)
 
     # FK integrity after offsetting: zero orphans on every edge
