@@ -24,7 +24,6 @@ import itertools
 import os
 import re
 from collections.abc import Iterator
-from typing import Any
 
 import numpy as np
 import pandas as pd
