@@ -14,10 +14,13 @@ payload -> python batch -> features) and its features are deterministic
 oracle-checked against DuckDB.
 
 Scale: mapInPandas streams Arrow record batches; payloads never pass through
-Python row-at-a-time. Batch size is bounded by
-spark.sql.execution.arrow.maxRecordsPerBatch; binary payloads of ~1-10 MB
-per row at 100 TB = tens of rows per batch — set maxRecordsPerBatch
-accordingly (the N5 block reader does exactly this, sources/n5/reader.py).
+Python row-at-a-time. Batch MEMORY is byte-bounded in both directions:
+JVM->Python by spark.sql.execution.arrow.maxBytesPerBatch (64 MB, pinned in
+session.DEFAULT_CONFS — binary payloads of ~1-10 MB per row at 100 TB =
+tens of rows per batch, automatically), Python->JVM by
+udfbatch.bounded_frames wherever a kernel's output payload can exceed its
+input (decoders, synthesizers — see _fake_pcm in multimodal2.py and the
+udfbatch module docstring for the r11 probe that motivated this).
 """
 
 from __future__ import annotations

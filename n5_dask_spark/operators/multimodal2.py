@@ -142,14 +142,19 @@ def _fake_pcm(batches):
     import numpy as np
     import pandas as pd
 
-    for pdf in batches:
-        ids = pdf["doc_id"].to_numpy()
+    from n5_dask_spark.udfbatch import bounded_frames
+
+    # byte-bounded output frames (udfbatch): the make_blocks lane in
+    # miniature — tiny input rows (doc_id only) synthesize binary payloads,
+    # so output bytes per frame are unbounded by any input-side knob
+    def rows():
         i = np.arange(AUDIO_SAMPLES, dtype=np.int64)
-        rows = []
-        for d in ids:
-            pcm = ((int(d) * 31 + i * 17) % 256 - 128).astype(np.int8)
-            rows.append((int(d), pcm.tobytes()))
-        yield pd.DataFrame(rows, columns=["doc_id", "pcm"])
+        for pdf in batches:
+            for d in pdf["doc_id"].to_numpy():
+                pcm = ((int(d) * 31 + i * 17) % 256 - 128).astype(np.int8)
+                yield (int(d), pcm.tobytes())
+
+    yield from bounded_frames(rows(), ["doc_id", "pcm"], lambda r: len(r[1]))
 
 
 def _frame_energy(batches):

@@ -25,6 +25,11 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # wide-row memory bound, JVM->Python direction (r11 Arrow probe): Spark
+    # 4.1's 64 MB default, pinned so a deployment default change can't
+    # reopen the lane; the Python->JVM direction is bounded in-kernel by
+    # udfbatch.bounded_frames (same 64 MB)
+    "spark.sql.execution.arrow.maxBytesPerBatch": str(64 * 1024 * 1024),
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
@@ -116,6 +121,7 @@ def tune_session(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.skewJoin.enabled",
         "spark.sql.shuffle.partitions",
         "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.execution.arrow.maxBytesPerBatch",
     ):
         if k in user:
             continue

@@ -13,9 +13,13 @@ region read semantics of read_n5_block at /root/reference/src/n5_utils.py:6-18
 (xyz-ordered result; ours without the transpose bugs noted in SURVEY §1.4).
 
 Scale: binaryFile is a splittable listing of many small files; decoded
-payloads stay binary columns (no per-element rows). One 128^3 uint8 block
-= 2 MB decoded; Arrow batches of blocks stay well under task limits via
-spark.sql.execution.arrow.maxRecordsPerBatch.
+payloads stay binary columns (no per-element rows). Both directions of the
+mapInPandas exchange are BYTE-bounded: JVM->Python by
+spark.sql.execution.arrow.maxBytesPerBatch (64 MB, pinned in
+session.DEFAULT_CONFS), Python->JVM by udfbatch.bounded_frames (64 MB of
+decoded payload per yielded frame) — so worker memory is independent of
+both the codec ratio and maxRecordsPerBatch (see udfbatch's module
+docstring for the probe that motivated this).
 """
 
 from __future__ import annotations
@@ -44,6 +48,7 @@ from pyspark.sql.types import (
 from n5_dask_spark.session import tune_session
 from n5_dask_spark.sources.n5.codec import decode_block_at, np_dtype
 from n5_dask_spark.sources.n5.metadata import DatasetAttributes, read_attributes
+from n5_dask_spark.udfbatch import bounded_frames
 
 BLOCK_SCHEMA = StructType(
     [
@@ -459,27 +464,26 @@ def decoded_blocks(
     data_type, compression = attrs.data_type, dict(attrs.compression)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            arrs = [
-                check_block_shape(
-                    decode_block_at(bytes(r), data_type, compression, p),
-                    (int(gx), int(gy), int(gz)),
-                    attrs,
-                    p,
-                )
+        # Output frames are byte-bounded (udfbatch): the input batch is
+        # bounded in ENCODED bytes (arrow.maxBytesPerBatch), so one frame
+        # per input batch would scale with the codec ratio — unbounded for
+        # highly compressible volumes. Decode lazily, repack by decoded bytes.
+        def rows() -> Iterator[tuple]:
+            for pdf in batches:
                 for r, p, gx, gy, gz in zip(
                     pdf["raw"], pdf["path"], pdf["gx"], pdf["gy"], pdf["gz"]
-                )
-            ]
-            yield pd.DataFrame(
-                {
-                    "gx": pdf["gx"].astype("int32"),
-                    "gy": pdf["gy"].astype("int32"),
-                    "gz": pdf["gz"].astype("int32"),
-                    "shape_zyx": [list(a.shape) for a in arrs],
-                    "data": [a.tobytes() for a in arrs],
-                }
-            )
+                ):
+                    a = check_block_shape(
+                        decode_block_at(bytes(r), data_type, compression, p),
+                        (int(gx), int(gy), int(gz)),
+                        attrs,
+                        p,
+                    )
+                    yield (int(gx), int(gy), int(gz), list(a.shape), a.tobytes())
+
+        yield from bounded_frames(
+            rows(), ["gx", "gy", "gz", "shape_zyx", "data"], lambda r: len(r[4])
+        )
 
     return raw_df.mapInPandas(decode, schema=BLOCK_SCHEMA)
 

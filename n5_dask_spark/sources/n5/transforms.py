@@ -38,6 +38,7 @@ from n5_dask_spark.sources.n5.metadata import (
     update_raw_attributes,
 )
 from n5_dask_spark.sources.n5.reader import decoded_blocks
+from n5_dask_spark.udfbatch import bounded_frames
 from n5_dask_spark.sources.n5.writer import write_blocks
 
 FRAGMENT_SCHEMA = (
@@ -60,49 +61,58 @@ def _fragment_fn(
     ``[start, end)`` in source coordinates. Rechunk is the origin-0
     full-extent special case; blocks only grazing the region emit nothing."""
 
-    def fragment(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def block_frags(gx, gy, gz, shape, data) -> Iterator[tuple]:
         import itertools
 
-        for pdf in batches:
-            rows = []
-            for gx, gy, gz, shape, data in zip(
-                pdf["gx"], pdf["gy"], pdf["gz"], pdf["shape_zyx"], pdf["data"]
-            ):
-                grid = (int(gx), int(gy), int(gz))[:ndim]
-                arr = np.frombuffer(bytes(data), dtype=dt).reshape(list(shape))
-                # global span of this block, xyz
-                b0 = [g * b for g, b in zip(grid, old_bs)]
-                b1 = [s + d for s, d in zip(b0, reversed(arr.shape))]
-                # intersect with the exported region
-                lo = [max(a, s) for a, s in zip(b0, start)]
-                hi = [min(a, e) for a, e in zip(b1, end)]
-                if any(lo_ >= hi_ for lo_, hi_ in zip(lo, hi)):
-                    continue
-                # overlapped target cells per axis (region coordinates)
-                cells = [
-                    range((lo_ - s) // nb, (hi_ - s - 1) // nb + 1)
-                    for lo_, hi_, s, nb in zip(lo, hi, start, out_bs)
-                ]
-                for tcell in itertools.product(*cells):
-                    t0 = [s + c * nb for c, nb, s in zip(tcell, out_bs, start)]
-                    t1 = [
-                        min(s + (c + 1) * nb, e)
-                        for c, nb, s, e in zip(tcell, out_bs, start, end)
-                    ]
-                    flo = [max(a, b) for a, b in zip(lo, t0)]
-                    fhi = [min(a, b) for a, b in zip(hi, t1)]
-                    sel = tuple(
-                        slice(flo[ax] - b0[ax], fhi[ax] - b0[ax])
-                        for ax in range(ndim - 1, -1, -1)
-                    )
-                    frag = np.ascontiguousarray(arr[sel])
-                    off_zyx = [flo[ax] - t0[ax] for ax in range(ndim - 1, -1, -1)]
-                    rows.append(
-                        (*(list(tcell) + [0] * (3 - ndim)), off_zyx, list(frag.shape), frag.tobytes())
-                    )
-            yield pd.DataFrame(
-                rows, columns=["tgx", "tgy", "tgz", "off_zyx", "shape_zyx", "data"]
+        grid = (int(gx), int(gy), int(gz))[:ndim]
+        arr = np.frombuffer(bytes(data), dtype=dt).reshape(list(shape))
+        # global span of this block, xyz
+        b0 = [g * b for g, b in zip(grid, old_bs)]
+        b1 = [s + d for s, d in zip(b0, reversed(arr.shape))]
+        # intersect with the exported region
+        lo = [max(a, s) for a, s in zip(b0, start)]
+        hi = [min(a, e) for a, e in zip(b1, end)]
+        if any(lo_ >= hi_ for lo_, hi_ in zip(lo, hi)):
+            return
+        # overlapped target cells per axis (region coordinates)
+        cells = [
+            range((lo_ - s) // nb, (hi_ - s - 1) // nb + 1)
+            for lo_, hi_, s, nb in zip(lo, hi, start, out_bs)
+        ]
+        for tcell in itertools.product(*cells):
+            t0 = [s + c * nb for c, nb, s in zip(tcell, out_bs, start)]
+            t1 = [
+                min(s + (c + 1) * nb, e)
+                for c, nb, s, e in zip(tcell, out_bs, start, end)
+            ]
+            flo = [max(a, b) for a, b in zip(lo, t0)]
+            fhi = [min(a, b) for a, b in zip(hi, t1)]
+            sel = tuple(
+                slice(flo[ax] - b0[ax], fhi[ax] - b0[ax])
+                for ax in range(ndim - 1, -1, -1)
             )
+            frag = np.ascontiguousarray(arr[sel])
+            off_zyx = [flo[ax] - t0[ax] for ax in range(ndim - 1, -1, -1)]
+            yield (
+                *(list(tcell) + [0] * (3 - ndim)), off_zyx, list(frag.shape), frag.tobytes()
+            )
+
+    def fragment(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # byte-bounded output frames (udfbatch): fragment bytes ~= decoded
+        # input bytes, but accumulating a whole input batch's fragments
+        # before yielding doubles peak memory for no reason
+        rows = (
+            row
+            for pdf in batches
+            for block in zip(
+                pdf["gx"], pdf["gy"], pdf["gz"], pdf["shape_zyx"], pdf["data"]
+            )
+            for row in block_frags(*block)
+        )
+        yield from bounded_frames(
+            rows, ["tgx", "tgy", "tgz", "off_zyx", "shape_zyx", "data"],
+            lambda r: len(r[5]),
+        )
 
     return fragment
 
@@ -269,15 +279,18 @@ def downsample(
     reduced_bs = [b // f for b, f in zip(attrs.block_size, factors_xyz)]
 
     def reduce_block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for gx, gy, gz, shape, data in zip(
-                pdf["gx"], pdf["gy"], pdf["gz"], pdf["shape_zyx"], pdf["data"]
-            ):
-                arr = np.frombuffer(bytes(data), dtype=dt).reshape(list(shape))
-                red = windowed_mean_zyx(arr, f_zyx).astype(dt)
-                rows.append((int(gx), int(gy), int(gz), list(red.shape), red.tobytes()))
-            yield pd.DataFrame(rows, columns=["gx", "gy", "gz", "shape_zyx", "data"])
+        def rows() -> Iterator[tuple]:
+            for pdf in batches:
+                for gx, gy, gz, shape, data in zip(
+                    pdf["gx"], pdf["gy"], pdf["gz"], pdf["shape_zyx"], pdf["data"]
+                ):
+                    arr = np.frombuffer(bytes(data), dtype=dt).reshape(list(shape))
+                    red = windowed_mean_zyx(arr, f_zyx).astype(dt)
+                    yield (int(gx), int(gy), int(gz), list(red.shape), red.tobytes())
+
+        yield from bounded_frames(
+            rows(), ["gx", "gy", "gz", "shape_zyx", "data"], lambda r: len(r[4])
+        )
 
     reduced = blocks.mapInPandas(reduce_block, schema=BLOCK_SCHEMA_DDL)
     mid_attrs = DatasetAttributes(
@@ -303,14 +316,20 @@ def cast_blocks(
         raise TypeError(f"unsafe cast {attrs.data_type} -> {target_type}; pass safe=False")
 
     def cast(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for gx, gy, gz, shape, data in zip(
-                pdf["gx"], pdf["gy"], pdf["gz"], pdf["shape_zyx"], pdf["data"]
-            ):
-                arr = np.frombuffer(bytes(data), dtype=src).reshape(list(shape)).astype(dst)
-                rows.append((int(gx), int(gy), int(gz), list(arr.shape), arr.tobytes()))
-            yield pd.DataFrame(rows, columns=["gx", "gy", "gz", "shape_zyx", "data"])
+        # byte-bounded output frames (udfbatch): a safe cast widens up to 8x
+        # (uint8 -> float64), so one frame per input batch would be 8x the
+        # 64 MB input bound
+        def rows() -> Iterator[tuple]:
+            for pdf in batches:
+                for gx, gy, gz, shape, data in zip(
+                    pdf["gx"], pdf["gy"], pdf["gz"], pdf["shape_zyx"], pdf["data"]
+                ):
+                    arr = np.frombuffer(bytes(data), dtype=src).reshape(list(shape)).astype(dst)
+                    yield (int(gx), int(gy), int(gz), list(arr.shape), arr.tobytes())
+
+        yield from bounded_frames(
+            rows(), ["gx", "gy", "gz", "shape_zyx", "data"], lambda r: len(r[4])
+        )
 
     new_attrs = DatasetAttributes(
         data_type=target_type,

@@ -41,6 +41,7 @@ from n5_dask_spark.sources.n5.metadata import (
     read_raw_attributes,
     write_attributes,
 )
+from n5_dask_spark.udfbatch import bounded_frames
 
 
 def claim_dataset_write(container: str, dataset: str) -> str:
@@ -274,19 +275,28 @@ def write_array(
     ndim = attrs.ndim
 
     def make_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # byte-bounded output frames (udfbatch) — THE worst-case lane of the
+        # r11 Arrow probe: input rows are ~12-byte grid coords, so Spark's
+        # input-side byte bound admits ~10k of them per batch, and one
+        # output frame per input batch would hold 10k x block_size bytes
+        # (unbounded by ANY input-side knob; 1.3 TB at 512-cube uint8)
         vol = bcast.value
-        for pdf in batches:
-            out = []
-            for gx, gy, gz in zip(pdf["gx"], pdf["gy"], pdf["gz"]):
-                grid = (int(gx), int(gy), int(gz))[:ndim]
-                sel = tuple(
-                    slice(g * b, min((g + 1) * b, d))
-                    for g, b, d in zip(grid[::-1], bs_xyz[::-1], vol.shape)
-                )
-                block = np.ascontiguousarray(vol[sel]).astype(dt)
-                # pad grid coords to the fixed 3-column schema for ndim < 3
-                out.append((*(list(grid) + [0] * (3 - ndim)), list(block.shape), block.tobytes()))
-            yield pd.DataFrame(out, columns=["gx", "gy", "gz", "shape_zyx", "data"])
+
+        def rows() -> Iterator[tuple]:
+            for pdf in batches:
+                for gx, gy, gz in zip(pdf["gx"], pdf["gy"], pdf["gz"]):
+                    grid = (int(gx), int(gy), int(gz))[:ndim]
+                    sel = tuple(
+                        slice(g * b, min((g + 1) * b, d))
+                        for g, b, d in zip(grid[::-1], bs_xyz[::-1], vol.shape)
+                    )
+                    block = np.ascontiguousarray(vol[sel]).astype(dt)
+                    # pad grid coords to the fixed 3-column schema for ndim < 3
+                    yield (*(list(grid) + [0] * (3 - ndim)), list(block.shape), block.tobytes())
+
+        yield from bounded_frames(
+            rows(), ["gx", "gy", "gz", "shape_zyx", "data"], lambda r: len(r[4])
+        )
 
     blocks = grid_df(spark, attrs).mapInPandas(make_blocks, schema=(
         "gx int, gy int, gz int, shape_zyx array<int>, data binary"

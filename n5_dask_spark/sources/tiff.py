@@ -43,6 +43,7 @@ from n5_dask_spark.sources.n5.metadata import DatasetAttributes, read_attributes
 from n5_dask_spark.sources.n5.transforms import BLOCK_SCHEMA_DDL, cast_blocks, rechunk
 from n5_dask_spark.sources.n5.reader import decoded_blocks
 from n5_dask_spark.sources.n5.writer import _atomic_write, write_blocks
+from n5_dask_spark.udfbatch import bounded_frames
 
 # TIFF tag ids
 _W, _H, _BITS, _COMP, _PHOTO, _STRIP_OFF, _SPP, _ROWS_PER_STRIP, _STRIP_CNT, _SFMT = (
@@ -440,30 +441,36 @@ def tif_series_to_n5(
     dims_xyz = [probe_w, probe_h, n_z]
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for z, raw, fname in zip(pdf["z"], pdf["raw"], pdf["fname"]):
-                try:
-                    arr = decode_tiff(bytes(raw))
-                except Exception as e:
-                    # name the FILE: a long series dying on one corrupt
-                    # slice must point at it (decode_block_at discipline)
-                    raise ValueError(
-                        f"corrupt TIFF slice {fname} (z={int(z)}, "
-                        f"{len(raw)} bytes): {type(e).__name__}: {e}"
-                    ) from e
-                # every slice must match the probe: a mismatched shape would
-                # otherwise be silently clipped/zero-padded by the rechunk
-                # kernel, and a same-width dtype reinterpreted bit-for-bit
-                if arr.shape != (probe_h, probe_w) or arr.dtype != probe_dt:
-                    raise ValueError(
-                        f"slice {fname} (z={int(z)}) is {arr.shape} {arr.dtype}; "
-                        f"the series probe says ({probe_h}, {probe_w}) {probe_dt} "
-                        "— all slices of a series must share one shape and dtype"
-                    )
-                arr = arr[None, :, :]  # (1, Y, X)
-                rows.append((0, 0, int(z), list(arr.shape), arr.tobytes()))
-            yield pd.DataFrame(rows, columns=["gx", "gy", "gz", "shape_zyx", "data"])
+        # byte-bounded output frames (udfbatch): LZW/deflate series expand
+        # on decode, so one frame per input batch scales with the ratio
+        def rows() -> Iterator[tuple]:
+            for pdf in batches:
+                for z, raw, fname in zip(pdf["z"], pdf["raw"], pdf["fname"]):
+                    try:
+                        arr = decode_tiff(bytes(raw))
+                    except Exception as e:
+                        # name the FILE: a long series dying on one corrupt
+                        # slice must point at it (decode_block_at discipline)
+                        raise ValueError(
+                            f"corrupt TIFF slice {fname} (z={int(z)}, "
+                            f"{len(raw)} bytes): {type(e).__name__}: {e}"
+                        ) from e
+                    # every slice must match the probe: a mismatched shape
+                    # would otherwise be silently clipped/zero-padded by the
+                    # rechunk kernel, and a same-width dtype reinterpreted
+                    # bit-for-bit
+                    if arr.shape != (probe_h, probe_w) or arr.dtype != probe_dt:
+                        raise ValueError(
+                            f"slice {fname} (z={int(z)}) is {arr.shape} {arr.dtype}; "
+                            f"the series probe says ({probe_h}, {probe_w}) {probe_dt} "
+                            "— all slices of a series must share one shape and dtype"
+                        )
+                    arr = arr[None, :, :]  # (1, Y, X)
+                    yield (0, 0, int(z), list(arr.shape), arr.tobytes())
+
+        yield from bounded_frames(
+            rows(), ["gx", "gy", "gz", "shape_zyx", "data"], lambda r: len(r[4])
+        )
 
     slice_blocks = slices.mapInPandas(decode, schema=BLOCK_SCHEMA_DDL)
     slice_attrs = DatasetAttributes(
