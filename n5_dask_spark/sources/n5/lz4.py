@@ -331,6 +331,7 @@ def frame_decompress(raw: bytes) -> bytes:
     out = bytearray()
     pos = 0
     n = len(raw)
+    seen_end = False
     while pos < n:
         if raw[pos : pos + 8] != MAGIC:
             raise ValueError("bad LZ4Block magic")
@@ -339,6 +340,7 @@ def frame_decompress(raw: bytes) -> bytes:
         clen, dlen, check = struct.unpack_from("<iii", raw, pos + 9)
         pos += 21
         if dlen == 0:
+            seen_end = True
             break  # end marker
         # negative lengths are corruption: a negative clen would slice
         # empty AND move pos backwards, spinning this loop forever
@@ -363,4 +365,10 @@ def frame_decompress(raw: bytes) -> bytes:
         if (xxhash32(chunk, DEFAULT_SEED) ^ check) & 0xFFFFFFF:
             raise ValueError("LZ4Block checksum mismatch")
         out += chunk
+    if not seen_end:
+        # lz4-java's LZ4BlockInputStream refuses EOF without the end marker
+        # ("Stream ended prematurely"); accepting it here would let a stream
+        # truncated AT a chunk boundary decode clean — the r11 corruption
+        # fuzz's one non-raising truncation (tests/test_corruption_fuzz.py)
+        raise ValueError("LZ4Block stream ended without its end marker")
     return bytes(out)
