@@ -249,10 +249,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (alphabetical) of the prior-green-r5 dozen. The 12 remaining
     # r8-greens stay within the <=3-round freshness policy and lead the
     # r12 rotation. After r11 no query's last driver green predates
-    # round 8 (target histogram: r8=12, r9=49, r10=49, r11=50).
+    # round 8 (target histogram: r8=13, r9=48, r10=49, r11=50 — the
+    # late-r11 lz4 swap below moved one slot from the r8-stale cohort
+    # to the changed-path cohort).
     # (a) changed-in-r11 representatives:
     "n5_roundtrip_zprofile",
     "n5_region_read",
+    # late-r11 change: frame_decompress now requires the lz4-java end
+    # marker (corruption-fuzz find) — the lz4 roundtrip traverses the
+    # changed function, so it takes a slot per the changed-first policy
+    # (join_range_nonequi yields; it stays r8-green and leads r12)
+    "n5_roundtrip_lz4",
     # (b) the 28 round-7-stale greens:
     "agg_approx_distinct",
     "agg_argminmax_bool",
@@ -303,7 +310,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_session_window",
     "events_sessionization_funnel",
     "join_full_outer",
-    "join_range_nonequi",
 )
 
 # --- round 10 window, retired (kept for the rotation audit trail) ---
