@@ -324,20 +324,37 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="ROLLUP hierarchy totals with GROUPING id.",
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT Spark's native .rollup(): its Expand+grouped-agg plan drops the
+    # () grouping set's grand-total row when the input is EMPTY (zero rows
+    # where the standard — and DuckDB/Postgres/Trino — return one row with
+    # NULL groups and COUNT 0; found by the r11 empty-input parity sweep).
+    # Standard semantics by construction: the non-() sets via GROUPING
+    # SETS, the () set as a separate GLOBAL aggregate union leg — a global
+    # agg always yields exactly one row. Cost: one extra column-pruned,
+    # map-side-combined pass over the fact table (the () slice of the
+    # Expand disappears, so the expand multiplier drops 3x -> 2x).
     t = load_tables(spark, sf_dir, ("orders",))
-    return (
-        t["orders"]
-        .rollup("o_orderstatus", "o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            dsum("o_totalprice", "sum_price"),
-            (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")).cast("int").alias("gid"),
-        )
-        .orderBy(
-            F.col("gid"),
-            F.col("o_orderstatus").asc_nulls_first(),
-            F.col("o_orderpriority").asc_nulls_first(),
-        )
+    o = t["orders"]
+    aggs = (F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "sum_price"))
+    levels = o.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"]],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        *aggs,
+        (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")).cast("int").alias("gid"),
+    )
+    grand = o.agg(*aggs).select(
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("string").alias("o_orderpriority"),
+        "n_orders",
+        "sum_price",
+        F.lit(3).cast("int").alias("gid"),
+    )
+    return levels.unionByName(grand).orderBy(
+        F.col("gid"),
+        F.col("o_orderstatus").asc_nulls_first(),
+        F.col("o_orderpriority").asc_nulls_first(),
     )
 
 
@@ -353,19 +370,29 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="CUBE over two low-cardinality dims.",
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT Spark's native .cube() — same empty-input grand-total fix as
+    # agg_rollup above: non-() sets via GROUPING SETS, () as a global-agg
+    # union leg (one row even on empty input, per the SQL standard).
     t = load_tables(spark, sf_dir, ("lineitem",))
-    return (
-        t["lineitem"]
-        .cube("l_returnflag", "l_linestatus")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")).cast("int").alias("gid"),
-        )
-        .orderBy(
-            F.col("gid"),
-            F.col("l_returnflag").asc_nulls_first(),
-            F.col("l_linestatus").asc_nulls_first(),
-        )
+    li = t["lineitem"]
+    levels = li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], ["l_linestatus"]],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")).cast("int").alias("gid"),
+    )
+    grand = li.agg(F.count(F.lit(1)).alias("n_rows")).select(
+        F.lit(None).cast("string").alias("l_returnflag"),
+        F.lit(None).cast("string").alias("l_linestatus"),
+        "n_rows",
+        F.lit(3).cast("int").alias("gid"),
+    )
+    return levels.unionByName(grand).orderBy(
+        F.col("gid"),
+        F.col("l_returnflag").asc_nulls_first(),
+        F.col("l_linestatus").asc_nulls_first(),
     )
 
 

@@ -158,18 +158,20 @@ Determinism discipline (so value-hashes match the oracle EXACTLY):
   doc_id, token counts) are non-negative, so the running sum is
   monotone and transient == final; even 100 TB of text totals ~1e14
   chars, four orders below 2^63.
-- Grouping-set totals over an EMPTY relation are OUT OF CONTRACT (r9
-  empty-table probe, pinned in test_oracle_parity): Spark's
-  Expand-based ROLLUP/CUBE/GROUPING SETS emits ZERO rows on empty
-  input — including the () grand-total group — where the SQL standard
-  (and DuckDB, Postgres) emits one global row with COUNT 0 and NULL
-  sums. Verified engine-level (a bare
-  ``GROUP BY GROUPING SETS ((a), ())`` reproduces it); a Spark-side
-  workaround would mean synthesizing the grand-total row with a
-  count-then-union plan warp for a degenerate lane. Plain global
-  aggregates (no grouping sets) agree on empty input and stay IN
-  contract — the empty-table probe pins the whole doc/embeddings/
-  events families engine-equal on 0-row tables.
+- Grouping-set grand totals over an EMPTY relation: Spark's
+  Expand-based ROLLUP/CUBE emits ZERO rows on empty input — including
+  the () grand-total group — where the SQL standard (and DuckDB,
+  Postgres) emits one global row with COUNT 0 and NULL sums (verified
+  engine-level: a bare ``GROUP BY GROUPING SETS ((a), ())``
+  reproduces it). r9 shipped this OUT OF CONTRACT; the r11
+  empty-input sweep re-surfaced it and agg_rollup/agg_cube now build
+  the () set as a separate GLOBAL-AGGREGATE union leg (standard
+  semantics on every input; one extra column-pruned map-side-combined
+  pass; relational.py) — back IN CONTRACT, pinned engine-equal in
+  test_oracle_parity. A query using raw GROUPING SETS with an
+  explicit () through Spark SQL directly would still show the Spark
+  behavior. Plain global aggregates (no grouping sets) always agreed
+  and stay IN contract.
 - Timestamp representable-range contract (r9 extreme-timestamp net,
   pinned in test_oracle_parity): the batch events/orders family is
   engine-equal on ANY in-range timestamp — pre-epoch (1965, the last

@@ -438,10 +438,11 @@ def test_event_embedding_queries_on_empty_tables(spark, tmp_path):
     NULL even on a SINGLE-row one, stddev_samp's n-1 = 0) and
     formats_partitioned_pruning's read-back of an empty partitioned write
     threw UNABLE_TO_INFER_SCHEMA (now reads with the writer's schema) —
-    and characterized one engine-level boundary this test pins verbatim:
-    Spark's Expand-based grouping sets emit ZERO rows on empty input
-    where the standard (DuckDB, Postgres) emits the () grand-total row
-    (registry determinism notes). Everything else must be engine-equal.
+    and characterized one engine-level boundary: Spark's Expand-based
+    grouping sets emit ZERO rows on empty input where the standard
+    (DuckDB, Postgres) emits the () grand-total row. r11 CLOSED that
+    boundary — agg_rollup/agg_cube now build the () set as a global-agg
+    union leg (relational.py), so EVERYTHING here must be engine-equal.
     """
     import os
 
@@ -513,7 +514,9 @@ def test_event_embedding_queries_on_empty_tables(spark, tmp_path):
         "streaming_stream_stream_join",
         "streaming_watermark_append",
     ]
-    grouping_set_boundary = {"agg_rollup"}  # () grand-total set over orders
+    # r11: agg_rollup now emits the () grand-total row on empty input
+    # (global-agg union leg, relational.py) — full parity, the old
+    # Spark-native-rollup divergence carve-out is gone
     bad = []
     for n in names:
         q = reg[n]
@@ -527,11 +530,6 @@ def test_event_embedding_queries_on_empty_tables(spark, tmp_path):
         cur = con.execute(q.oracle)
         dc, dr = canon_rows([x[0] for x in cur.description], [tuple(r) for r in cur.fetchall()])
         con.close()
-        if n in grouping_set_boundary:
-            # the documented divergence, pinned exactly: Spark 0 rows,
-            # DuckDB one grand-total row (COUNT 0, NULL sums)
-            assert sc == dc and sr == [] and len(dr) == 1 and ("i", 0) in dr[0], (n, sr, dr)
-            continue
         if sc != dc or sr != dr:
             bad.append(n)
     assert not bad, bad
@@ -617,11 +615,11 @@ def test_tpch_family_on_empty_minidb(spark, tmp_path):
     """Empty-table lane for the whole relational family: all 7 TPC-H
     tables written 0-row with the REAL testdata schemas (int32 region/
     nation keys included), every minidb-net query run against its own
-    oracle. r9 probe result, pinned here: 73/75 engine-equal with ZERO
-    crashes (scalar subqueries, UDTF, top-k, set ops, windows and joins
-    all survive empty input); the only divergences are the two
-    grouping-set queries — the documented Spark-empty-relation boundary
-    (registry determinism notes), asserted verbatim."""
+    oracle. r9 probe result: 73/75 engine-equal with ZERO crashes (scalar
+    subqueries, UDTF, top-k, set ops, windows and joins all survive empty
+    input); the two grouping-set divergences were CLOSED in r11 (the ()
+    grand-total set is now a global-agg union leg, relational.py), so the
+    pin is 75/75 engine-equal."""
     import os
 
     import duckdb
@@ -653,7 +651,8 @@ def test_tpch_family_on_empty_minidb(spark, tmp_path):
             pa.table({f.name: [] for f in sch}, schema=sch),
             os.path.join(str(tmp_path), f"{t}.parquet"),
         )
-    grouping_set_boundary = {"agg_rollup", "agg_cube"}
+    # r11: agg_rollup/agg_cube grand-total rows now match the oracle on
+    # empty input (global-agg union leg, relational.py); no carve-out left
     bad = []
     for n in names:
         q = reg[n]
@@ -667,9 +666,6 @@ def test_tpch_family_on_empty_minidb(spark, tmp_path):
         cur = con.execute(q.oracle)
         dc, dr = canon_rows([x[0] for x in cur.description], [tuple(r) for r in cur.fetchall()])
         con.close()
-        if n in grouping_set_boundary:
-            assert sc == dc and sr == [] and len(dr) == 1 and ("i", 0) in dr[0], (n, sr, dr)
-            continue
         if sc != dc or sr != dr:
             bad.append(n)
     assert not bad, bad
