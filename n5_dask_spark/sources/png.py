@@ -137,6 +137,7 @@ def png_decode(payload: bytes) -> np.ndarray:
     ihdr = None
     idat = bytearray()
     plte = None
+    seen_iend = False
     while pos + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
         tag = payload[pos + 4 : pos + 8]
@@ -156,10 +157,16 @@ def png_decode(payload: bytes) -> np.ndarray:
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
+            seen_iend = True
             break
         # ancillary chunks (tEXt, pHYs, ...) are skipped
     if ihdr is None:
         raise ValueError("PNG has no IHDR chunk")
+    if not seen_iend:
+        # IEND is mandatory (PNG spec 5.6): a stream that just stops is a
+        # truncated file, even when every IDAT byte arrived — refuse like
+        # the lz4-java end-marker check (r11 corruption fuzz)
+        raise ValueError("PNG stream ended without its IEND chunk")
     w, h, depth, color_type, comp, filt, interlace = ihdr
     if interlace != 0:
         raise NotImplementedError("Adam7-interlaced PNG is not supported (re-encode progressive=False)")

@@ -152,6 +152,61 @@ def test_bit_flips_blosc_zlib_silent_lane_is_exactly_the_blosc_header():
     ), f"silent flips outside the Blosc1 header: {silent}"
 
 
+def test_png_truncation_and_bit_flips_fully_guarded():
+    # PNG is the one image format here WITH integrity built in: every
+    # chunk carries a CRC32, and the decoder verifies each one. Pin the
+    # strong result: NO truncation and NO single-bit flip ever decodes —
+    # wrong or equal — silently. (The IEND requirement added with this
+    # net closes the last lenient lane: a stream cut right after the
+    # final IDAT used to decode clean.)
+    from n5_dask_spark.sources.png import png_decode, png_encode
+
+    img = ((np.arange(24 * 17 * 3).reshape(24, 17, 3) * 7) % 251).astype(np.uint8)
+    img[5:9] = 0
+    enc = png_encode(img)
+    for k in range(len(enc)):
+        with pytest.raises(Exception):
+            png_decode(enc[:k])
+    for i in range(len(enc)):
+        for b in range(8):
+            buf = bytearray(enc)
+            buf[i] ^= 1 << b
+            with pytest.raises(Exception):
+                png_decode(bytes(buf))
+
+
+def test_tiff_truncation_never_silent_header_guarded():
+    # TIFF carries no checksums at all, so bit flips in the pixel strip
+    # and in un-validated IFD value fields (strip offsets, padding) land
+    # silently — FORMAT LIMIT, same class and mitigation as N5 raw. What
+    # IS guaranteed: every strict-prefix truncation refuses, and the
+    # 8-byte header (byte order, magic 42, first-IFD pointer) is fully
+    # guarded — no flip there decodes.
+    from n5_dask_spark.sources.tiff import decode_tiff, encode_tiff
+
+    img = ((np.arange(24 * 17) * 7) % 251).astype(np.uint8).reshape(24, 17)
+    enc = encode_tiff(img)
+    for k in range(len(enc)):
+        try:
+            out = decode_tiff(enc[:k])
+        except Exception:
+            continue
+        raise AssertionError(f"truncation to {k} bytes decoded {out.shape}")
+    silent = []
+    for i in range(len(enc)):
+        for b in range(8):
+            buf = bytearray(enc)
+            buf[i] ^= 1 << b
+            try:
+                out = decode_tiff(bytes(buf))
+            except Exception:
+                continue
+            if out.shape != img.shape or not np.array_equal(out, img):
+                silent.append(i)
+    assert silent, "no silent flips — TIFF verification appeared; tighten this pin"
+    assert min(silent) >= 8, f"a header flip decoded silently (offset {min(silent)})"
+
+
 @pytest.mark.parametrize("leg", ["blosc-lz4", "blosc-blosclz", "blosc-snappy", "zstd"])
 def test_bit_flips_unchecksummed_legs_documented_silent_lane(leg):
     # Blosc1 internal lz4/blosclz/snappy streams and pyarrow's zstd frames

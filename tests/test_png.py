@@ -221,6 +221,9 @@ def test_png_implausible_dimensions_refused_before_allocation():
     idat = zlib.compress(b"\x00" * 10)
     png += struct.pack(">I", len(idat)) + b"IDAT" + idat
     png += struct.pack(">I", zlib.crc32(b"IDAT" + idat) & 0xFFFFFFFF)
+    # a well-formed tail (IEND is now mandatory), so the refusal under test
+    # is the dimension guard, not stream truncation
+    png += struct.pack(">I", 0) + b"IEND" + struct.pack(">I", zlib.crc32(b"IEND") & 0xFFFFFFFF)
     with pytest.raises(ValueError, match="implausible"):
         png_decode(png)
 
