@@ -44,14 +44,24 @@ from n5_dask_spark.registry import register
 def _staged_events_dir(sf_dir: str) -> str:
     """FileStreamSource needs a directory; stage a symlink to the single
     parquet file. Content-addressed by md5 of the path (hash() would vary or
-    collide), and stale/dangling symlinks are replaced."""
+    collide), and stale/dangling symlinks are replaced.
+
+    An events table that is ALREADY a directory dataset (Spark-written part
+    files — the sf1 scale-up, any engine-produced table) needs no staging
+    and streams straight from the dataset path; the r11 sf1 oracle gate
+    caught the old behavior (a dir-symlink inside the stage dir, which the
+    non-recursive file source silently listed as zero files -> all nine
+    streaming queries returned 0 rows at sf1)."""
     import hashlib
+
+    target = table_path(sf_dir, "events")
+    if os.path.isdir(target):
+        return target
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     stage = pathlib.Path(tempfile.gettempdir()) / f"n5ds_stream_{tag}"
     stage.mkdir(exist_ok=True)
     link = stage / "events.parquet"
-    target = table_path(sf_dir, "events")
     if link.is_symlink():
         if os.readlink(link) != target:
             # missing_ok: a concurrent stager may have unlinked the same

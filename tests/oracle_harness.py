@@ -6,6 +6,7 @@ discipline (registry.py) is supposed to make results EXACTLY equal."""
 from __future__ import annotations
 
 import math
+import os
 from decimal import Decimal
 
 import duckdb
@@ -18,7 +19,13 @@ _EPOCH_COLS_CACHE: dict[str, duckdb.DuckDBPyConnection] = {}
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'")
+        p = table_path(sf_dir, t)
+        if os.path.isdir(p):
+            # Spark-written datasets are DIRECTORIES of part files (the
+            # sf1 scale-up, any engine-written fixture); Spark reads those
+            # transparently but DuckDB needs the glob spelled out
+            p = os.path.join(p, "*.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     return con
 
 

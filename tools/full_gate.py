@@ -39,6 +39,9 @@ def main() -> None:
         SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
         .config("spark.sql.session.timeZone", "America/New_York")
         .config("spark.ui.enabled", "false")
+        # start-time-only conf: the sf1 directory (6M-row lineitem) OOMs
+        # the 1g JVM default long before tune_session can matter
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     for k, v in confs.items():
         builder = builder.config(k, v)
