@@ -239,3 +239,35 @@ def test_pre_epoch_event_times_are_out_of_streaming_contract(spark, tmp_path):
         .collect()
     )
     assert len(batch) == 12  # batch windowing handles pre-epoch fine
+
+
+def test_directory_shaped_events_table_streams_directly(spark, tmp_path):
+    """r11 sf1-gate find, pinned: an events table that is a DIRECTORY of
+    part files (any Spark-written dataset) must stream from the dataset
+    path itself. The old staging symlinked the path assuming a single
+    file; the non-recursive FileStreamSource listed the dir-symlink as
+    zero files, and every streaming query returned 0 rows with no error
+    — silent wrong data at exactly the layout a real deployment has."""
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    from n5_dask_spark.streaming.stateful import _staged_events_dir, run_watermark_append
+
+    src = pathlib.Path(SF_SMALL) / "events.parquet"
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+    t = pq.read_table(src)
+    n = len(t) // 2
+    pq.write_table(t.slice(0, n), d / "part-00000.parquet")
+    pq.write_table(t.slice(n), d / "part-00001.parquet")
+    (d / "_SUCCESS").touch()
+
+    # staging resolves to the dataset directory itself, not a symlink dir
+    assert _staged_events_dir(str(tmp_path)) == str(d)
+
+    got = run_watermark_append(spark, str(tmp_path), window="1 hour", delay="6 hours")
+    baseline = run_watermark_append(spark, SF_SMALL, window="1 hour", delay="6 hours")
+    got_rows = sorted(map(tuple, got.collect()))
+    base_rows = sorted(map(tuple, baseline.collect()))
+    assert got_rows == base_rows and len(got_rows) > 0
