@@ -337,29 +337,53 @@ def main() -> None:
     aux = _aux_probes(spark, int(cpus))
     aux2 = _aux_probes(spark, int(cpus))
     aux = {k: min(aux[k], aux2[k]) for k in aux}
+    # Output framing (r11 verdict item 1): the external driver keeps only
+    # the LAST 2000 chars of stdout and json-parses the FINAL line. The
+    # r11 sf1 block, spliced into the single headline object, pushed that
+    # line past the capture window and BENCH_r11.json recorded
+    # parsed:null. So: sf1 + aux probes + verbose diagnostics each go out
+    # as their OWN earlier line (still committed-artifact visible and
+    # machine-readable), and the final line stays a compact headline-only
+    # object -- measured ~1.4k chars at the current 16+2 query set,
+    # leaving >500 chars of growth slack inside the tail window.
+    if sf1_block is not None:
+        print(json.dumps({"sf1": sf1_block}))
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(per.values()), 3),
-                "unit": "sec",
-                "queries": per,
-                "queries_normalized": per_norm,
-                "value_normalized": round(sum(per_norm.values()), 3),
-                "pipelines": pipelines,
-                "pipelines_normalized": pipelines_norm,
-                "pipelines_total": round(sum(pipelines.values()), 3),
-                "sf": sf,
-                "cpus": int(cpus),
-                "warmup_sec": warmup_sec,
-                "runs_per_query": runs,
-                "calibration_sec": calibration_secs,
-                "calibration_ref_sec": CAL_REFERENCE_SEC,
-                **({"sf1": sf1_block} if sf1_block else {}),
-                **aux,
+                "bench_diagnostics": {
+                    "warmup_sec": warmup_sec,
+                    "runs_per_query": runs,
+                    "pipelines_normalized": pipelines_norm,
+                    "calibration_sec": calibration_secs,
+                    "calibration_ref_sec": CAL_REFERENCE_SEC,
+                    **aux,
+                }
             }
         )
     )
+    headline = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(per.values()), 3),
+        "unit": "sec",
+        "queries": per,
+        "queries_normalized": per_norm,
+        "value_normalized": round(sum(per_norm.values()), 3),
+        "pipelines": pipelines,
+        "pipelines_total": round(sum(pipelines.values()), 3),
+        "sf": sf,
+        "cpus": int(cpus),
+        "calibration_min_sec": min(calibration_secs),
+        "calibration_max_sec": max(calibration_secs),
+    }
+    line = json.dumps(headline)
+    # Hard guard: if the compact line ever creeps toward the driver's
+    # 2000-char tail capture, drop the normalized map (derivable from
+    # queries + calibration bounds) rather than ship an unparseable line.
+    if len(line) > 1800:
+        headline.pop("queries_normalized")
+        line = json.dumps(headline)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -339,7 +339,34 @@ def frame_decompress(raw: bytes) -> bytes:
         method = token & 0xF0
         clen, dlen, check = struct.unpack_from("<iii", raw, pos + 9)
         pos += 21
+        # lz4-java validates the method nibble on EVERY chunk header,
+        # including the end marker (LZ4BlockInputStream throws "Stream is
+        # corrupted" for any method outside {RAW, LZ4} before it looks at
+        # the lengths) — validating only in the payload branch (pre-r12)
+        # let a method-nibble flip in the end marker decode clean
+        if method not in (METHOD_RAW, METHOD_LZ4):
+            raise ValueError(f"unknown LZ4Block method 0x{method:02x}")
+        # lz4-java bounds every chunk's declared size by the block size
+        # encoded in the token's level nibble (blockSize = 1 << (level +
+        # COMPRESSION_LEVEL_BASE), base 10) and throws "Stream is
+        # corrupted" past it — parity keeps a corrupted dlen from asking
+        # for a huge allocation here too
+        if dlen > 1 << ((token & 0x0F) + 10):
+            raise ValueError(
+                f"LZ4Block chunk declares {dlen} bytes, over the token's "
+                f"block size bound {1 << ((token & 0x0F) + 10)}"
+            )
         if dlen == 0:
+            # lz4-java writes the end marker with clen=0 and checksum=0 and
+            # its LZ4BlockInputStream raises "Stream is corrupted" on any
+            # other value — accepting arbitrary bytes here (pre-r12) let a
+            # flipped bit in the marker's check/clen field decode clean
+            # where the reference stack refuses
+            if check != 0 or clen != 0:
+                raise ValueError(
+                    "LZ4Block end marker carries nonzero fields "
+                    f"(clen={clen}, check={check}); lz4-java requires both 0"
+                )
             seen_end = True
             break  # end marker
         # negative lengths are corruption: a negative clen would slice
@@ -360,9 +387,11 @@ def frame_decompress(raw: bytes) -> bytes:
             chunk = lz4_block_decompress(data, dlen)
         else:
             raise ValueError(f"unknown LZ4Block method 0x{method:02x}")
-        # mask BOTH sides: we write the 28-bit-masked checksum like
-        # lz4-java, but stay readable even if a writer stored all 32 bits
-        if (xxhash32(chunk, DEFAULT_SEED) ^ check) & 0xFFFFFFF:
+        # lz4-java compares the stored int against the 28-bit-masked hash
+        # with plain != — a stored field with ANY high-nibble bit set can
+        # never match, so it refuses; exact parity (masking both sides,
+        # pre-r12, silently accepted high-nibble corruption)
+        if (xxhash32(chunk, DEFAULT_SEED) & 0xFFFFFFF) != check:
             raise ValueError("LZ4Block checksum mismatch")
         out += chunk
     if not seen_end:

@@ -23,8 +23,10 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
         if os.path.isdir(p):
             # Spark-written datasets are DIRECTORIES of part files (the
             # sf1 scale-up, any engine-written fixture); Spark reads those
-            # transparently but DuckDB needs the glob spelled out
-            p = os.path.join(p, "*.parquet")
+            # transparently but DuckDB needs the glob spelled out. The
+            # recursive ** also picks up Hive-partitioned (key=val
+            # subdirectory) layouts — duckdb globs ** across directories
+            p = os.path.join(p, "**", "*.parquet")
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     return con
 

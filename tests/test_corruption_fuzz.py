@@ -9,7 +9,8 @@ classified through the real decode path (codec.decode_block) as
 
 - ``raised``       — loud refusal (the only acceptable fleet-scale outcome),
 - ``equal``        — decoded bit-identical (the flip hit a don't-care byte:
-                     gzip MTIME/OS, bytes after the lz4 end marker, ...),
+                     gzip MTIME/OS, the lz4 end marker's unused
+                     compressionLevel nibble, ...),
 - ``silent_wrong`` — decoded cleanly to DIFFERENT voxels: the dangerous lane.
 
 Pinned truth (each assertion is a guarantee or a documented format limit):
@@ -122,6 +123,80 @@ def test_bit_flips_checksummed_legs_have_no_silent_lane(leg):
     assert census["silent_wrong"] == [], (
         f"{leg}: single-bit flips at offsets "
         f"{sorted(set(census['silent_wrong']))} decoded to wrong voxels"
+    )
+
+
+def _lz4_last_sequence_token_off(payload: bytes) -> int:
+    """Offset (within ``payload``) of an lz4 block's final sequence token.
+
+    The last sequence is literals-only, so its match-length nibble is
+    never read — liblz4 and lz4-java both stop after the final literal
+    copy. Replica of the sequence walk in lz4.py:lz4_block_decompress,
+    tracking token positions instead of producing bytes.
+    """
+    s, n, last = 0, len(payload), 0
+    while s < n:
+        last = s
+        token = payload[s]
+        s += 1
+        lit = token >> 4
+        if lit == 15:
+            while payload[s] == 255:
+                lit += 255
+                s += 1
+            lit += payload[s]
+            s += 1
+        s += lit
+        if s >= n:
+            break  # literals-only last sequence
+        s += 2  # match offset
+        if (token & 0x0F) == 15:
+            while payload[s] == 255:
+                s += 1
+            s += 1
+    return last
+
+
+def test_bit_flips_lz4_equal_lane_is_exactly_the_format_dont_cares():
+    """Pin the lz4 leg's ENTIRE accept-despite-flip lane (r11 advice).
+
+    After the r12 tightening (end marker check==0/clen==0, method nibble
+    validated on every chunk header, dlen bounded by the token's level
+    nibble, checksum field compared unmasked — all mirrored from
+    lz4-java's LZ4BlockInputStream), the only single-bit flips that still
+    decode clean are lz4 FORMAT don't-cares that the reference stack
+    accepts too:
+
+    - the low-nibble (compressionLevel) bits of each chunk token:
+      lz4-java reads the nibble only for its ``originalLen > 1 <<
+      (level + 10)`` bound, which every level value satisfies at these
+      chunk sizes (dlen <= 1024);
+    - the match-length nibble of the LAST sequence token inside each
+      LZ4-compressed chunk: the last sequence is literals-only and both
+      liblz4 and lz4-java stop after the final literal copy without
+      reading it. (The chunk checksum can't catch these: it hashes the
+      DECODED bytes, which don't change.)
+    """
+    import struct
+
+    arr, enc, comp = encode_or_skip("lz4")
+    census = flip_census(enc, comp, arr)
+    dont_care_offs, pos = [], N5_HEADER_BYTES
+    while pos < len(enc):
+        dont_care_offs.append(pos + 8)  # chunk token's level nibble
+        clen, dlen, _check = struct.unpack_from("<iii", enc, pos + 9)
+        token = enc[pos + 8]
+        if dlen == 0:
+            break
+        assert dlen <= 1 << 10, "fixture chunk outgrew the level-0 bound"
+        if (token & 0xF0) == 0x20:  # METHOD_LZ4: compressed payload
+            payload = enc[pos + 21 : pos + 21 + clen]
+            dont_care_offs.append(pos + 21 + _lz4_last_sequence_token_off(payload))
+        pos += 21 + clen
+    expected = sorted(off for off in dont_care_offs for _ in range(4))
+    assert sorted(census["equal"]) == expected, (
+        f"lz4 equal lane drifted: {sorted(set(census['equal']))} "
+        f"(expected 4 low-nibble flips at each of {sorted(dont_care_offs)})"
     )
 
 
