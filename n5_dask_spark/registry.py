@@ -238,6 +238,86 @@ REGISTRY: dict[str, Query] = {}
 # stale. Build the next rotation from CORRECTNESS_r*.json last-green ages,
 # not from family coverage — cumulative coverage is already total.
 DRIVER_WINDOW: tuple[str, ...] = (
+    # --- round 12 policy (VERDICT r11 #2): rotate onto the 13 r8-stale
+    # greens plus the oldest r9-stale fills. (a) changed-first:
+    # n5_roundtrip_lz4 traverses frame_decompress, which gained the full
+    # lz4-java refusal set this round (end-marker check==0/clen==0,
+    # method nibble on every header, level-nibble dlen bound, unmasked
+    # checksum compare); agg_rollup takes the slot the r11 advice flagged
+    # (its GROUPING SETS + grand-leg plan was rewritten in r11 alongside
+    # agg_cube but only agg_cube got an r11 row — it is also r9-stale,
+    # so it leads cohort (c)). (b) all 13 queries whose last driver
+    # green is round 8 — join_range_nonequi first (it yielded its r11
+    # slot to the late lz4 swap). (c) 36 of the 48 r9-stale greens; the
+    # 12 left for r13 (named at the end of this tuple's comment block)
+    # are drawn from families with MULTIPLE other in-window reps this
+    # round — five plain aggs (agg_rollup stays in), three plain scalar
+    # legs (scalar_date_funcs stays in: TZ-sensitive), three plain joins
+    # (join_asof + join_range_nonequi stay in), one set op
+    # (set_union_all stays in) — so every text/udf/knn/dedup/events/
+    # pipeline/format query is in-window. After r12 the target histogram
+    # is r9=12, r10=?, r11=?, r12=50 with no green older than r9.
+    # Left for r13: agg_approx_quantiles, agg_corr_covar,
+    # agg_histogram_numeric, agg_median_percentile, agg_stats,
+    # scalar_map_funcs, scalar_math_funcs, scalar_string_funcs,
+    # join_inner, join_left_anti, join_left_outer, set_except.
+    # (a) changed-in-r12 representative:
+    "n5_roundtrip_lz4",
+    # (b) the 13 round-8-stale greens, join_range_nonequi first:
+    "join_range_nonequi",
+    "embedding_near_duplicates",
+    "multimodal_feature_extract",
+    "multimodal_metadata_stats",
+    "multimodal_resize",
+    "pipeline_corpus_e2e",
+    "pipeline_sequence_packing",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "streaming_incremental_restart",
+    "streaming_session_window",
+    # (c) 36 round-9-stale greens, agg_rollup first (r11 advice):
+    "agg_rollup",
+    "array_funcs",
+    "array_label_centroids",
+    "decontaminate_ngram_overlap",
+    "dedup_cc_star",
+    "dedup_connected_clusters",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "embedding_dimension_stats",
+    "embedding_quantize_int8",
+    "events_json_extract",
+    "events_sliding_window",
+    "events_tumbling_window",
+    "formats_csv_roundtrip",
+    "join_asof",
+    "knn_bruteforce_cosine",
+    "knn_ivf_probe",
+    "knn_signbucket_lsh",
+    "orderby_limit_topk",
+    "pipeline_clean_corpus",
+    "q2_min_cost_supplier",
+    "scalar_date_funcs",
+    "set_union_all",
+    "text_bigram_lm_score",
+    "text_boilerplate_shingles",
+    "text_fingerprint",
+    "text_tf_top_terms",
+    "text_tfidf_top_terms",
+    "text_token_stats",
+    "topk_per_group",
+    "udaf_applyinpandas_minmax_scale",
+    "udf_pandas_zscore",
+    "udf_sql_registered",
+    "udtf_fee_schedule",
+    "window_rank_dense",
+    "window_running_sum",
+)
+
+# --- round 11 window, retired (kept for the rotation audit trail) ---
+_DRIVER_WINDOW_R11: tuple[str, ...] = (
     # --- round 11 policy (VERDICT r10 #2): rotate onto the r7/r8-stale
     # greens. (a) changed-first: two N5 reps traverse every line changed
     # this round — the scheme-independent integrity audit + Hadoop-stat
