@@ -77,6 +77,75 @@ def _staged_events_dir(sf_dir: str) -> str:
     return str(stage)
 
 
+def guard_crash_window_replay(spark: SparkSession, checkpoint_dir: str) -> None:
+    """Refuse a restart whose crash-window replay would silently lose rows.
+
+    Crash state: ``offsets/N`` exists but ``commits/N`` does not — the
+    restarting query REPLAYS batch N from the file-source log
+    (``sources/<i>/N``). Stock Spark re-reads those logged files with the
+    file stream source's internal missing-file tolerance, so a source file
+    deleted between the crash and the restart (retention policies at fleet
+    scale make that coincidence routine) yields an EMPTY replay that is
+    committed silently — measured on this Spark with
+    ``spark.sql.files.ignoreMissingFiles=false``: batch N re-commits with
+    zero rows and no error, and the lost rows never reach any sink. This
+    guard makes that lane loud: before starting, stat every file the
+    source log pins to the uncommitted batch (Hadoop FileSystem — any
+    URI scheme) and raise if one is gone.
+
+    A checkpoint with no crash window, or whose crash-window batch has no
+    source-log entry yet (crash before the source log write — Spark then
+    re-LISTS the directory fresh, which is safe), passes untouched.
+    """
+    import json as _json
+
+    offsets_dir = os.path.join(checkpoint_dir, "offsets")
+    commits_dir = os.path.join(checkpoint_dir, "commits")
+
+    def _ids(d: str) -> set[int]:
+        if not os.path.isdir(d):
+            return set()
+        return {int(n) for n in os.listdir(d) if n.isdigit()}
+
+    uncommitted = _ids(offsets_dir) - _ids(commits_dir)
+    if not uncommitted:
+        return
+    missing: list[str] = []
+    sources_root = os.path.join(checkpoint_dir, "sources")
+    for src_idx in sorted(os.listdir(sources_root)) if os.path.isdir(sources_root) else []:
+        for batch_id in sorted(uncommitted):
+            log = os.path.join(sources_root, src_idx, str(batch_id))
+            if not os.path.isfile(log):
+                continue
+            paths = []
+            with open(log) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line or not line.startswith("{"):
+                        continue  # the "v1" version header
+                    entry = _json.loads(line)
+                    if "path" in entry:
+                        paths.append(entry["path"])
+            jvm = spark._jvm
+            fs = None
+            for p in paths:
+                jp = jvm.org.apache.hadoop.fs.Path(p)
+                if fs is None:
+                    fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+                if not bool(fs.exists(jp)):
+                    missing.append(p)
+    if missing:
+        raise RuntimeError(
+            f"checkpoint {checkpoint_dir} has uncommitted batch(es) "
+            f"{sorted(uncommitted)} whose logged source files no longer "
+            f"exist: {missing[:5]}{'...' if len(missing) > 5 else ''} — "
+            "a restart would silently commit an EMPTY replay of those "
+            "rows (Spark's file stream source tolerates missing files on "
+            "replay). Restore the files or accept the loss explicitly by "
+            "deleting the stale offsets entry."
+        )
+
+
 _LIVE_SINKS: dict[str, str] = {}
 
 
@@ -226,6 +295,7 @@ def run_foreach_batch_incremental(
     from n5_dask_spark.session import tune_session
 
     tune_session(spark)
+    guard_crash_window_replay(spark, checkpoint_dir)
     schema = spark.read.parquet(source_dir).schema
 
     batches: list[int] = []
@@ -266,6 +336,7 @@ def run_windowed_append_incremental(
     from n5_dask_spark.session import tune_session
 
     tune_session(spark)
+    guard_crash_window_replay(spark, checkpoint_dir)
     # _nanos_safe_schema sets the legacy conf itself: previously this path
     # only worked if some earlier events read had set it session-wide, and
     # a fresh session failed at the footer read for TIMESTAMP(NANOS) input

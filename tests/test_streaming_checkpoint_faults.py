@@ -1,0 +1,328 @@
+"""Checkpoint fault-injection net for the streaming runners (r12 probe).
+
+The r11 restart test proved the HAPPY path: two AvailableNow triggers
+against one checkpoint process each file exactly once. This net injects
+the crash states a fleet actually produces — a process killed between the
+sink write and the commit-log write, a commit/offset entry missing after a
+crash, a corrupted offsets log, a corrupted state-store delta, sink-side
+orphan files, a source file deleted during the crash window, and two
+whole JVMs racing one checkpoint — and pins the classification of each:
+recovered-exactly-once, or refused LOUDLY. Silent anything is the bug.
+
+Every restart runs in a FRESH subprocess JVM: Spark 4 detects same-session
+checkpoint tampering as a concurrent-log update (its metadata cache
+disagrees with the listing), which a real crash-restart never hits. Fault
+injection that deletes a log entry must also delete Hadoop's hidden
+``.<name>.crc`` sidecar — a real crash leaves neither (the atomic rename
+publishes both), and a stale sidecar alone turns the replay's commit
+rename into a spurious FileAlreadyExistsException.
+
+Findings this net produced (fixed in streaming/stateful.py):
+
+- guard_crash_window_replay: stock Spark (4.1.2, ignoreMissingFiles=false)
+  REPLAYS a crash-window batch whose logged source files were deleted as
+  an EMPTY batch and commits it silently — rows lost, no error. Both
+  checkpointed runners now stat the source log's files for any
+  uncommitted batch before starting and refuse loudly.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import subprocess
+import sys
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# one AvailableNow foreachBatch trigger in a fresh JVM (the restart shape);
+# prints BATCHES= on success, ERR= <type> <msg> on refusal
+_TRIG_FB = """
+import sys
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.sql.shuffle.partitions", "2")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from n5_dask_spark.streaming.stateful import run_foreach_batch_incremental
+try:
+    b = run_foreach_batch_incremental(spark, sys.argv[1], sys.argv[2], sys.argv[3])
+    print("BATCHES=", b)
+except Exception as e:
+    print("ERR=", type(e).__name__, str(e).split(chr(10))[0][:400])
+""" % {"repo": REPO}
+
+_TRIG_WIN = """
+import sys
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.sql.shuffle.partitions", "2")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from n5_dask_spark.streaming.stateful import run_windowed_append_incremental
+try:
+    run_windowed_append_incremental(spark, sys.argv[1], sys.argv[2], sys.argv[3])
+    print("BATCHES= ok")
+except Exception as e:
+    print("ERR=", type(e).__name__, str(e).split(chr(10))[0][:400])
+""" % {"repo": REPO}
+
+# crash INSIDE the batch: sink write lands, then the process dies before
+# the commit-log write — the true kill-mid-batch state, no file surgery
+_TRIG_KILL = """
+import os, sys
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.sql.shuffle.partitions", "2")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+src, out, ckpt = sys.argv[1:4]
+schema = spark.read.parquet(src).schema
+def sink(df, batch_id):
+    df.write.mode("overwrite").parquet(os.path.join(out, f"batch={batch_id}"))
+    os._exit(137)
+q = (spark.readStream.schema(schema).parquet(src)
+     .writeStream.foreachBatch(sink)
+     .option("checkpointLocation", ckpt).trigger(availableNow=True).start())
+q.awaitTermination()
+""" % {"repo": REPO}
+
+
+def _run(code: str, *args: str) -> str:
+    r = subprocess.run(
+        [sys.executable, "-c", code, *args],
+        capture_output=True, text=True, timeout=600,
+    )
+    lines = [l for l in r.stdout.splitlines() if l.startswith(("BATCHES=", "ERR="))]
+    if lines:
+        return lines[-1]
+    return f"NOOUT rc={r.returncode} {r.stderr[-400:]}"
+
+
+def _rm_with_crc(path: str) -> None:
+    """Delete a checkpoint log entry the way a crash would have left it:
+    neither the file nor its Hadoop ``.crc`` sidecar exists."""
+    os.remove(path)
+    crc = os.path.join(os.path.dirname(path), "." + os.path.basename(path) + ".crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+
+def _sink_kv(out: str) -> list[tuple[int, int]]:
+    import duckdb
+
+    fs = glob.glob(os.path.join(out, "batch=*", "*.parquet"))
+    if not fs:
+        return []
+    q = "SELECT k, v FROM read_parquet([%s]) ORDER BY k" % ",".join(
+        f"'{f}'" for f in fs
+    )
+    return [(int(k), int(v)) for k, v in duckdb.sql(q).fetchall()]
+
+
+@pytest.fixture(scope="module")
+def healthy_fb(tmp_path_factory):
+    """One healthy trigger-1 foreachBatch checkpoint; corruption scenarios
+    copytree it instead of paying a JVM boot each."""
+    base = str(tmp_path_factory.mktemp("ckpt_faults") / "healthy")
+    src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+    os.makedirs(src)
+    pq.write_table(pa.table({"k": [1, 2, 3], "v": [10, 20, 30]}), f"{src}/a.parquet")
+    line = _run(_TRIG_FB, src, out, ckpt)
+    assert line == "BATCHES= [0]", line
+    return base
+
+
+def _fork(healthy_base: str, name: str) -> tuple[str, str, str]:
+    """Copy the healthy tree to a scenario dir, rewriting the ABSOLUTE
+    source paths the file-source log pinned (Spark refuses a replay whose
+    logged paths sit outside the new basePath) and dropping the rewritten
+    files' CRC sidecars so the local FS doesn't veto the edit."""
+    dst = os.path.join(os.path.dirname(healthy_base), name)
+    shutil.copytree(healthy_base, dst)
+    for log in glob.glob(f"{dst}/ckpt/sources/*/[0-9]*"):
+        text = open(log).read()
+        open(log, "w").write(text.replace(healthy_base, dst))
+        crc = os.path.join(os.path.dirname(log), "." + os.path.basename(log) + ".crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+    return f"{dst}/src", f"{dst}/out", f"{dst}/ckpt"
+
+
+def test_kill_between_sink_write_and_commit_replays_exactly_once(tmp_path):
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    os.makedirs(src)
+    pq.write_table(pa.table({"k": [1, 2, 3], "v": [10, 20, 30]}), f"{src}/a.parquet")
+    r = subprocess.run(
+        [sys.executable, "-c", _TRIG_KILL, src, out, ckpt],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 137, r.stderr[-400:]
+    # the crash state: offsets written, sink written, NO commit
+    assert glob.glob(f"{ckpt}/offsets/[0-9]*")
+    assert not glob.glob(f"{ckpt}/commits/[0-9]*")
+    assert _sink_kv(out) == [(1, 10), (2, 20), (3, 30)]
+    # restart in a fresh JVM: batch 0 replays, the per-batch-id overwrite
+    # keeps it exactly-once
+    line = _run(_TRIG_FB, src, out, ckpt)
+    assert line == "BATCHES= [0]", line
+    assert _sink_kv(out) == [(1, 10), (2, 20), (3, 30)]
+
+
+def test_crash_window_replay_then_continue_is_exactly_once(healthy_fb):
+    src, out, ckpt = _fork(healthy_fb, "crash_window")
+    _rm_with_crc(sorted(glob.glob(f"{ckpt}/commits/[0-9]*"))[-1])
+    pq.write_table(pa.table({"k": [4], "v": [40]}), f"{src}/b.parquet")
+    line = _run(_TRIG_FB, src, out, ckpt)
+    assert line == "BATCHES= [0, 1]", line  # replay, then the new file
+    assert _sink_kv(out) == [(1, 10), (2, 20), (3, 30), (4, 40)]
+
+
+def test_crash_before_offset_write_refolds_exactly_once(healthy_fb):
+    src, out, ckpt = _fork(healthy_fb, "no_offset")
+    for p in sorted(glob.glob(f"{ckpt}/commits/[0-9]*")):
+        _rm_with_crc(p)
+    _rm_with_crc(sorted(glob.glob(f"{ckpt}/offsets/[0-9]*"))[-1])
+    pq.write_table(pa.table({"k": [4], "v": [40]}), f"{src}/b.parquet")
+    line = _run(_TRIG_FB, src, out, ckpt)
+    # with no offsets survived, the restart re-plans everything as batch 0;
+    # the overwrite sink still lands every row exactly once
+    assert line == "BATCHES= [0]", line
+    assert _sink_kv(out) == [(1, 10), (2, 20), (3, 30), (4, 40)]
+
+
+def test_deleted_source_file_on_replay_refuses_loudly(healthy_fb):
+    """The find this net exists for: without guard_crash_window_replay the
+    restart commits an EMPTY batch-0 replay and rows 1-3 vanish silently."""
+    src, out, ckpt = _fork(healthy_fb, "missing_src")
+    _rm_with_crc(sorted(glob.glob(f"{ckpt}/commits/[0-9]*"))[-1])
+    pq.write_table(pa.table({"k": [4], "v": [40]}), f"{src}/b.parquet")
+    os.remove(f"{src}/a.parquet")
+    shutil.rmtree(f"{out}/batch=0")  # the sink write also vanished
+    line = _run(_TRIG_FB, src, out, ckpt)
+    assert line.startswith("ERR= RuntimeError"), line
+    assert "uncommitted batch" in line and "a.parquet" in line, line
+    assert _sink_kv(out) == []  # refused BEFORE committing anything
+
+
+@pytest.mark.parametrize("mode", ["truncated", "empty"])
+def test_corrupted_offsets_log_refuses_loudly(healthy_fb, mode):
+    src, out, ckpt = _fork(healthy_fb, f"offsets_{mode}")
+    tgt = sorted(glob.glob(f"{ckpt}/offsets/[0-9]*"))[-1]
+    data = open(tgt, "rb").read()
+    open(tgt, "wb").write(data[: len(data) // 2] if mode == "truncated" else b"")
+    crc = os.path.join(os.path.dirname(tgt), "." + os.path.basename(tgt) + ".crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    pq.write_table(pa.table({"k": [4], "v": [40]}), f"{src}/b.parquet")
+    line = _run(_TRIG_FB, src, out, ckpt)
+    assert line.startswith("ERR="), line
+    # truncated JSON -> parse error; zero bytes -> "Incomplete log file";
+    # either way LOUD, and the sink gains nothing
+    assert _sink_kv(out) == [(1, 10), (2, 20), (3, 30)]
+
+
+@pytest.fixture(scope="module")
+def healthy_windowed(tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("ckpt_faults_win") / "healthy")
+    src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+    os.makedirs(src)
+    ts = pd.to_datetime(["2024-01-01 00:10", "2024-01-01 01:10", "2024-01-01 09:30"])
+    pq.write_table(pa.table({"ts": ts}), f"{src}/a.parquet")
+    line = _run(_TRIG_WIN, src, out, ckpt)
+    assert line == "BATCHES= ok", line
+    return base
+
+
+def test_state_store_corruption_refuses_loudly(healthy_windowed):
+    src, out, ckpt = _fork(healthy_windowed, "state_flip")
+    deltas = [
+        p
+        for p in glob.glob(f"{ckpt}/state/**/*.delta", recursive=True)
+        if os.path.getsize(p) > 0
+    ]
+    # the largest delta holds the real window rows; flip a byte mid-file
+    tgt = max(deltas, key=os.path.getsize)
+    data = bytearray(open(tgt, "rb").read())
+    data[len(data) // 2] ^= 0xFF
+    open(tgt, "wb").write(bytes(data))
+    crc = os.path.join(os.path.dirname(tgt), "." + os.path.basename(tgt) + ".crc")
+    if os.path.exists(crc):
+        os.remove(crc)  # force the store's own decode, not the FS checksum
+    ts2 = pd.to_datetime(["2024-01-01 02:20", "2024-01-01 11:00"])
+    pq.write_table(pa.table({"ts": ts2}), f"{src}/b.parquet")
+    line = _run(_TRIG_WIN, src, out, ckpt)
+    assert line.startswith("ERR="), line
+    assert "CANNOT_LOAD_STATE_STORE" in line or "state" in line.lower(), line
+
+
+def test_parquet_sink_orphan_file_invisible_to_committed_reads(
+    healthy_windowed, spark
+):
+    """A file-sink crash between the task file write and the _spark_metadata
+    commit leaves an orphan part file; readers that honor the commit log
+    (spark.read on the sink dir) must not see it. Raw directory globs
+    (DuckDB, bare pyarrow) DO see it — documented: route sink reads
+    through Spark or filter against _spark_metadata at fleet scale."""
+    out = os.path.join(healthy_windowed, "out")
+    committed = sorted(
+        (r[0].isoformat(), int(r[1]))
+        for r in spark.read.parquet(out).collect()
+    )
+    assert committed, "windowed sink produced no committed rows"
+    orphan = os.path.join(out, "part-99999-orphan-c000.snappy.parquet")
+    pq.write_table(
+        pa.table({"win_start": pd.to_datetime(["1999-01-01"]), "n_events": [999]}),
+        orphan,
+    )
+    try:
+        after = sorted(
+            (r[0].isoformat(), int(r[1]))
+            for r in spark.read.parquet(out).collect()
+        )
+        assert after == committed, "orphan part file leaked into a committed read"
+    finally:
+        os.remove(orphan)
+
+
+def test_two_jvms_racing_one_checkpoint_stay_exactly_once(tmp_path):
+    """Two whole sessions (separate JVMs, the cross-process lane the r11
+    write-session marker covers for N5 sinks) start the same checkpointed
+    query at once: Spark's checkpoint lock/log must refuse one, and the
+    union of sink output must hold every source row exactly once."""
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    os.makedirs(src)
+    for i in range(6):
+        pq.write_table(
+            pa.table({"k": list(range(i * 10, i * 10 + 10)), "v": [i] * 10}),
+            f"{src}/f{i}.parquet",
+        )
+    p1 = subprocess.Popen(
+        [sys.executable, "-c", _TRIG_FB, src, out, ckpt],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+    )
+    p2 = subprocess.Popen(
+        [sys.executable, "-c", _TRIG_FB, src, out, ckpt],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+    )
+    o1, _ = p1.communicate(timeout=600)
+    o2, _ = p2.communicate(timeout=600)
+    lines = [
+        [l for l in o.splitlines() if l.startswith(("BATCHES=", "ERR="))]
+        for o in (o1, o2)
+    ]
+    assert any(l and l[-1].startswith("BATCHES=") for l in lines), lines
+    ks = [k for k, _v in _sink_kv(out)]
+    assert sorted(ks) == list(range(60)), (
+        f"duplicate or lost rows across racing sessions: "
+        f"{len(ks)} rows, {len(set(ks))} unique; outcomes {lines}"
+    )
