@@ -96,6 +96,12 @@ def guard_crash_window_replay(spark: SparkSession, checkpoint_dir: str) -> None:
     A checkpoint with no crash window, or whose crash-window batch has no
     source-log entry yet (crash before the source log write — Spark then
     re-LISTS the directory fresh, which is safe), passes untouched.
+
+    Scope: the checkpoint LISTING is os-based, so a URI-scheme checkpoint
+    dir (not something these local-dir runners produce) passes through
+    unguarded and gets stock Spark behavior; the per-FILE stats follow
+    each logged path's own scheme via the Hadoop FileSystem, since file
+    sources can legally mix schemes.
     """
     import json as _json
 
