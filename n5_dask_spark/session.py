@@ -32,6 +32,20 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.maxBytesPerBatch": str(64 * 1024 * 1024),
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # Verify parquet page CRCs on read (r12 corruption probe). parquet-mr —
+    # and therefore every Spark-written file — stores a CRC32 per page by
+    # default, but Spark never CHECKS it: the probe measured ALL 64
+    # payload-byte bit flips of a CRC-bearing file decoding to silently
+    # wrong values with this off, and all 64 refusing loudly with it on.
+    # Bitrot is a certainty at 100-TB scale; the cost is one CRC32 per
+    # page on files that carry checksums, and a no-op on files that don't
+    # (e.g. pyarrow's default write_page_checksum=False — the driver's
+    # testdata pays nothing). Session-conf keys without a spark. prefix
+    # are merged into the per-plan Hadoop conf, so this applies to every
+    # parquet scan. Footer/statistics bytes have no CRC — a flipped stats
+    # byte can still silently prune a filtered read (measured: 6 offsets)
+    # — so store-level integrity remains the fleet answer for metadata.
+    "parquet.page.verify-checksum.enabled": "true",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     # progress surface (SURVEY §2.A X2): the Spark UI is opt-in so headless
     # harness runs stay port-free; SPARK_GRAFT_UI=1/true/yes/on enables it,
@@ -122,6 +136,7 @@ def tune_session(spark: SparkSession) -> SparkSession:
         "spark.sql.shuffle.partitions",
         "spark.sql.autoBroadcastJoinThreshold",
         "spark.sql.execution.arrow.maxBytesPerBatch",
+        "parquet.page.verify-checksum.enabled",
     ):
         if k in user:
             continue
