@@ -81,9 +81,19 @@ def get_spark(
     else:
         master = f"local[{cpus}]"
     builder = SparkSession.builder.appName(app_name).master(master)
-    for k, v in {**DEFAULT_CONFS, **(extra_conf or {})}.items():
-        builder = builder.config(k, v)
-    return builder.getOrCreate()
+    merged = {**DEFAULT_CONFS, **(extra_conf or {})}
+    # spark-submit's launcher warns-and-IGNORES builder configs without a
+    # spark. prefix (e.g. the parquet verify-checksum key, which is a
+    # Hadoop/Parquet property merged from the SESSION conf at plan time) —
+    # those keys must go through spark.conf.set after the session exists
+    runtime_only = {k: v for k, v in merged.items() if not k.startswith("spark.")}
+    for k, v in merged.items():
+        if k not in runtime_only:
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    for k, v in runtime_only.items():
+        spark.conf.set(k, v)
+    return spark
 
 
 def ensure_package_on_executors(spark: SparkSession) -> None:

@@ -294,6 +294,77 @@ def test_parquet_sink_orphan_file_invisible_to_committed_reads(
         os.remove(orphan)
 
 
+def test_kill_mid_trigger_windowed_state_recovers_equal_to_clean_twin(tmp_path):
+    """Kill the WINDOWED (state-store + parquet-sink) runner mid-batch and
+    prove restarts converge to EXACTLY the clean run's output.
+
+    The foreachBatch kill test above owns the commit-window lane; this one
+    exercises the heavier recovery surface — state-store versions, the
+    file sink's _spark_metadata transaction, and watermark replay — under
+    a SIGKILL landed while batch 0 is in flight (the kill fires one second
+    after ``offsets/0`` appears, which Spark writes at batch start). The
+    oracle is a twin staging of identical input run kill-free for the same
+    number of completed triggers; any divergence (lost windows, duplicate
+    appends, resurrected pruned state) fails the equality.
+    """
+    import time
+
+    import numpy as np
+    import pandas as pd
+
+    def stage(name):
+        base = str(tmp_path / name)
+        src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+        os.makedirs(src)
+        rng = np.random.default_rng(7)
+        n = 600_000
+        for i in range(3):
+            secs = rng.integers(0, 72 * 3600, n // 3)
+            ts = pd.to_datetime("2024-01-01") + pd.to_timedelta(secs, unit="s")
+            pq.write_table(pa.table({"ts": ts}), f"{src}/f{i}.parquet")
+        return src, out, ckpt
+
+    def read_out(out):
+        import duckdb
+
+        fs = glob.glob(os.path.join(out, "*.parquet"))
+        if not fs:
+            return []
+        q = "SELECT * FROM read_parquet([%s])" % ",".join(f"'{f}'" for f in fs)
+        return sorted(duckdb.sql(q).fetchall())
+
+    # clean twin: two completed triggers
+    src, out, ckpt = stage("clean")
+    for _ in range(2):
+        line = _run(_TRIG_WIN, src, out, ckpt)
+        assert line == "BATCHES= ok", line
+    clean = read_out(out)
+    assert clean, "clean twin emitted nothing — fixture too small"
+
+    # killed run: SIGKILL one second after batch 0 starts
+    src, out, ckpt = stage("killed")
+    p = subprocess.Popen(
+        [sys.executable, "-c", _TRIG_WIN, src, out, ckpt],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    deadline = time.time() + 300
+    while time.time() < deadline and not os.path.exists(f"{ckpt}/offsets/0"):
+        if p.poll() is not None:
+            raise AssertionError("runner exited before batch 0 started")
+        time.sleep(0.05)
+    assert os.path.exists(f"{ckpt}/offsets/0"), "batch 0 never started"
+    time.sleep(1.0)
+    p.kill()
+    p.wait()
+    # two restarts in fresh JVMs: recovery plus one steady-state trigger
+    for i in (1, 2):
+        line = _run(_TRIG_WIN, src, out, ckpt)
+        assert line == "BATCHES= ok", f"restart {i}: {line}"
+    assert read_out(out) == clean, (
+        "killed-and-restarted output diverged from the clean twin"
+    )
+
+
 def test_two_jvms_racing_one_checkpoint_stay_exactly_once(tmp_path):
     """Two whole sessions (separate JVMs, the cross-process lane the r11
     write-session marker covers for N5 sinks) start the same checkpointed
