@@ -342,26 +342,34 @@ def main() -> None:
     # r11 sf1 block, spliced into the single headline object, pushed that
     # line past the capture window and BENCH_r11.json recorded
     # parsed:null. So: sf1 + aux probes + verbose diagnostics each go out
-    # as their OWN earlier line (still committed-artifact visible and
-    # machine-readable), and the final line stays a compact headline-only
-    # object -- measured ~1.4k chars at the current 16+2 query set,
-    # leaving >500 chars of growth slack inside the tail window.
+    # as their OWN earlier line (still visible to a human runner), and the
+    # final line stays a compact headline-only object -- measured ~1.4k
+    # chars at the current 16+2 query set, leaving >500 chars of growth
+    # slack inside the tail window. Because those earlier lines usually
+    # fall OUTSIDE the driver's tail capture (r12 advice), they are also
+    # written to a DURABLE sidecar file next to this script
+    # (BENCH_SIDECAR.json, committed per round), and the headline carries
+    # compact sf1 totals so the driver-parsed artifact alone records the
+    # scale-up story.
+    diagnostics = {
+        "warmup_sec": warmup_sec,
+        "runs_per_query": runs,
+        "pipelines_normalized": pipelines_norm,
+        "calibration_sec": calibration_secs,
+        "calibration_ref_sec": CAL_REFERENCE_SEC,
+        **aux,
+    }
     if sf1_block is not None:
         print(json.dumps({"sf1": sf1_block}))
-    print(
-        json.dumps(
-            {
-                "bench_diagnostics": {
-                    "warmup_sec": warmup_sec,
-                    "runs_per_query": runs,
-                    "pipelines_normalized": pipelines_norm,
-                    "calibration_sec": calibration_secs,
-                    "calibration_ref_sec": CAL_REFERENCE_SEC,
-                    **aux,
-                }
-            }
+    print(json.dumps({"bench_diagnostics": diagnostics}))
+    sidecar = pathlib.Path(__file__).resolve().parent / "BENCH_SIDECAR.json"
+    try:
+        sidecar.write_text(
+            json.dumps({"sf1": sf1_block, "bench_diagnostics": diagnostics}, indent=1)
+            + "\n"
         )
-    )
+    except OSError as e:  # read-only checkout: stdout lines still carry it
+        print(json.dumps({"sidecar_write_failed": str(e)}))
     headline = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(per.values()), 3),
@@ -376,6 +384,11 @@ def main() -> None:
         "calibration_min_sec": min(calibration_secs),
         "calibration_max_sec": max(calibration_secs),
     }
+    if sf1_block is not None:
+        # compact scale-up summary inside the driver-captured line; the
+        # full per-query sf1 map lives in BENCH_SIDECAR.json
+        headline["sf1_total"] = sf1_block["value"]
+        headline["sf1_total_normalized"] = sf1_block["value_normalized"]
     line = json.dumps(headline)
     # Hard guard: if the compact line ever creeps toward the driver's
     # 2000-char tail capture, drop the normalized map (derivable from

@@ -97,11 +97,21 @@ def guard_crash_window_replay(spark: SparkSession, checkpoint_dir: str) -> None:
     source-log entry yet (crash before the source log write — Spark then
     re-LISTS the directory fresh, which is safe), passes untouched.
 
+    FileStreamSourceLog writes every compaction batch (default
+    compactInterval 10: batches 9, 19, ...) as ``<N>.compact`` instead of a
+    plain ``<N>`` file, and a compact file carries the FULL history of
+    entries, each tagged with its owning ``batchId``. So when the plain
+    file is absent the guard also reads ``<N>.compact`` and filters its
+    entries to ``batchId == N`` — unfiltered, already-committed files
+    deleted by ordinary retention would spuriously trip the guard; without
+    the compact read at all, the silent-empty-replay lane stayed open on
+    exactly the compaction batches.
+
     Scope: the checkpoint LISTING is os-based, so a URI-scheme checkpoint
     dir (not something these local-dir runners produce) passes through
-    unguarded and gets stock Spark behavior; the per-FILE stats follow
-    each logged path's own scheme via the Hadoop FileSystem, since file
-    sources can legally mix schemes.
+    unguarded and gets stock Spark behavior; the per-FILE stats resolve
+    the Hadoop FileSystem per logged path (cached by scheme+authority),
+    since file sources can legally mix URI schemes in one log.
     """
     import json as _json
 
@@ -118,11 +128,20 @@ def guard_crash_window_replay(spark: SparkSession, checkpoint_dir: str) -> None:
         return
     missing: list[str] = []
     sources_root = os.path.join(checkpoint_dir, "sources")
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    fs_cache: dict[tuple[str | None, str | None], Any] = {}
     for src_idx in sorted(os.listdir(sources_root)) if os.path.isdir(sources_root) else []:
         for batch_id in sorted(uncommitted):
             log = os.path.join(sources_root, src_idx, str(batch_id))
+            batch_filter = None
             if not os.path.isfile(log):
-                continue
+                # compaction batches (N % compactInterval == interval-1) are
+                # written as N.compact with the full entry history inside
+                log = log + ".compact"
+                if not os.path.isfile(log):
+                    continue
+                batch_filter = batch_id
             paths = []
             with open(log) as fh:
                 for line in fh:
@@ -130,14 +149,18 @@ def guard_crash_window_replay(spark: SparkSession, checkpoint_dir: str) -> None:
                     if not line or not line.startswith("{"):
                         continue  # the "v1" version header
                     entry = _json.loads(line)
+                    if batch_filter is not None and entry.get("batchId") != batch_filter:
+                        continue  # compact history row owned by an older batch
                     if "path" in entry:
                         paths.append(entry["path"])
-            jvm = spark._jvm
-            fs = None
             for p in paths:
                 jp = jvm.org.apache.hadoop.fs.Path(p)
+                uri = jp.toUri()
+                key = (uri.getScheme(), uri.getAuthority())
+                fs = fs_cache.get(key)
                 if fs is None:
-                    fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+                    fs = jp.getFileSystem(hconf)
+                    fs_cache[key] = fs
                 if not bool(fs.exists(jp)):
                     missing.append(p)
     if missing:

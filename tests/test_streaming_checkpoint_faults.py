@@ -146,7 +146,8 @@ def _fork(healthy_base: str, name: str) -> tuple[str, str, str]:
     """Copy the healthy tree to a scenario dir, rewriting the ABSOLUTE
     source paths the file-source log pinned (Spark refuses a replay whose
     logged paths sit outside the new basePath) and dropping the rewritten
-    files' CRC sidecars so the local FS doesn't veto the edit."""
+    files' CRC sidecars so the local FS doesn't veto the edit. The glob
+    covers plain per-batch logs AND ``<N>.compact`` compaction files."""
     dst = os.path.join(os.path.dirname(healthy_base), name)
     shutil.copytree(healthy_base, dst)
     for log in glob.glob(f"{dst}/ckpt/sources/*/[0-9]*"):
@@ -397,3 +398,76 @@ def test_two_jvms_racing_one_checkpoint_stay_exactly_once(tmp_path):
         f"duplicate or lost rows across racing sessions: "
         f"{len(ks)} rows, {len(set(ks))} unique; outcomes {lines}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Compaction-batch crash windows (r13). FileStreamSourceLog writes every
+# compactInterval'th batch (default 10: batches 9, 19, ...) as <N>.compact
+# holding the FULL entry history, each row tagged with its owning batchId.
+# The r12 guard only read plain <N> files, so a crash at exactly a
+# compaction batch fell through to stock Spark's silent-empty replay —
+# the very lane the guard exists to close (found by advisor review).
+# ---------------------------------------------------------------------------
+
+_TRIG_FB_10 = """
+import os, sys
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import SparkSession
+import pyarrow as pa, pyarrow.parquet as pq
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.sql.shuffle.partitions", "2")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from n5_dask_spark.streaming.stateful import run_foreach_batch_incremental
+src, out, ckpt = sys.argv[1:4]
+os.makedirs(src, exist_ok=True)
+seen = []
+for i in range(10):
+    pq.write_table(pa.table({"k": [i], "v": [i * 10]}), f"{src}/f{i}.parquet")
+    seen += run_foreach_batch_incremental(spark, src, out, ckpt)
+print("BATCHES=", seen)
+""" % {"repo": REPO}
+
+
+@pytest.fixture(scope="module")
+def healthy_compact(tmp_path_factory):
+    """Ten one-file triggers against one checkpoint in a single JVM, so
+    batch 9 lands as sources/0/9.compact (the compaction shape)."""
+    base = str(tmp_path_factory.mktemp("ckpt_faults_compact") / "healthy")
+    src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+    line = _run(_TRIG_FB_10, src, out, ckpt)
+    assert line == f"BATCHES= {list(range(10))}", line
+    assert os.path.isfile(f"{ckpt}/sources/0/9.compact"), sorted(
+        os.listdir(f"{ckpt}/sources/0")
+    )
+    assert not os.path.exists(f"{ckpt}/sources/0/9")
+    return base
+
+
+def test_compact_batch_crash_with_deleted_source_refuses_loudly(healthy_compact):
+    """Crash window at the compaction batch itself: commits/9 gone, the
+    batch-9 source file deleted. The guard must find the batch in
+    9.compact and refuse — pre-fix it found no plain log and passed
+    through to the silent-empty replay."""
+    src, out, ckpt = _fork(healthy_compact, "compact_missing_src")
+    _rm_with_crc(f"{ckpt}/commits/9")
+    os.remove(f"{src}/f9.parquet")
+    shutil.rmtree(f"{out}/batch=9")  # the sink write also vanished
+    line = _run(_TRIG_FB, src, out, ckpt)
+    assert line.startswith("ERR= RuntimeError"), line
+    assert "uncommitted batch" in line and "f9.parquet" in line, line
+    assert _sink_kv(out) == [(i, i * 10) for i in range(9)]
+
+
+def test_compact_batch_crash_ignores_committed_history_rows(healthy_compact):
+    """Same crash window, but the deleted file belongs to a COMMITTED
+    batch (0) whose entry appears in 9.compact's history. The batchId
+    filter must keep the guard quiet: an unfiltered read would spuriously
+    refuse on every retention-deleted old file, and the replay of batch 9
+    itself is exactly-once."""
+    src, out, ckpt = _fork(healthy_compact, "compact_old_file_gone")
+    _rm_with_crc(f"{ckpt}/commits/9")
+    os.remove(f"{src}/f0.parquet")
+    line = _run(_TRIG_FB, src, out, ckpt)
+    assert line == "BATCHES= [9]", line  # replayed, not refused
+    assert _sink_kv(out) == [(i, i * 10) for i in range(10)]
