@@ -144,6 +144,7 @@ def _build_container(
     tag: str = "base",
     reuse: bool = False,
     compression: dict | None = None,
+    uri: bool = False,
 ) -> tuple[str, str]:
     """Assemble the voxel DataFrame into BLOCK^3 chunks and write a fresh
     gzip-compressed N5 container; returns (container, dataset).
@@ -165,15 +166,20 @@ def _build_container(
     from n5_dask_spark.sources.n5.metadata import DatasetAttributes
     from n5_dask_spark.sources.n5.writer import write_blocks
 
-    container = os.path.join(
+    local = os.path.join(
         tempfile.gettempdir(),
         f"n5ds-oracle-{tag}-{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
         f"-p{os.getpid()}.n5",
     )
+    # uri=True routes the WHOLE pipeline through the scheme-dispatched
+    # surface (r13 write lift): sink commits via fsio's per-scheme
+    # protocol, scans/metadata via the r11 Hadoop-FS read path. file: is
+    # the executable scheme here; the code path is the object-store one.
+    container = f"file:{local}" if uri else local
     dataset = "vol/s0"
-    if reuse and (tag, sf_dir) in _BUILT and os.path.isdir(os.path.join(container, dataset)):
+    if reuse and (tag, sf_dir) in _BUILT and os.path.isdir(os.path.join(local, dataset)):
         return container, dataset
-    shutil.rmtree(container, ignore_errors=True)
+    shutil.rmtree(local, ignore_errors=True)
     attrs = DatasetAttributes(
         data_type="uint8",
         dimensions=[VOL, VOL, VOL],
@@ -426,6 +432,39 @@ def n5_roundtrip_lz4(spark: SparkSession, sf_dir: str) -> DataFrame:
     codec = read_attributes(container, dataset).compression["type"]
     return _zprofile(decoded_blocks(spark, container, dataset), "uint8", BLOCK).select(
         "z", "zsum", "n_vox", F.lit(codec).alias("codec")
+    )
+
+
+@register(
+    "n5_roundtrip_uri",
+    oracle=_DUCK_VOX
+    + """
+    SELECT z, CAST(SUM(val) AS BIGINT) AS zsum, COUNT(*) AS n_vox,
+           'file' AS scheme
+    FROM vox GROUP BY z ORDER BY z
+    """,
+    doc=(
+        "K1/K2 through a URI-SCHEME container (r13 write-path lift, "
+        "sources/n5/fsio.py): the same write->scan->profile pipeline as "
+        "n5_roundtrip_zprofile, but the container address is a file: URI, "
+        "so the sink commits through the scheme-dispatched pyarrow.fs "
+        "protocol (temp-key PUT + atomic move on rename-capable stores; "
+        "direct atomic PUT on object stores), the write-session marker is "
+        "claimed via the write-then-read-back fence instead of O_EXCL, "
+        "and metadata publishes through the same fsio path — while the "
+        "read side exercises the r11 Hadoop-FS URI scan. The surfaced "
+        "scheme column comes from the container string actually used. "
+        "Reference parity: zarr's N5Store writes wherever fsspec points "
+        "it (tif_to_n5.py:29)."
+    ),
+)
+def n5_roundtrip_uri(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from n5_dask_spark.sources.n5.reader import decoded_blocks
+
+    container, dataset = _build_container(spark, sf_dir, "uri", uri=True)
+    scheme = container.split(":", 1)[0]
+    return _zprofile(decoded_blocks(spark, container, dataset), "uint8", BLOCK).select(
+        "z", "zsum", "n_vox", F.lit(scheme).alias("scheme")
     )
 
 

@@ -238,6 +238,86 @@ REGISTRY: dict[str, Query] = {}
 # stale. Build the next rotation from CORRECTNESS_r*.json last-green ages,
 # not from family coverage — cumulative coverage is already total.
 DRIVER_WINDOW: tuple[str, ...] = (
+    # --- round 13 policy (VERDICT r12 #1): rotate onto the 12 named
+    # r9-stale greens, changed-first as always. (a) changed-in-r13:
+    # n5_roundtrip_uri is NEW — it drives the whole r13 write-path URI
+    # lift (fsio per-scheme sink commit, read-back marker fence, URI
+    # metadata publish) plus the r11 URI read path; and
+    # streaming_incremental_restart traverses guard_crash_window_replay,
+    # which gained the <N>.compact compaction-batch read this round
+    # (r12 advice medium). (b) the 12 queries whose last driver green is
+    # round 9 (named in the r12 window's comment and re-derived from
+    # CORRECTNESS_r01-r12). (c) 36 of the 49 r10-stale greens; the 13
+    # left for r14 are drawn from families with multiple other in-window
+    # reps: eight N5 stat/profile variants whose pipelines are covered by
+    # the in-window write/rechunk/downsample/multiscale/blosc/template/
+    # region reps (n5_block_inventory, n5_block_stats, n5_zprofile,
+    # n5_intensity_histogram, n5_downsample_zprofile,
+    # n5_rechunk_blocksums, n5_datasource_zprofile,
+    # n5_roundtrip_blosc_zstd), two windows (window_ntile,
+    # window_lag_lead; first_last + range_between stay in, rank/running
+    # were r12-fresh), two set-ALL ops (set_intersect_all, set_except_all;
+    # set_intersect stays in, set_except enters from the r9 cohort), and
+    # join_cross (three r9-stale joins enter; semi/salted/sort-merge stay
+    # in). After r13 the target histogram is r10=13, r11=49, r12=49,
+    # r13=50 with no green older than r10.
+    # (a) changed-in-r13:
+    "n5_roundtrip_uri",
+    "streaming_incremental_restart",
+    # (b) the 12 round-9-stale greens:
+    "agg_approx_quantiles",
+    "agg_corr_covar",
+    "agg_histogram_numeric",
+    "agg_median_percentile",
+    "agg_stats",
+    "join_inner",
+    "join_left_anti",
+    "join_left_outer",
+    "scalar_map_funcs",
+    "scalar_math_funcs",
+    "scalar_string_funcs",
+    "set_except",
+    # (c) 36 round-10-stale greens:
+    "agg_distinct",
+    "agg_filter_clause",
+    "correlated_scalar_subquery",
+    "dedup_simhash",
+    "dedup_subset_key",
+    "distinct_pairs",
+    "formats_json_roundtrip",
+    "formats_orc_roundtrip",
+    "fuzzy_match_levenshtein",
+    "join_left_semi",
+    "join_salted",
+    "join_sort_merge_largelarge",
+    "listagg_nations_per_region",
+    "multimodal_frame_sample",
+    "multimodal_png_decode",
+    "n5_datasource_write_zprofile",
+    "n5_downsample_stats",
+    "n5_multiscale_levels",
+    "n5_rechunk_stats",
+    "n5_region_export_zprofile",
+    "n5_region_tif_checksum",
+    "n5_roundtrip_blosc",
+    "n5_template_copy_zprofile",
+    "ome_channels_zprofile",
+    "pipeline_train_val_split",
+    "pivot_segment_by_year",
+    "scalar_case_when",
+    "set_intersect",
+    "streaming_stateful_running_totals",
+    "streaming_stream_stream_join",
+    "text_langid",
+    "text_pii_scrub",
+    "tiff_roundtrip_zprofile",
+    "unpivot_price_metrics",
+    "window_first_last",
+    "window_range_between",
+)
+
+# --- round 12 window, retired (kept for the rotation audit trail) ---
+_DRIVER_WINDOW_R12: tuple[str, ...] = (
     # --- round 12 policy (VERDICT r11 #2): rotate onto the 13 r8-stale
     # greens plus the oldest r9-stale fills. (a) changed-first:
     # n5_roundtrip_lz4 traverses frame_decompress, which gained the full

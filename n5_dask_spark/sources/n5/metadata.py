@@ -204,9 +204,19 @@ def _atomic_write_json(path: str, obj: Any) -> None:
     mkstemp creates 0600 files; the pre-r10 open("w") path produced
     umask-governed (typically 0644) metadata, and on shared containers a
     0600 attributes.json locks out group/other readers. fchmod restores
-    the umask-governed mode before the rename (r10 advice)."""
+    the umask-governed mode before the rename (r10 advice).
+
+    URI-scheme paths (r13, write-path URI lift) publish through fsio's
+    per-scheme commit protocol — temp+move where rename is atomic, a
+    single PUT where the object is — which preserves exactly the
+    old-complete-or-new-complete visibility this function promises."""
     import tempfile
 
+    if _is_uri(path):
+        from n5_dask_spark.sources.n5 import fsio
+
+        fsio.publish_file(path, json.dumps(obj).encode())
+        return
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), prefix=".inprogress-")
     try:
         with os.fdopen(fd, "w") as f:
@@ -219,8 +229,17 @@ def _atomic_write_json(path: str, obj: Any) -> None:
 
 
 def write_attributes(container: str, dataset: str, attrs: DatasetAttributes) -> None:
-    os.makedirs(os.path.join(container, dataset), exist_ok=True)
     root = attributes_path(container)
+    if _is_uri(container):
+        from n5_dask_spark.sources.n5 import fsio
+
+        # no makedirs: publish_file creates parents where the scheme needs
+        # them (local/hdfs) and object stores need no directories at all
+        if not fsio.exists(root):
+            _atomic_write_json(root, {"n5": N5_VERSION})
+        _atomic_write_json(attributes_path(container, dataset), attrs.to_json())
+        return
+    os.makedirs(os.path.join(container, dataset), exist_ok=True)
     if not os.path.exists(root):
         os.makedirs(container, exist_ok=True)
         _atomic_write_json(root, {"n5": N5_VERSION})
@@ -231,7 +250,8 @@ def update_raw_attributes(container: str, dataset: str, updates: dict[str, Any])
     path = attributes_path(container, dataset)
     obj = read_raw_attributes(container, dataset)
     obj.update(updates)
-    os.makedirs(os.path.dirname(path), exist_ok=True)
+    if not _is_uri(path):  # URI publish creates parents itself (fsio)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
     _atomic_write_json(path, obj)
 
 

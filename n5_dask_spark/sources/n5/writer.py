@@ -62,18 +62,13 @@ def claim_dataset_write(container: str, dataset: str) -> str:
     from n5_dask_spark.sources.n5.metadata import _is_uri
 
     if _is_uri(container):
-        # the whole write path is os-based and local-only BY CONTRACT
-        # (object-store rename is not atomic, so the temp+rename
-        # discipline doesn't transfer); without this refusal os.makedirs
-        # would create a literal local directory named "s3a:" and the
-        # sink would "succeed" writing to the wrong filesystem
-        raise NotImplementedError(
-            f"N5 sinks write local filesystems only; {container!r} is a "
-            "URI-scheme container. Stage the dataset on local disk and "
-            "upload it, or mount the store. (Reads ARE URI-capable: scan, "
-            "stats, regions and metadata all go through the Hadoop "
-            "FileSystem.)"
-        )
+        # URI-scheme container (r13, lifting the local-only refusal): the
+        # marker claim uses fsio's write-then-read-back fence — object
+        # stores have no O_EXCL; see fsio.claim_marker_uri for the
+        # exactly-one-proceeds argument and the consistency contract
+        from n5_dask_spark.sources.n5 import fsio
+
+        return fsio.claim_marker_uri(f"{container}/{dataset}/{INCOMPLETE_MARKER}")
     path = os.path.join(container, dataset, INCOMPLETE_MARKER)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     try:
@@ -95,6 +90,13 @@ def claim_dataset_write(container: str, dataset: str) -> str:
 
 def release_dataset_write(marker: str) -> None:
     """Release a claim: the dataset is complete and visible to readers."""
+    from n5_dask_spark.sources.n5.metadata import _is_uri
+
+    if _is_uri(marker):
+        from n5_dask_spark.sources.n5 import fsio
+
+        fsio.delete_file(marker)  # idempotent: absent is a no-op
+        return
     try:
         os.unlink(marker)
     except FileNotFoundError:
@@ -199,21 +201,38 @@ def write_blocks(
     loud. The marker is released only after the duplicate-producer guard
     passes — a guard failure means nondeterministic contents, which is
     exactly an incomplete dataset."""
+    from n5_dask_spark.sources.n5.metadata import _is_uri
+
     marker = claim_dataset_write(container, dataset)
     write_attributes(container, dataset, attrs)
     data_type, compression = attrs.data_type, dict(attrs.compression)
     dt = np_dtype(data_type)
     ndim = attrs.ndim  # block paths are exactly ndim levels deep
+    container_is_uri = _is_uri(container)
 
     def sink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if container_is_uri:
+            # executor-side scheme dispatch (r13): Python workers have no
+            # py4j bridge, so URI writes go through pyarrow.fs with the
+            # per-scheme commit protocol (temp+move where rename is
+            # atomic, direct PUT where the object is) — see fsio module
+            # doc for why each is the never-torn choice on its store
+            from n5_dask_spark.sources.n5 import fsio
         for pdf in batches:
             for gx, gy, gz, shape, data in zip(
                 pdf["gx"], pdf["gy"], pdf["gz"], pdf["shape_zyx"], pdf["data"]
             ):
                 arr = np.frombuffer(bytes(data), dtype=dt).reshape(list(shape))
                 coords = (int(gx), int(gy), int(gz))[:ndim]
-                path = os.path.join(container, dataset, *map(str, coords))
-                _atomic_write(path, encode_block(arr, data_type, compression))
+                payload = encode_block(arr, data_type, compression)
+                if container_is_uri:
+                    fsio.publish_file(
+                        "/".join([container, dataset, *map(str, coords)]), payload
+                    )
+                else:
+                    _atomic_write(
+                        os.path.join(container, dataset, *map(str, coords)), payload
+                    )
             _maybe_inject_fault()  # chaos hook: batch's files are on disk
             yield pdf[["gx", "gy", "gz"]]
 

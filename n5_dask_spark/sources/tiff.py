@@ -353,6 +353,16 @@ def read_image_description_file(path: str) -> str | None:
 
 
 def write_tiff(path: str, arr: np.ndarray) -> None:
+    from n5_dask_spark.sources.n5.metadata import _is_uri
+
+    if _is_uri(path):
+        # r13 write-path URI lift: executor-safe per-scheme commit
+        # protocol (pyarrow.fs) — temp+move where rename is atomic,
+        # direct PUT where the object is; see sources/n5/fsio.py
+        from n5_dask_spark.sources.n5 import fsio
+
+        fsio.publish_file(path, encode_tiff(arr))
+        return
     _atomic_write(path, encode_tiff(arr))
 
 
@@ -508,7 +518,10 @@ def n5_to_tif_series(
     slice_blocks, slice_attrs = rechunk(
         blocks, attrs, [attrs.dimensions[0], attrs.dimensions[1], 1]
     )
-    os.makedirs(output_dir, exist_ok=True)
+    from n5_dask_spark.sources.n5.metadata import _is_uri
+
+    if not _is_uri(output_dir):  # URI publish creates parents itself (fsio)
+        os.makedirs(output_dir, exist_ok=True)
     dt = np_dtype(slice_attrs.data_type)
 
     def sink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -89,6 +89,26 @@ c2 = temp_container("n5ds-fault-rt")
 tif_series_to_n5(spark, out_dir, c2, "rt/s0", [16, 16, 4], compression={"type": "gzip"})
 assert np.array_equal(read_full(spark, c2, "rt/s0"), arr), "retried import differs"
 
+# --- leg 4 (r13, write-path URI lift): the same N5 sink + TIFF export
+# through "file:" URI containers, exercising the fsio per-scheme commit
+# protocol (pyarrow.fs temp+move) instead of the os-based local path.
+# Injection still fires per task; retries must leave bytes identical and
+# zero .inprogress litter on the URI branch too.
+markers_before_uri = len(os.listdir(fault_dir))
+uri_local = temp_container("n5ds-fault-uri")
+uri = "file:" + uri_local
+write_array(spark, arr, uri, "img/s0", [16, 16, 4], compression={"type": "gzip"})
+assert len(os.listdir(fault_dir)) > markers_before_uri, "URI-leg injection never fired"
+assert np.array_equal(read_full(spark, uri, "img/s0"), arr), "URI write not value-identical"
+litter = list(pathlib.Path(uri_local).rglob(".inprogress-*"))
+assert not litter, f"URI-branch temp litter after retries: {litter}"
+assert not (pathlib.Path(uri_local) / "img/s0/.n5ds-incomplete").exists(), "URI marker leaked"
+uri_tif_local = tempfile.mkdtemp(prefix="n5ds-fault-uritif-")
+n = n5_to_tif_series(spark, uri, "img/s0", "file:" + uri_tif_local)
+assert n == 9, n
+for z, f in enumerate(sorted(glob.glob(os.path.join(uri_tif_local, "*.tif")))):
+    assert np.array_equal(read_tiff(f), arr[:, :, z].T), f"URI slice {z} differs"
+
 print(
     "FAULT_INJECTION_OK",
     markers_after_write,

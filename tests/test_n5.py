@@ -849,14 +849,21 @@ def test_reader_during_write_refused(spark):
         block_stats(spark, c2, "d/s0").collect()
 
 
-def test_uri_container_sink_refused_loudly(spark, tmp_path):
-    """r11: the write path is local-only BY CONTRACT (object-store rename
-    is not atomic). Before the refusal, writing to an s3a:// container
-    os.makedirs'd a literal local directory named 's3a:' and 'succeeded'
-    against the wrong filesystem."""
+def test_uri_container_sink_never_writes_wrong_filesystem(spark, tmp_path):
+    """r11 pinned a blanket local-only refusal here; r13 lifted it (the
+    fsio per-scheme commit protocol — see test_n5_uri_write.py for the
+    executable file: lanes). The invariant that MUST survive the lift is
+    the original bug this test existed for: an object-store URI must
+    never degrade into a literal local directory named 's3a:' that
+    'succeeds' against the wrong filesystem. With fsio, s3a dispatches to
+    a real S3 client; in this offline, credential-less container that
+    client fails LOUDLY at the marker claim (region/credentials/network —
+    the exact error is environment-dependent), and nothing local is
+    created."""
     from n5_dask_spark.sources.n5.writer import write_array
 
     arr = np.full((8, 8, 4), 1, np.uint8)
-    with pytest.raises(NotImplementedError, match="local filesystems only"):
+    with pytest.raises(Exception):
         write_array(spark, arr, "s3a://bucket/c.n5", "d/s0", [8, 8, 4])
     assert not os.path.exists("s3a:")  # no literal scheme-named dir
+    assert not os.path.exists("s3:")
