@@ -122,8 +122,8 @@ def _read_text(path: str) -> str | None:
     metadata-reading operator — decoded_blocks, block_stats, read_region —
     failed on URI containers at open(), leaving only the raw scan
     URI-capable; now the whole READ surface works against object stores.
-    The write path stays local-only: object-store rename is not atomic,
-    so the sinks' temp+rename discipline doesn't transfer)."""
+    The WRITE surface followed in r13 via fsio's per-scheme commit
+    protocol — see sources/n5/fsio.py)."""
     if _is_uri(path):
         from pyspark.sql import SparkSession
 
