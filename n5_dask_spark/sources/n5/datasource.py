@@ -104,10 +104,20 @@ class N5Reader(DataSourceReader):
             import itertools
 
             grids = list(itertools.product(*[range(n) for n in attrs.grid_shape]))
+        from n5_dask_spark.sources.n5.metadata import _is_uri
+
+        is_uri = _is_uri(self.container)
+        if is_uri:
+            from n5_dask_spark.sources.n5 import fsio
         parts = []
         for g in grids:
-            path = os.path.join(self.container, self.dataset, *map(str, g))
-            if os.path.exists(path):  # sparse datasets skip absent blocks
+            if is_uri:
+                path = "/".join([self.container, self.dataset, *map(str, g)])
+                present = fsio.exists(path)  # r13: URI containers plan via fsio
+            else:
+                path = os.path.join(self.container, self.dataset, *map(str, g))
+                present = os.path.exists(path)
+            if present:  # sparse datasets skip absent blocks
                 parts.append(N5BlockPartition(path, tuple(g)))
         return parts
 
@@ -115,11 +125,20 @@ class N5Reader(DataSourceReader):
         from n5_dask_spark.sources.n5.codec import decode_block_at
 
         attrs = self._get_attrs()
-        try:
-            with open(partition.path, "rb") as f:
-                raw = f.read()
-        except FileNotFoundError:
-            return  # block sparsified after planning -> fill-value (no row)
+        from n5_dask_spark.sources.n5.metadata import _is_uri
+
+        if _is_uri(partition.path):
+            from n5_dask_spark.sources.n5 import fsio
+
+            raw = fsio.read_file(partition.path)
+            if raw is None:
+                return  # block sparsified after planning -> fill-value (no row)
+        else:
+            try:
+                with open(partition.path, "rb") as f:
+                    raw = f.read()
+            except FileNotFoundError:
+                return  # block sparsified after planning -> fill-value (no row)
         from n5_dask_spark.sources.n5.reader import check_block_shape
 
         arr = check_block_shape(
@@ -172,9 +191,16 @@ class N5Writer(DataSourceWriter):
         import numpy as np
 
         from n5_dask_spark.sources.n5.codec import encode_block, np_dtype
-        from n5_dask_spark.sources.n5.metadata import read_attributes
+        from n5_dask_spark.sources.n5.metadata import _is_uri, read_attributes
         from n5_dask_spark.sources.n5.writer import _atomic_write
 
+        # URI containers (r13 write lift): attributes read falls back to
+        # fsio (no active session in a write task) and blocks publish
+        # through the per-scheme commit protocol — same dispatch as
+        # writer.write_blocks' sink
+        container_is_uri = _is_uri(self.container)
+        if container_is_uri:
+            from n5_dask_spark.sources.n5 import fsio
         attrs = read_attributes(self.container, self.dataset)
         dt = np_dtype(attrs.data_type)
         idx = {c: i for i, c in enumerate(self.columns)}
@@ -183,8 +209,15 @@ class N5Writer(DataSourceWriter):
             shape = list(row[idx["shape_zyx"]])
             arr = np.frombuffer(bytes(row[idx["data"]]), dtype=dt).reshape(shape)
             coords = tuple(int(row[idx[c]]) for c in ("gx", "gy", "gz")[: attrs.ndim])
-            path = os.path.join(self.container, self.dataset, *map(str, coords))
-            _atomic_write(path, encode_block(arr, attrs.data_type, dict(attrs.compression)))
+            payload = encode_block(arr, attrs.data_type, dict(attrs.compression))
+            if container_is_uri:
+                fsio.publish_file(
+                    "/".join([self.container, self.dataset, *map(str, coords)]), payload
+                )
+            else:
+                _atomic_write(
+                    os.path.join(self.container, self.dataset, *map(str, coords)), payload
+                )
             n += 1
         return WriterCommitMessage()
 

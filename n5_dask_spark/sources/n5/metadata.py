@@ -129,10 +129,14 @@ def _read_text(path: str) -> str | None:
 
         spark = SparkSession.getActiveSession()
         if spark is None:
-            raise ValueError(
-                f"reading {path} requires an active SparkSession — "
-                "URI-scheme metadata is read through the Hadoop FileSystem"
-            )
+            # executor-side (no py4j bridge) or sessionless driver code:
+            # read through fsio's pyarrow FileSystem instead of the
+            # Hadoop FS (r13 — the DataSource sink reads attributes in
+            # write tasks, where no active session exists)
+            from n5_dask_spark.sources.n5 import fsio
+
+            data = fsio.read_file(path)
+            return None if data is None else data.decode("utf-8")
         jvm = spark._jvm
         p = jvm.org.apache.hadoop.fs.Path(path)
         fs = p.getFileSystem(spark._jsc.hadoopConfiguration())

@@ -78,15 +78,28 @@ def _random_array(seed: int, dims_xyz: list[int], dtype: str) -> np.ndarray:
     return rng.integers(lo, hi + 1, tuple(dims_xyz)).astype(dtype)
 
 
+def _local(container: str) -> str:
+    """os-path for the direct-file fault injections (block deletion)."""
+    return container[5:] if container.startswith("file:") else container
+
+
 def _stage(spark, tmp_path, seed: int, tag: str):
     """Write a random-geometry array through the real grid write path and
-    return (container, dataset, arr, attrs)."""
+    return (container, dataset, arr, attrs).
+
+    ODD seeds address the container as a ``file:`` URI, so across any
+    sweep every leg exercises the r13 scheme-dispatched write branch
+    (fsio per-scheme commit + read-back marker fence) AND the r11
+    Hadoop-FS URI read branch on the same random geometry/codec space;
+    even seeds keep the plain local-path branch covered."""
     from n5_dask_spark.sources.n5.metadata import read_attributes
     from n5_dask_spark.sources.n5.writer import write_array
 
     dims, block, dtype, codec = _geometry(seed)
     arr = _random_array(seed, dims, dtype)
     container = str(tmp_path / f"{tag}-{seed}.n5")
+    if seed % 2:
+        container = "file:" + container
     write_array(spark, arr, container, "vol/s0", block, compression=codec)
     return container, "vol/s0", arr, read_attributes(container, "vol/s0")
 
@@ -192,7 +205,7 @@ def test_net_sparse_block_reads_as_fill_any_geometry(spark, tmp_path, seed):
     grid = [
         rng.randrange(0, -(-d // b)) for d, b in zip(attrs.dimensions, attrs.block_size)
     ]
-    block_path = os.path.join(container, dataset, *map(str, grid))
+    block_path = os.path.join(_local(container), dataset, *map(str, grid))
     assert os.path.exists(block_path), "staged container must be dense"
     os.remove(block_path)
 
@@ -267,7 +280,7 @@ def test_net_write_region_any_geometry(spark, tmp_path, seed):
     grid = [
         rng.randrange(0, -(-d // b)) for d, b in zip(attrs.dimensions, attrs.block_size)
     ]
-    os.remove(os.path.join(container, dataset, *map(str, grid)))
+    os.remove(os.path.join(_local(container), dataset, *map(str, grid)))
     expected = arr.copy()
     expected[
         tuple(
