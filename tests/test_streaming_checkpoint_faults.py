@@ -370,7 +370,16 @@ def test_two_jvms_racing_one_checkpoint_stay_exactly_once(tmp_path):
     """Two whole sessions (separate JVMs, the cross-process lane the r11
     write-session marker covers for N5 sinks) start the same checkpointed
     query at once: Spark's checkpoint lock/log must refuse one, and the
-    union of sink output must hold every source row exactly once."""
+    union of sink output must hold every source row exactly once.
+
+    Liveness vs correctness (r13, after one flake in a fully-loaded
+    31-minute suite run that 7 isolated/loaded reruns could not
+    reproduce): BOTH sessions losing the race (each crashing on the
+    other's concurrent checkpoint update) is a legal at-most-one-wins
+    outcome — loud, visible, retryable at fleet scale — so a no-winner
+    round retries the race instead of failing. The CORRECTNESS invariant
+    stays strict: on any round with a winner, the sink must hold every
+    source row exactly once."""
     src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ckpt")
     os.makedirs(src)
     for i in range(6):
@@ -378,21 +387,23 @@ def test_two_jvms_racing_one_checkpoint_stay_exactly_once(tmp_path):
             pa.table({"k": list(range(i * 10, i * 10 + 10)), "v": [i] * 10}),
             f"{src}/f{i}.parquet",
         )
-    p1 = subprocess.Popen(
-        [sys.executable, "-c", _TRIG_FB, src, out, ckpt],
-        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
-    )
-    p2 = subprocess.Popen(
-        [sys.executable, "-c", _TRIG_FB, src, out, ckpt],
-        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
-    )
-    o1, _ = p1.communicate(timeout=600)
-    o2, _ = p2.communicate(timeout=600)
-    lines = [
-        [l for l in o.splitlines() if l.startswith(("BATCHES=", "ERR="))]
-        for o in (o1, o2)
-    ]
-    assert any(l and l[-1].startswith("BATCHES=") for l in lines), lines
+    for attempt in range(3):
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-c", _TRIG_FB, src, out, ckpt],
+                stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+            )
+            for _ in range(2)
+        ]
+        outs = [p.communicate(timeout=600)[0] for p in procs]
+        lines = [
+            [l for l in o.splitlines() if l.startswith(("BATCHES=", "ERR="))]
+            for o in outs
+        ]
+        if any(l and l[-1].startswith("BATCHES=") for l in lines):
+            break
+    else:
+        raise AssertionError(f"no session won the race in 3 rounds: {lines}")
     ks = [k for k, _v in _sink_kv(out)]
     assert sorted(ks) == list(range(60)), (
         f"duplicate or lost rows across racing sessions: "
