@@ -175,6 +175,78 @@ def guard_crash_window_replay(spark: SparkSession, checkpoint_dir: str) -> None:
         )
 
 
+def claim_sink_fence(out_dir: str) -> str:
+    """Exactly-one-concurrent-writer fence for a caller-provided
+    foreachBatch sink directory; returns the fence path.
+
+    WHY (r13 probe find, reproduced by the racing-JVMs fault-net test
+    under full machine load): two whole sessions starting the same
+    checkpointed foreachBatch job race Spark's checkpoint lock, and the
+    LOSER is refused only at its first commit-log write — AFTER its
+    foreachBatch side effects ran. Each session had planned a different
+    batch 0 (they listed the source at different instants), both wrote
+    ``batch=0`` with ``mode("overwrite")``, and the two overwrites
+    interleaved cross-process into a MIX of both sessions' part files:
+    90 rows for a 60-row source, silently. Spark's own detection is loud
+    but cannot un-run user side effects; the fence makes the loser refuse
+    BEFORE the query starts, so the sink only ever has one writer.
+
+    Protocol: O_EXCL-create ``.n5ds-writer`` carrying this pid. A live
+    holder refuses; a STALE fence (holder pid dead — the crash-restart
+    case a streaming runner must support) is reclaimed and the claim
+    retried, so crash recovery needs no manual cleanup. pid liveness is a
+    same-host check, which matches the race it closes (two schedulers on
+    one box); cross-HOST racers still get Spark's own loud-but-late
+    checkpoint lock — documented residual, same scope note as
+    guard_crash_window_replay's os-based listing."""
+    os.makedirs(out_dir, exist_ok=True)
+    fence = os.path.join(out_dir, ".n5ds-writer")
+    for _ in range(3):
+        try:
+            fd = os.open(fence, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:
+                pid = int(open(fence).read().strip() or "0")
+            except (OSError, ValueError):
+                pid = 0  # unreadable/torn fence: treat as stale
+            alive = False
+            if pid > 0:
+                try:
+                    os.kill(pid, 0)
+                    alive = True
+                except ProcessLookupError:
+                    alive = False
+                except PermissionError:
+                    alive = True  # exists under another uid
+            if alive:
+                raise RuntimeError(
+                    f"refusing to write {out_dir}: sink writer fence {fence} "
+                    f"is held by live pid {pid} — a concurrent session is "
+                    "mid-job on this sink (racing writers interleave "
+                    "per-batch overwrites into mixed output). Retry after "
+                    "it finishes."
+                ) from None
+            # stale (holder died): reclaim and retry the exclusive create;
+            # a concurrent reclaimer may win the recreate, in which case
+            # the next loop iteration sees a LIVE holder and refuses
+            try:
+                os.unlink(fence)
+            except FileNotFoundError:
+                pass
+            continue
+        with os.fdopen(fd, "w") as f:
+            f.write(str(os.getpid()))
+        return fence
+    raise RuntimeError(f"could not claim sink writer fence {fence} after 3 rounds")
+
+
+def release_sink_fence(fence: str) -> None:
+    try:
+        os.unlink(fence)
+    except FileNotFoundError:
+        pass  # already released (idempotent)
+
+
 _LIVE_SINKS: dict[str, str] = {}
 
 
@@ -325,24 +397,37 @@ def run_foreach_batch_incremental(
 
     tune_session(spark)
     guard_crash_window_replay(spark, checkpoint_dir)
-    schema = spark.read.parquet(source_dir).schema
+    # exactly-one-concurrent-writer fence (r13 find): without it, a second
+    # session racing this checkpoint runs its foreachBatch side effects
+    # BEFORE Spark's commit-log collision refuses it, interleaving two
+    # sessions' batch=N overwrites into mixed output — see claim_sink_fence
+    fence = claim_sink_fence(out_dir)
+    try:
+        schema = spark.read.parquet(source_dir).schema
 
-    batches: list[int] = []
+        batches: list[int] = []
 
-    def sink(df: DataFrame, batch_id: int) -> None:
-        batches.append(batch_id)
-        df.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch={batch_id}"))
+        def sink(df: DataFrame, batch_id: int) -> None:
+            batches.append(batch_id)
+            df.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch={batch_id}"))
 
-    q = (
-        spark.readStream.schema(schema)
-        .parquet(source_dir)
-        .writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return batches
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(source_dir)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return batches
+    finally:
+        # ALWAYS released: unlike the N5 dataset marker (whose job output
+        # is unrecoverable without a rebuild), a failed trigger here is the
+        # normal streaming-restart case — the checkpoint + per-batch-id
+        # overwrite make the NEXT run self-healing, so a sticky fence
+        # would only block the recovery path this runner exists for
+        release_sink_fence(fence)
 
 
 def run_windowed_append_incremental(

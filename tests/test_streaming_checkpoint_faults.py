@@ -482,3 +482,47 @@ def test_compact_batch_crash_ignores_committed_history_rows(healthy_compact):
     line = _run(_TRIG_FB, src, out, ckpt)
     assert line == "BATCHES= [9]", line  # replayed, not refused
     assert _sink_kv(out) == [(i, i * 10) for i in range(10)]
+
+
+# ---------------------------------------------------------------------------
+# Sink writer fence (r13). The racing-JVMs test above found a REAL lane
+# under full machine load: the race loser is refused by Spark's
+# checkpoint lock only at its first commit-log write — AFTER its
+# foreachBatch side effects ran — and the two sessions' batch=0
+# mode("overwrite") writes interleaved cross-process into 90 rows for a
+# 60-row source, silently. claim_sink_fence closes it by refusing the
+# loser BEFORE the query starts; these lanes pin the fence deterministically.
+# ---------------------------------------------------------------------------
+
+
+def test_live_sink_fence_refuses_second_writer(tmp_path):
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from n5_dask_spark.streaming.stateful import claim_sink_fence
+
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    os.makedirs(src)
+    _pq.write_table(_pa.table({"k": [1], "v": [10]}), f"{src}/a.parquet")
+    fence = claim_sink_fence(out)  # held by THIS live process
+    try:
+        line = _run(_TRIG_FB, src, out, ckpt)
+        assert line.startswith("ERR= RuntimeError"), line
+        assert "fence" in line and "live pid" in line, line
+        assert _sink_kv(out) == []  # refused before any side effect
+    finally:
+        os.unlink(fence)
+
+
+def test_stale_sink_fence_is_reclaimed(healthy_fb):
+    """A fence whose holder pid is dead is the crash-restart case a
+    streaming runner must support: the next run reclaims it and
+    processes normally — no manual cleanup, no lost incrementality."""
+    src, out, ckpt = _fork(healthy_fb, "stale_fence")
+    with open(os.path.join(out, ".n5ds-writer"), "w") as f:
+        f.write("999999999")  # a pid no Linux host can be running
+    pq.write_table(pa.table({"k": [4], "v": [40]}), f"{src}/b.parquet")
+    line = _run(_TRIG_FB, src, out, ckpt)
+    assert line == "BATCHES= [1]", line
+    assert _sink_kv(out) == [(1, 10), (2, 20), (3, 30), (4, 40)]
+    assert not os.path.exists(os.path.join(out, ".n5ds-writer"))
