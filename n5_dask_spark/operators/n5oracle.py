@@ -67,6 +67,14 @@ _DUCK_VOX = f"""
 """
 
 
+class EmptyCorpusRefusal(ValueError):
+    """The documented loud refusal for an EMPTY documents table — its own
+    type so the ``--empty`` boundary gate can recognize the contract by
+    identity instead of substring-matching exception text (r13 ADVICE low:
+    matching the words 'is empty' would have counted an unrelated
+    Spark/Arrow 'empty buffer' error as an expected refusal)."""
+
+
 def _voxels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(i, x, y, z, val) — fully distributed; no window, no collect."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
@@ -118,7 +126,7 @@ def _voxels(spark: SparkSession, sf_dir: str) -> DataFrame:
         # different wrong answers. Refuse loudly instead, for the whole
         # corpus-derived fixture family in its one shared derivation
         # point (r9 empty-corpus probe, pinned in test_oracle_parity).
-        raise ValueError(
+        raise EmptyCorpusRefusal(
             "n5/tiff/ome fixture queries derive voxel values from the "
             "documents table (val = md5(i ':' lang(doc i % n_docs))); "
             "the documents table at this sf_dir is empty"

@@ -107,13 +107,24 @@ class N5Reader(DataSourceReader):
         from n5_dask_spark.sources.n5.metadata import _is_uri
 
         is_uri = _is_uri(self.container)
+        listing: set[str] | None = None
         if is_uri:
             from n5_dask_spark.sources.n5 import fsio
+
+            # one LIST of the dataset prefix instead of a sequential
+            # exists() round-trip per grid cell — on an object store a
+            # large grid otherwise turns planning into O(n_blocks)
+            # network calls (r13 ADVICE). Falls back to per-key probes
+            # only if the filesystem cannot list.
+            listing = fsio.list_files(f"{self.container}/{self.dataset}")
         parts = []
         for g in grids:
             if is_uri:
                 path = "/".join([self.container, self.dataset, *map(str, g)])
-                present = fsio.exists(path)  # r13: URI containers plan via fsio
+                if listing is not None:
+                    present = "/".join(map(str, g)) in listing
+                else:
+                    present = fsio.exists(path)
             else:
                 path = os.path.join(self.container, self.dataset, *map(str, g))
                 present = os.path.exists(path)

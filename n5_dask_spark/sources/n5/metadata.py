@@ -127,6 +127,13 @@ def _read_text(path: str) -> str | None:
     if _is_uri(path):
         from pyspark.sql import SparkSession
 
+        from n5_dask_spark.sources.n5 import fsio as _fsio
+
+        if _fsio.is_emulated(path):
+            # emulated object store (emustore.py): the JVM knows nothing
+            # about the emulation — route around the Hadoop FS entirely
+            data = _fsio.read_file(path)
+            return None if data is None else data.decode("utf-8")
         spark = SparkSession.getActiveSession()
         if spark is None:
             # executor-side (no py4j bridge) or sessionless driver code:

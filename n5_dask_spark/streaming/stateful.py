@@ -27,6 +27,7 @@ from __future__ import annotations
 import os
 import pathlib
 import tempfile
+import time
 import uuid
 from collections.abc import Iterator
 from typing import Any
@@ -191,52 +192,82 @@ def claim_sink_fence(out_dir: str) -> str:
     but cannot un-run user side effects; the fence makes the loser refuse
     BEFORE the query starts, so the sink only ever has one writer.
 
-    Protocol: O_EXCL-create ``.n5ds-writer`` carrying this pid. A live
-    holder refuses; a STALE fence (holder pid dead — the crash-restart
-    case a streaming runner must support) is reclaimed and the claim
-    retried, so crash recovery needs no manual cleanup. pid liveness is a
-    same-host check, which matches the race it closes (two schedulers on
-    one box); cross-HOST racers still get Spark's own loud-but-late
-    checkpoint lock — documented residual, same scope note as
-    guard_crash_window_replay's os-based listing."""
+    Protocol: write this pid to a temp file, then ``os.link(tmp, fence)``
+    — an atomic CREATE-WITH-CONTENT (EEXIST if held), so the fence is
+    never observable empty. The r13 shipped protocol (O_EXCL create, then
+    write the pid into the open fd) had a TOCTOU the r13 ADVICE called
+    out: between the winner's create and its pid write, a racing process
+    could read the still-empty fence, parse pid 0, declare it STALE,
+    unlink the LIVE fence and claim it — both sessions then ran
+    foreachBatch concurrently, reopening the exact mixed-output lane the
+    fence exists to close. link() closes it: content and existence appear
+    in one rename-class FS operation. An empty fence can therefore only
+    be a remnant of the old protocol (or manual touch); it is re-read
+    across a short backoff before being treated as stale. A live holder
+    refuses; a stale fence (holder pid dead — the crash-restart case a
+    streaming runner must support) is reclaimed and the claim retried, so
+    crash recovery needs no manual cleanup. pid liveness is a same-host
+    check, which matches the race it closes (two schedulers on one box);
+    cross-HOST racers still get Spark's own loud-but-late checkpoint lock
+    — documented residual."""
     os.makedirs(out_dir, exist_ok=True)
     fence = os.path.join(out_dir, ".n5ds-writer")
-    for _ in range(3):
-        try:
-            fd = os.open(fence, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
+
+    def _read_pid() -> int:
+        """Holder pid, 0 if unparseable. An EMPTY fence cannot come from
+        this protocol (link publishes content atomically) — re-read it
+        across a backoff so a foreign writer mid-publish isn't robbed."""
+        for delay in (0.0, 0.05, 0.2):
+            if delay:
+                time.sleep(delay)
             try:
-                pid = int(open(fence).read().strip() or "0")
-            except (OSError, ValueError):
-                pid = 0  # unreadable/torn fence: treat as stale
-            alive = False
-            if pid > 0:
+                text = open(fence).read().strip()
+            except OSError:
+                return 0  # vanished or unreadable: stale
+            if text:
                 try:
-                    os.kill(pid, 0)
-                    alive = True
-                except ProcessLookupError:
-                    alive = False
-                except PermissionError:
-                    alive = True  # exists under another uid
-            if alive:
-                raise RuntimeError(
-                    f"refusing to write {out_dir}: sink writer fence {fence} "
-                    f"is held by live pid {pid} — a concurrent session is "
-                    "mid-job on this sink (racing writers interleave "
-                    "per-batch overwrites into mixed output). Retry after "
-                    "it finishes."
-                ) from None
-            # stale (holder died): reclaim and retry the exclusive create;
-            # a concurrent reclaimer may win the recreate, in which case
-            # the next loop iteration sees a LIVE holder and refuses
+                    return int(text)
+                except ValueError:
+                    return 0  # garbage content: stale
+        return 0  # stayed empty through the backoff: stale
+
+    tmp = os.path.join(out_dir, f".n5ds-writer-claim-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        f.write(str(os.getpid()))
+    try:
+        for _ in range(3):
             try:
-                os.unlink(fence)
-            except FileNotFoundError:
-                pass
-            continue
-        with os.fdopen(fd, "w") as f:
-            f.write(str(os.getpid()))
-        return fence
+                os.link(tmp, fence)  # atomic create-with-content
+            except FileExistsError:
+                pid = _read_pid()
+                alive = False
+                if pid > 0:
+                    try:
+                        os.kill(pid, 0)
+                        alive = True
+                    except ProcessLookupError:
+                        alive = False
+                    except PermissionError:
+                        alive = True  # exists under another uid
+                if alive:
+                    raise RuntimeError(
+                        f"refusing to write {out_dir}: sink writer fence {fence} "
+                        f"is held by live pid {pid} — a concurrent session is "
+                        "mid-job on this sink (racing writers interleave "
+                        "per-batch overwrites into mixed output). Retry after "
+                        "it finishes."
+                    ) from None
+                # stale (holder died): reclaim and retry the atomic create;
+                # a concurrent reclaimer may win the recreate, in which case
+                # the next loop iteration sees a LIVE holder and refuses
+                try:
+                    os.unlink(fence)
+                except FileNotFoundError:
+                    pass
+                continue
+            return fence
+    finally:
+        os.unlink(tmp)  # the LINK is the fence; the claim temp is always litter
     raise RuntimeError(f"could not claim sink writer fence {fence} after 3 rounds")
 
 
@@ -608,7 +639,12 @@ def streaming_incremental_restart(spark: SparkSession, sf_dir: str) -> DataFrame
     os.makedirs(src)
 
     # input staging (driver-side, small projection): a deterministic split
-    # of events into two files so trigger 2's delta is exactly file b
+    # of events into two files so trigger 2's delta is exactly file b.
+    # TEST SCAFFOLDING ONLY — the toPandas exists to CONSTRUCT the
+    # restart scenario, not to move data: the production streaming path
+    # reads the dataset directory directly (_staged_events_dir and the
+    # run_* entry points stream the parquet dir as-is; r11 dir-shaped fix)
+    # and never funnels source rows through the driver
     pdf = (
         load_table(spark, sf_dir, "events")
         .select("event_id", "event_type")

@@ -3,12 +3,14 @@
 The read surface has been URI-capable since r11; these tests pin the new
 write side: the fsio per-scheme commit protocol (pyarrow.fs temp+move on
 rename-capable stores, direct PUT on object stores), the write-then-read-
-back marker fence that replaces O_EXCL where it doesn't exist, and the
+back marker fence that replaces O_EXCL where it doesn't exist (r14: local
+filesystems upgraded to a true O_EXCL conditional create), and the
 dataset-level guarantees carried over from the local path — duplicate-
 producer refusal leaving the marker behind, reader refusal of a mid-write
-dataset, zero temp litter, template creation. All through ``file:`` URIs —
-the one scheme this container can execute — but via the SAME code path an
-object store would take (fsio), not a strip-the-scheme shortcut.
+dataset, zero temp litter, template creation. All through ``file:`` URIs
+via the SAME fsio dispatch an object store would take; the object-store
+branch itself (direct PUT, read-back fence) is exercised for real against
+the emulated store in test_emu_object_store.py (r14).
 
 Reference parity: zarr's N5Store writes wherever fsspec points it
 (/root/reference/src/tif_to_n5.py:29); our sinks now match through the
@@ -80,27 +82,32 @@ def test_uri_marker_fence_refuses_second_claim(tmp_path):
     release_dataset_write(claim_dataset_write(uri, "d/s0"))
 
 
-def test_uri_marker_fence_detects_lost_race(tmp_path):
-    """The read-back fence: if another writer's token lands after ours,
-    the claim refuses. Simulated by overwriting the marker between the
-    PUT and the read-back via a monkeypatched publish."""
+def test_uri_marker_fence_local_is_conditional_create(tmp_path):
+    """On local filesystems the claim is a true O_CREAT|O_EXCL conditional
+    create (r14, hardening the r13 PUT+read-back fence per ADVICE): a rival
+    marker landing between the existence pre-check and the exclusive
+    create refuses with the lost-race message — no read-back heuristics
+    involved. The PUT-fence lanes live in test_emu_object_store.py, riding
+    a store that genuinely lacks O_EXCL."""
     marker_uri = f"file:{tmp_path}/race.n5/d/.n5ds-incomplete"
-    real_publish = fsio.publish_file
-    calls = []
+    marker_local = tmp_path / "race.n5/d/.n5ds-incomplete"
+    real_exists = fsio.exists
 
-    def racing_publish(path, payload):
-        real_publish(path, payload)
-        if not calls:  # first call = our token; the rival lands right after
-            calls.append(1)
-            real_publish(path, b"writer pid 99999 token deadbeef\n")
+    def lying_exists(path):
+        # both claimants pass the pre-check; the rival's O_EXCL then wins
+        if path == marker_uri and not marker_local.exists():
+            marker_local.parent.mkdir(parents=True, exist_ok=True)
+            marker_local.write_bytes(b"writer pid 99999 token deadbeef\n")
+        return False
 
-    orig = fsio.publish_file
-    fsio.publish_file = racing_publish
+    fsio.exists = lying_exists
     try:
         with pytest.raises(RuntimeError, match="lost the write-session claim race"):
             fsio.claim_marker_uri(marker_uri)
     finally:
-        fsio.publish_file = orig
+        fsio.exists = real_exists
+    # the rival's marker survived untouched — the loser wrote nothing
+    assert marker_local.read_bytes() == b"writer pid 99999 token deadbeef\n"
 
 
 def test_uri_write_array_roundtrip_and_attrs(spark, tmp_path):

@@ -526,3 +526,45 @@ def test_stale_sink_fence_is_reclaimed(healthy_fb):
     assert line == "BATCHES= [1]", line
     assert _sink_kv(out) == [(1, 10), (2, 20), (3, 30), (4, 40)]
     assert not os.path.exists(os.path.join(out, ".n5ds-writer"))
+
+
+def test_sink_fence_is_never_observable_empty(tmp_path):
+    """The r14 TOCTOU fix (r13 ADVICE medium): the r13 protocol O_EXCL-
+    created the fence THEN wrote the pid, so a racer reading between the
+    two saw an empty fence, parsed pid 0, declared it stale and unlinked
+    the LIVE fence — both sessions then ran foreachBatch concurrently.
+    The link()-based claim publishes content and existence in one atomic
+    operation: the fence file carries our pid from its very first instant
+    of visibility, and no claim-temp litter survives."""
+    from n5_dask_spark.streaming.stateful import claim_sink_fence, release_sink_fence
+
+    out = str(tmp_path / "sink")
+    fence = claim_sink_fence(out)
+    assert open(fence).read() == str(os.getpid())  # content from instant zero
+    assert os.stat(fence).st_nlink == 1  # the claim temp was unlinked
+    assert [n for n in os.listdir(out) if n.startswith(".n5ds-writer")] == [
+        ".n5ds-writer"
+    ]
+    release_sink_fence(fence)
+    assert not os.path.exists(fence)
+
+
+def test_sink_fence_empty_remnant_needs_backoff_not_instant_steal(tmp_path):
+    """An EMPTY fence cannot come from the link protocol — but a remnant
+    of the old protocol (or a manual touch) can present one. It must be
+    re-read across a backoff before being treated as stale, so a writer
+    mid-publish under the OLD protocol isn't robbed; after the backoff it
+    is reclaimed (crash recovery still needs no manual cleanup)."""
+    import time as _time
+
+    from n5_dask_spark.streaming.stateful import claim_sink_fence, release_sink_fence
+
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    open(os.path.join(out, ".n5ds-writer"), "w").close()  # empty remnant
+    t0 = _time.perf_counter()
+    fence = claim_sink_fence(out)
+    elapsed = _time.perf_counter() - t0
+    assert elapsed >= 0.25, f"empty fence stolen without backoff ({elapsed:.3f}s)"
+    assert open(fence).read() == str(os.getpid())
+    release_sink_fence(fence)

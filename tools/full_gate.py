@@ -55,8 +55,10 @@ TABLES = (
 _MODES = {"--empty": "sf0", "--one-row": "sf1row", "--dir-shaped": "sfdir"}
 
 # the documented loud-refusal contract for corpus-derived fixture queries
-# on an empty documents table (operators/n5oracle.py::_voxels)
-_EMPTY_REFUSAL = "is empty"
+# on an empty documents table is recognized by exception IDENTITY
+# (n5oracle.EmptyCorpusRefusal), not by substring — a real failure that
+# merely mentions an empty buffer/partition must stay a failure (r13
+# ADVICE low). Imported lazily in main() after sys.path setup.
 
 
 def stage_boundary(src_dir: str, mode: str) -> str:
@@ -111,6 +113,7 @@ def main() -> None:
     # unless recorded as user confs) — record them like cli --conf does
     spark._n5ds_user_confs = frozenset(confs)
 
+    from n5_dask_spark.operators.n5oracle import EmptyCorpusRefusal
     from n5_dask_spark.registry import load_all
     from tests.oracle_harness import compare_query
 
@@ -125,7 +128,7 @@ def main() -> None:
             if not ok:
                 failures.append(r)
         except Exception as e:  # a crash is a failure with the error kept
-            if mode == "--empty" and _EMPTY_REFUSAL in str(e):
+            if mode == "--empty" and isinstance(e, EmptyCorpusRefusal):
                 # the documented loud refusal IS the correct empty-corpus
                 # behavior for the fixture family — pass by contract
                 expected_refusals.append(name)
