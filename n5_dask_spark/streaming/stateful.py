@@ -108,52 +108,82 @@ def guard_crash_window_replay(spark: SparkSession, checkpoint_dir: str) -> None:
     the compact read at all, the silent-empty-replay lane stayed open on
     exactly the compaction batches.
 
-    Scope: the checkpoint LISTING is os-based, so a URI-scheme checkpoint
-    dir (not something these local-dir runners produce) passes through
-    unguarded and gets stock Spark behavior; the per-FILE stats resolve
-    the Hadoop FileSystem per logged path (cached by scheme+authority),
-    since file sources can legally mix URI schemes in one log.
+    The checkpoint LISTING and log reads are scheme-dispatched (r14,
+    lifting the r13 os-only scope note): a local checkpoint dir lists
+    through the OS, a URI-scheme one (file:, hdfs:, s3 with the emulated
+    store, ...) through fsio's pyarrow FileSystem — so URI checkpoints get
+    the same crash-window protection as local ones. A URI store that
+    cannot LIST at all passes through unguarded (stock Spark behavior) —
+    the one remaining scope residual, and a loud one to hit since every
+    pyarrow FS implements listing. The per-FILE stats resolve the Hadoop
+    FileSystem per logged path (cached by scheme+authority), since file
+    sources can legally mix URI schemes in one log.
     """
     import json as _json
 
-    offsets_dir = os.path.join(checkpoint_dir, "offsets")
-    commits_dir = os.path.join(checkpoint_dir, "commits")
+    from n5_dask_spark.sources.n5 import fsio
 
-    def _ids(d: str) -> set[int]:
+    is_uri = fsio.is_uri(checkpoint_dir)
+
+    def _list_rel(sub: str) -> set[str] | None:
+        """Relative file paths under <checkpoint>/<sub>; None = cannot list."""
+        if is_uri:
+            return fsio.list_files(f"{checkpoint_dir}/{sub}")
+        d = os.path.join(checkpoint_dir, sub)
         if not os.path.isdir(d):
             return set()
-        return {int(n) for n in os.listdir(d) if n.isdigit()}
+        out: set[str] = set()
+        for dirpath, _dirs, files in os.walk(d):
+            rel = os.path.relpath(dirpath, d)
+            for f in files:
+                out.add(f if rel == "." else f"{rel}/{f}")
+        return out
 
-    uncommitted = _ids(offsets_dir) - _ids(commits_dir)
+    def _read_log(rel: str) -> str:
+        if is_uri:
+            data = fsio.read_file(f"{checkpoint_dir}/sources/{rel}")
+            return "" if data is None else data.decode("utf-8")
+        with open(os.path.join(checkpoint_dir, "sources", rel)) as fh:
+            return fh.read()
+
+    offset_names = _list_rel("offsets")
+    commit_names = _list_rel("commits")
+    if offset_names is None or commit_names is None:
+        return  # store cannot list: pass through (scope residual above)
+
+    def _ids(names: set[str]) -> set[int]:
+        return {int(n) for n in names if n.isdigit()}
+
+    uncommitted = _ids(offset_names) - _ids(commit_names)
     if not uncommitted:
         return
     missing: list[str] = []
-    sources_root = os.path.join(checkpoint_dir, "sources")
+    source_logs = _list_rel("sources") or set()
+    src_indices = sorted({r.split("/", 1)[0] for r in source_logs if "/" in r})
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     fs_cache: dict[tuple[str | None, str | None], Any] = {}
-    for src_idx in sorted(os.listdir(sources_root)) if os.path.isdir(sources_root) else []:
+    for src_idx in src_indices:
         for batch_id in sorted(uncommitted):
-            log = os.path.join(sources_root, src_idx, str(batch_id))
+            rel = f"{src_idx}/{batch_id}"
             batch_filter = None
-            if not os.path.isfile(log):
+            if rel not in source_logs:
                 # compaction batches (N % compactInterval == interval-1) are
                 # written as N.compact with the full entry history inside
-                log = log + ".compact"
-                if not os.path.isfile(log):
+                rel = rel + ".compact"
+                if rel not in source_logs:
                     continue
                 batch_filter = batch_id
             paths = []
-            with open(log) as fh:
-                for line in fh:
-                    line = line.strip()
-                    if not line or not line.startswith("{"):
-                        continue  # the "v1" version header
-                    entry = _json.loads(line)
-                    if batch_filter is not None and entry.get("batchId") != batch_filter:
-                        continue  # compact history row owned by an older batch
-                    if "path" in entry:
-                        paths.append(entry["path"])
+            for line in _read_log(rel).splitlines():
+                line = line.strip()
+                if not line or not line.startswith("{"):
+                    continue  # the "v1" version header
+                entry = _json.loads(line)
+                if batch_filter is not None and entry.get("batchId") != batch_filter:
+                    continue  # compact history row owned by an older batch
+                if "path" in entry:
+                    paths.append(entry["path"])
             for p in paths:
                 jp = jvm.org.apache.hadoop.fs.Path(p)
                 uri = jp.toUri()

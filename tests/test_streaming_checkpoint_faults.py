@@ -568,3 +568,119 @@ def test_sink_fence_empty_remnant_needs_backoff_not_instant_steal(tmp_path):
     assert elapsed >= 0.25, f"empty fence stolen without backoff ({elapsed:.3f}s)"
     assert open(fence).read() == str(os.getpid())
     release_sink_fence(fence)
+
+
+# ---------------------------------------------------------------------------
+# r14 lanes. (1) compactInterval=2: every other batch is a compaction
+# batch, so the <N>.compact read path and its interval-boundary arithmetic
+# get exercised far more often per wall-second than at the default 10.
+# (2) URI-scheme checkpoints: the guard's listing is scheme-dispatched now
+# (r13 scope note lifted), so a file: URI checkpoint dir must get the same
+# crash-window protection as a plain local path.
+# ---------------------------------------------------------------------------
+
+_TRIG_FB_N_CI = """
+import os, sys
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import SparkSession
+import pyarrow as pa, pyarrow.parquet as pq
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.sql.shuffle.partitions", "2")
+         .config("spark.sql.streaming.fileSource.log.compactInterval", sys.argv[4])
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from n5_dask_spark.streaming.stateful import run_foreach_batch_incremental
+src, out, ckpt = sys.argv[1:4]
+os.makedirs(src, exist_ok=True)
+seen = []
+for i in range(int(sys.argv[5])):
+    pq.write_table(pa.table({"k": [i], "v": [i * 10]}), f"{src}/f{i}.parquet")
+    seen += run_foreach_batch_incremental(spark, src, out, ckpt)
+print("BATCHES=", seen)
+""" % {"repo": REPO}
+
+_TRIG_FB_CI2 = """
+import sys
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.sql.shuffle.partitions", "2")
+         .config("spark.sql.streaming.fileSource.log.compactInterval", "2")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from n5_dask_spark.streaming.stateful import run_foreach_batch_incremental
+try:
+    b = run_foreach_batch_incremental(spark, sys.argv[1], sys.argv[2], sys.argv[3])
+    print("BATCHES=", b)
+except Exception as e:
+    print("ERR=", type(e).__name__, str(e).split(chr(10))[0][:400])
+""" % {"repo": REPO}
+
+
+@pytest.fixture(scope="module")
+def healthy_compact2(tmp_path_factory):
+    """Six one-file triggers at compactInterval=2: compaction batches are
+    1, 3, 5 — the final batch's log is sources/0/5.compact."""
+    base = str(tmp_path_factory.mktemp("ckpt_faults_ci2") / "healthy")
+    src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+    line = _run(_TRIG_FB_N_CI, src, out, ckpt, "2", "6")
+    assert line == f"BATCHES= {list(range(6))}", line
+    assert os.path.isfile(f"{ckpt}/sources/0/5.compact"), sorted(
+        os.listdir(f"{ckpt}/sources/0")
+    )
+    assert os.path.isfile(f"{ckpt}/sources/0/3.compact")
+    assert not os.path.exists(f"{ckpt}/sources/0/5")
+    return base
+
+
+def test_compact_interval2_crash_deleted_source_refuses_loudly(healthy_compact2):
+    """Crash window at compaction batch 5 (interval 2): the guard must
+    find batch 5 inside 5.compact and refuse on its deleted source."""
+    src, out, ckpt = _fork(healthy_compact2, "ci2_missing_src")
+    _rm_with_crc(f"{ckpt}/commits/5")
+    os.remove(f"{src}/f5.parquet")
+    shutil.rmtree(f"{out}/batch=5")  # the sink write also vanished
+    line = _run(_TRIG_FB_CI2, src, out, ckpt)
+    assert line.startswith("ERR= RuntimeError"), line
+    assert "uncommitted batch" in line and "f5.parquet" in line, line
+    assert _sink_kv(out) == [(i, i * 10) for i in range(5)]
+
+
+def test_compact_interval2_committed_history_stays_quiet(healthy_compact2):
+    """Same crash window, deleted file owned by COMMITTED batch 2 — whose
+    entry lives in 5.compact's history (and 3.compact's). The batchId
+    filter must keep the guard quiet and the replay of batch 5 itself is
+    exactly-once."""
+    src, out, ckpt = _fork(healthy_compact2, "ci2_old_file_gone")
+    _rm_with_crc(f"{ckpt}/commits/5")
+    os.remove(f"{src}/f2.parquet")
+    line = _run(_TRIG_FB_CI2, src, out, ckpt)
+    assert line == "BATCHES= [5]", line  # replayed, not refused
+    assert _sink_kv(out) == [(i, i * 10) for i in range(6)]
+
+
+def test_uri_checkpoint_deleted_source_refuses_loudly(healthy_fb):
+    """The deleted-source lane over a file: URI checkpoint dir: before the
+    r14 listing lift, the guard's os.listdir saw no offsets under the URI
+    string and the restart fell through to stock Spark's silent-empty
+    replay — URI checkpoints were second-class exactly where the guard
+    matters most (object-store checkpoints at fleet scale)."""
+    src, out, ckpt = _fork(healthy_fb, "uri_ckpt_missing_src")
+    _rm_with_crc(sorted(glob.glob(f"{ckpt}/commits/[0-9]*"))[-1])
+    pq.write_table(pa.table({"k": [4], "v": [40]}), f"{src}/b.parquet")
+    os.remove(f"{src}/a.parquet")
+    shutil.rmtree(f"{out}/batch=0")
+    line = _run(_TRIG_FB, src, out, f"file://{ckpt}")
+    assert line.startswith("ERR= RuntimeError"), line
+    assert "uncommitted batch" in line and "a.parquet" in line, line
+    assert _sink_kv(out) == []  # refused BEFORE committing anything
+
+
+def test_uri_checkpoint_healthy_restart_still_works(healthy_fb):
+    """Control for the URI lane: a HEALTHY checkpoint addressed by URI
+    restarts normally — the guard's URI listing must not false-positive."""
+    src, out, ckpt = _fork(healthy_fb, "uri_ckpt_healthy")
+    pq.write_table(pa.table({"k": [4], "v": [40]}), f"{src}/b.parquet")
+    line = _run(_TRIG_FB, src, out, f"file://{ckpt}")
+    assert line == "BATCHES= [1]", line
+    assert _sink_kv(out) == [(1, 10), (2, 20), (3, 30), (4, 40)]
