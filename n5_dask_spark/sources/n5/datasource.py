@@ -90,9 +90,39 @@ class N5Reader(DataSourceReader):
             self._attrs = read_attributes(self.container, self.dataset)
         return self._attrs
 
+    def _refuse_mid_write(self) -> None:
+        """Refuse a dataset carrying the write-session marker (r14 probe
+        find: this path planned 7 of 8 blocks of a mid-write dataset and
+        returned them as a SILENT partial snapshot — the exact lane the
+        r11 marker guard closed for the binaryFile-glob and explicit-path
+        scans, reader.py:261, which this DataSource never routes through).
+        Runs driver-side once per plan; fsio serves URI containers (no
+        Hadoop FS needed, so it also covers emulated/pyarrow-only schemes)."""
+        from n5_dask_spark.sources.n5.metadata import INCOMPLETE_MARKER, _is_uri
+
+        if _is_uri(self.container):
+            from n5_dask_spark.sources.n5 import fsio
+
+            marker = f"{self.container.rstrip('/')}/{self.dataset}/{INCOMPLETE_MARKER}"
+            present = fsio.exists(marker)
+        else:
+            marker = os.path.join(self.container, self.dataset, INCOMPLETE_MARKER)
+            present = os.path.exists(marker)
+        if present:
+            raise ValueError(
+                f"dataset {self.container}/{self.dataset} carries the "
+                f"write-session marker {marker} — a sink job is writing it "
+                "right now, or a writer died mid-job leaving it incomplete; "
+                "reading it would return a silent partial snapshot (written "
+                "blocks as data, unwritten cells as fill-value zeros). Wait "
+                "for the writer, or if it is known dead, re-create the "
+                "dataset (or delete the marker to accept partial contents)."
+            )
+
     def partitions(self) -> Sequence[N5BlockPartition]:
         from n5_dask_spark.sources.n5.reader import overlapping_blocks
 
+        self._refuse_mid_write()
         attrs = self._get_attrs()
         if self.start and self.end:
             grids = overlapping_blocks(

@@ -146,7 +146,19 @@ def _read_text(path: str) -> str | None:
             return None if data is None else data.decode("utf-8")
         jvm = spark._jvm
         p = jvm.org.apache.hadoop.fs.Path(path)
-        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        try:
+            fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        except Exception as e:
+            # the JVM has no connector for this scheme (e.g. s3 without
+            # hadoop-aws jars, or a pyarrow-only/emulated store) — fall
+            # back to fsio's pyarrow FileSystem, which the write path
+            # already rides. Anything else (network, permissions) stays
+            # loud: a broad fallback would mask real Hadoop failures.
+            msg = f"{e} {getattr(e, 'java_exception', '')}"
+            if "UnsupportedFileSystemException" not in msg and "No FileSystem for scheme" not in msg:
+                raise
+            data = _fsio.read_file(path)
+            return None if data is None else data.decode("utf-8")
         if not fs.exists(p):
             return None
         stream = fs.open(p)
