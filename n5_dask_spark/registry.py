@@ -238,6 +238,80 @@ REGISTRY: dict[str, Query] = {}
 # stale. Build the next rotation from CORRECTNESS_r*.json last-green ages,
 # not from family coverage — cumulative coverage is already total.
 DRIVER_WINDOW: tuple[str, ...] = (
+    # --- round 14 policy (VERDICT r13 #1): rotate onto the 13 named
+    # r10-stale greens, changed-first as always. (a) changed-in-r14:
+    # n5_roundtrip_uri and n5_datasource_write_zprofile traverse the fsio
+    # fence hardening (local O_EXCL conditional create, jittered double
+    # read-back elsewhere) and the DataSource mid-write marker refusal +
+    # one-LIST planning; streaming_incremental_restart traverses
+    # guard_crash_window_replay's scheme-dispatched checkpoint listing
+    # and the link()-based sink fence. (b) all 13 queries whose last
+    # driver green is round 10 (named in the r13 window's comment and
+    # re-derived from CORRECTNESS_r01-r13). (c) 34 of the 49 r11-stale
+    # greens; the 15 left for r15 are the multi-join TPC-H cohort
+    # (q7, q8, q9, q11-q22), whose operator families — joins of every
+    # type, grouped/subquery aggregates — have many in-window reps
+    # (join_cross + the set ops from (b); q1/q6 enter from the same
+    # r11 cohort as the scan/agg representatives). After r14 the target
+    # histogram is r11=15, r12=49, r13=47, r14=50 with no green older
+    # than round 11.
+    # (a) changed-in-r14:
+    "n5_roundtrip_uri",
+    "n5_datasource_write_zprofile",
+    "streaming_incremental_restart",
+    # (b) the 13 round-10-stale greens:
+    "join_cross",
+    "n5_block_inventory",
+    "n5_block_stats",
+    "n5_datasource_zprofile",
+    "n5_downsample_zprofile",
+    "n5_intensity_histogram",
+    "n5_rechunk_blocksums",
+    "n5_roundtrip_blosc_zstd",
+    "n5_zprofile",
+    "set_except_all",
+    "set_intersect_all",
+    "window_lag_lead",
+    "window_ntile",
+    # (c) 34 round-11-stale greens (all but the 15 TPC-H named above):
+    "agg_approx_distinct",
+    "agg_argminmax_bool",
+    "agg_cube",
+    "agg_grouping_sets",
+    "dedup_exact",
+    "events_cohort_retention",
+    "events_session_window",
+    "events_sessionization_funnel",
+    "formats_partitioned_pruning",
+    "join_bucketed_colocated",
+    "join_full_outer",
+    "join_null_safe_eq",
+    "join_range_binned",
+    "multimodal_audio_frame_energy",
+    "n5_region_read",
+    "n5_roundtrip_zprofile",
+    "pipeline_outlier_filter",
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "sample_pergroup_topk_hash",
+    "sample_stratified_hash",
+    "scalar_bitwise_funcs",
+    "scalar_url_funcs",
+    "streaming_dedup_events",
+    "streaming_foreachbatch_parquet",
+    "streaming_static_dim_join",
+    "streaming_stream_stream_left_join",
+    "streaming_tumbling_agg",
+    "streaming_watermark_append",
+    "text_bpe_pretokenize",
+    "text_quality_score",
+    "upsert_orders_snapshot",
+    "window_distribution_funcs",
+    "window_row_number",
+)
+
+# --- round 13 window, retired (kept for the rotation audit trail) ---
+_DRIVER_WINDOW_R13: tuple[str, ...] = (
     # --- round 13 policy (VERDICT r12 #1): rotate onto the 12 named
     # r9-stale greens, changed-first as always. (a) changed-in-r13:
     # n5_roundtrip_uri is NEW — it drives the whole r13 write-path URI
