@@ -143,3 +143,68 @@ def test_second_writer_during_uri_write_refused_up_front(emu):
     with pytest.raises(RuntimeError, match="marker .* already exists"):
         fsio.claim_marker_uri(marker)
     fsio.delete_file(marker)
+
+
+# ---------------------------------------------------------------------------
+# ENOSPC on the LOCAL sink path (the emulated-store lane covers the PUT
+# branch in test_emu_object_store.py; this is the temp+rename branch —
+# together they complete the disk-full probe across both commit protocols)
+# ---------------------------------------------------------------------------
+
+
+def test_local_atomic_write_enospc_leaves_no_partial_block(tmp_path, monkeypatch):
+    """Disk-full mid-commit on the local block sink: the write must fail
+    LOUDLY and leave neither the target block nor temp litter — a torn
+    block would decode as a short read, a stale temp would be litter the
+    clean-job invariant forbids."""
+    import errno
+
+    from n5_dask_spark.sources.n5.writer import _atomic_write
+
+    def full_disk(src, dst):
+        raise OSError(errno.ENOSPC, "No space left on device")
+
+    monkeypatch.setattr(os, "replace", full_disk)
+    with pytest.raises(OSError, match="No space left"):
+        _atomic_write(str(tmp_path / "d/0/0/0"), b"x" * 4096)
+    monkeypatch.undo()
+    assert not (tmp_path / "d/0/0/0").exists()
+    assert not list(tmp_path.rglob(".inprogress-*"))
+    # and the retry after space frees lands cleanly
+    _atomic_write(str(tmp_path / "d/0/0/0"), b"y" * 16)
+    assert (tmp_path / "d/0/0/0").read_bytes() == b"y" * 16
+
+
+def test_uri_publish_enospc_on_move_cleans_inprogress_temp(tmp_path):
+    """Same lane through fsio's rename-capable branch: ENOSPC at the MOVE
+    (the temp landed, the promote failed) must clean the inprogress temp
+    and leave the target absent. pyarrow's LocalFileSystem is an immutable
+    C type, so the failing move is injected via a cache-planted handler
+    that reports type_name 'local' (rename branch) and dies on move."""
+    import errno
+
+    from pyarrow import fs as pafs
+
+    class _ENOSPCMove(emustore.EmuObjectStoreHandler):
+        def get_type_name(self):
+            return "local"  # routes publish_file onto the temp+move branch
+
+        def move(self, src, dest):
+            raise OSError(errno.ENOSPC, "No space left on device")
+
+    key = ("file", "")
+    saved = fsio._FS_CACHE.get(key)
+    fsio._FS_CACHE[key] = pafs.PyFileSystem(_ENOSPCMove("/"))
+    try:
+        with pytest.raises(OSError, match="No space left"):
+            fsio.publish_file(f"file:{tmp_path}/d/0/0/0", b"x" * 4096)
+    finally:
+        if saved is None:
+            fsio._FS_CACHE.pop(key, None)
+        else:
+            fsio._FS_CACHE[key] = saved
+    assert not (tmp_path / "d/0/0/0").exists()
+    assert not list(tmp_path.rglob(".inprogress-*"))  # temp cleaned on failure
+    # and the retry through the REAL local filesystem lands cleanly
+    fsio.publish_file(f"file:{tmp_path}/d/0/0/0", b"y" * 16)
+    assert (tmp_path / "d/0/0/0").read_bytes() == b"y" * 16
