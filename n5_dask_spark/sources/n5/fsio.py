@@ -272,10 +272,27 @@ def claim_marker_uri(marker_path: str) -> str:
         # one of us sees the other's token (best-effort; module doc)
         time.sleep(random.uniform(0.05, 0.15))
         survived = read_file(marker_path)
+        if survived is None:
+            # Our own PUT is not readable back. On a read-after-write
+            # consistent store that means a rival deleted/replaced the key
+            # mid-claim; on an eventually-consistent store it can be OUR
+            # token still propagating — indistinguishable from here, so
+            # refuse LOUDLY either way. Deleting the key now would be
+            # wrong in both readings (it may already hold a rival's live
+            # claim), so the marker may surface later as litter — that is
+            # the price of no conditional write (module doc).
+            raise RuntimeError(
+                f"write-session claim at {marker_path} could not read its "
+                "own token back: another writer removed or replaced the "
+                "marker mid-claim, or this store is not read-after-write "
+                "consistent. Refusing to write. If this store is eventually "
+                "consistent, our marker PUT may still surface; once no "
+                "writer is live, delete the marker before retrying."
+            )
         if survived != token:
             raise RuntimeError(
                 f"lost the write-session claim race at {marker_path}: another "
-                f"writer's token landed last ({(survived or b'').decode(errors='replace').strip()!r}). "
+                f"writer's token landed last ({survived.decode(errors='replace').strip()!r}). "
                 "This dataset has a live concurrent writer; retry after it "
                 "finishes."
             )
