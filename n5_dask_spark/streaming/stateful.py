@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import os
 import pathlib
+import socket
 import tempfile
 import time
 import uuid
@@ -236,40 +237,62 @@ def claim_sink_fence(out_dir: str) -> str:
     across a short backoff before being treated as stale. A live holder
     refuses; a stale fence (holder pid dead — the crash-restart case a
     streaming runner must support) is reclaimed and the claim retried, so
-    crash recovery needs no manual cleanup. pid liveness is a same-host
-    check, which matches the race it closes (two schedulers on one box);
-    cross-HOST racers still get Spark's own loud-but-late checkpoint lock
-    — documented residual."""
+    crash recovery needs no manual cleanup. The fence records
+    ``pid@hostname``: pid liveness is only checkable on the recording
+    host, and on a SHARED filesystem a pid that is dead here can be live
+    there — checking it locally would rob a live cross-host holder and
+    reopen the mixed-output lane (r14 hardening). A fence from another
+    host is therefore refused conservatively; if that holder is known
+    dead, the operator deletes the fence (the message says so). Racers on
+    hosts that do NOT share the sink filesystem never see each other's
+    fence at all — they keep Spark's own loud-but-late checkpoint lock,
+    the remaining documented residual."""
     os.makedirs(out_dir, exist_ok=True)
     fence = os.path.join(out_dir, ".n5ds-writer")
 
-    def _read_pid() -> int:
-        """Holder pid, 0 if unparseable. An EMPTY fence cannot come from
-        this protocol (link publishes content atomically) — re-read it
-        across a backoff so a foreign writer mid-publish isn't robbed."""
+    def _read_holder() -> tuple[int, str | None]:
+        """Holder (pid, host); (0, None) if unparseable. host is None for
+        a legacy bare-pid fence (pre-r14 format — same-host by
+        definition, since only this module ever wrote it). An EMPTY fence
+        cannot come from this protocol (link publishes content
+        atomically) — re-read it across a backoff so a foreign writer
+        mid-publish isn't robbed."""
         for delay in (0.0, 0.05, 0.2):
             if delay:
                 time.sleep(delay)
             try:
                 text = open(fence).read().strip()
             except OSError:
-                return 0  # vanished or unreadable: stale
+                return 0, None  # vanished or unreadable: stale
             if text:
+                pid_s, _, host = text.partition("@")
                 try:
-                    return int(text)
+                    return int(pid_s), (host or None)
                 except ValueError:
-                    return 0  # garbage content: stale
-        return 0  # stayed empty through the backoff: stale
+                    return 0, None  # garbage content: stale
+        return 0, None  # stayed empty through the backoff: stale
 
+    our_host = socket.gethostname()
     tmp = os.path.join(out_dir, f".n5ds-writer-claim-{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
-        f.write(str(os.getpid()))
+        f.write(f"{os.getpid()}@{our_host}")
     try:
         for _ in range(3):
             try:
                 os.link(tmp, fence)  # atomic create-with-content
             except FileExistsError:
-                pid = _read_pid()
+                pid, host = _read_holder()
+                if pid > 0 and host is not None and host != our_host:
+                    # shared-filesystem cross-host holder: liveness is not
+                    # checkable from here, and a local pid probe would be
+                    # about the WRONG process — refuse, don't rob
+                    raise RuntimeError(
+                        f"refusing to write {out_dir}: sink writer fence "
+                        f"{fence} is held by pid {pid} on host {host!r} (this "
+                        f"is {our_host!r}) — cross-host liveness cannot be "
+                        "verified, so the holder is assumed live. If it is "
+                        "known dead, delete the fence file to recover."
+                    ) from None
                 alive = False
                 if pid > 0:
                     try:

@@ -538,9 +538,12 @@ def test_sink_fence_is_never_observable_empty(tmp_path):
     of visibility, and no claim-temp litter survives."""
     from n5_dask_spark.streaming.stateful import claim_sink_fence, release_sink_fence
 
+    import socket as _socket
+
     out = str(tmp_path / "sink")
     fence = claim_sink_fence(out)
-    assert open(fence).read() == str(os.getpid())  # content from instant zero
+    # content (pid@host, the r14 cross-host format) from instant zero
+    assert open(fence).read() == f"{os.getpid()}@{_socket.gethostname()}"
     assert os.stat(fence).st_nlink == 1  # the claim temp was unlinked
     assert [n for n in os.listdir(out) if n.startswith(".n5ds-writer")] == [
         ".n5ds-writer"
@@ -566,8 +569,31 @@ def test_sink_fence_empty_remnant_needs_backoff_not_instant_steal(tmp_path):
     fence = claim_sink_fence(out)
     elapsed = _time.perf_counter() - t0
     assert elapsed >= 0.25, f"empty fence stolen without backoff ({elapsed:.3f}s)"
-    assert open(fence).read() == str(os.getpid())
+    assert open(fence).read().startswith(f"{os.getpid()}@")
     release_sink_fence(fence)
+
+
+def test_foreign_host_fence_refused_even_with_locally_dead_pid(tmp_path):
+    """r14 hardening: on a SHARED filesystem the fence can belong to a
+    writer on another host, where our local pid probe is about the wrong
+    process entirely — a pid dead here may be live there, and reclaiming
+    would reopen the cross-process mixed-output lane. A fence recording a
+    foreign hostname must be refused conservatively (with the manual
+    recovery path in the message), not pid-probed; the legacy bare-pid
+    format stays same-host reclaimable (pinned by
+    test_stale_sink_fence_is_reclaimed)."""
+    import pytest as _pytest
+
+    from n5_dask_spark.streaming.stateful import claim_sink_fence
+
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    with open(os.path.join(out, ".n5ds-writer"), "w") as f:
+        f.write("999999999@some-other-host")  # dead HERE; unknowable THERE
+    with _pytest.raises(RuntimeError, match="cross-host liveness"):
+        claim_sink_fence(out)
+    # the foreign fence was not robbed
+    assert open(os.path.join(out, ".n5ds-writer")).read() == "999999999@some-other-host"
 
 
 # ---------------------------------------------------------------------------
