@@ -68,7 +68,8 @@ def claim_dataset_write(container: str, dataset: str) -> str:
         # exactly-one-proceeds argument and the consistency contract
         from n5_dask_spark.sources.n5 import fsio
 
-        return fsio.claim_marker_uri(f"{container}/{dataset}/{INCOMPLETE_MARKER}")
+        dest = f"{container.rstrip('/')}/{dataset}" if dataset else container.rstrip("/")
+        return fsio.claim_marker_uri(f"{dest}/{INCOMPLETE_MARKER}")
     path = os.path.join(container, dataset, INCOMPLETE_MARKER)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     try:

@@ -381,6 +381,24 @@ def tif_series_scan(spark: SparkSession, input_dir: str) -> DataFrame:
     numeric sort of the trailing integer in the filename (imread glob
     semantics, one file per z)."""
     tune_session(spark)
+    # Mid-write series refusal (r14 probe, N5-scan parity): the series
+    # sink claims this marker for its job window. Scanning a partial
+    # series is SILENT WRONG DATA here, not just missing rows — z is
+    # assigned by sorted-file position below, so absent slices compact
+    # the volume and shift every later slice. The scan's listing is
+    # local-glob-based, so a local existence check covers its reach.
+    from n5_dask_spark.sources.n5.metadata import INCOMPLETE_MARKER
+
+    _marker = os.path.join(input_dir, INCOMPLETE_MARKER)
+    if os.path.exists(_marker):
+        raise ValueError(
+            f"refusing to scan {input_dir}: write-session marker {_marker} "
+            "exists — a series export is mid-job (or died mid-job) on this "
+            "directory, and a partial series would not just truncate: z is "
+            "assigned by sorted-file position, so the volume would silently "
+            "compact. Wait for the writer, or delete the marker to accept "
+            "the partial series."
+        )
     files = sorted(
         # glob.escape: Python glob treats [ ] * ? in the DIRECTORY part as
         # pattern chars too — an input_dir named "scans[2024]" would match
@@ -522,6 +540,16 @@ def n5_to_tif_series(
 
     if not _is_uri(output_dir):  # URI publish creates parents itself (fsio)
         os.makedirs(output_dir, exist_ok=True)
+    # Series-level write-session marker (r14 probe — N5-sink parity gap):
+    # each slice file is atomic, but the SERIES is not, and a mid-write
+    # reader is worse off here than on N5 — re-import assigns z by
+    # sorted-file POSITION, and sink tasks land slices in arbitrary order,
+    # so a partial series doesn't truncate, it silently COMPACTS and
+    # shifts the whole volume. Claim/release per job, same discipline and
+    # marker name as the N5 sinks; tif_series_scan refuses while it exists.
+    from n5_dask_spark.sources.n5.writer import claim_dataset_write, release_dataset_write
+
+    marker = claim_dataset_write(output_dir, "")
     dt = np_dtype(slice_attrs.data_type)
 
     def sink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -567,6 +595,7 @@ def n5_to_tif_series(
         spark.createDataFrame([(z,) for z in missing], "gz int").repartition(
             max(1, min(len(missing), spark.sparkContext.defaultParallelism))
         ).mapInPandas(zero_sink, schema="n long").collect()
+    release_dataset_write(marker)  # series complete (gaps filled): visible
     return len(written) + len(missing)
 
 

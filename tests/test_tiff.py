@@ -253,3 +253,46 @@ def test_probe_reads_header_only():
     (h, w), dt = tiff_probe_file(path)
     assert (h, w) == (6, 9)
     assert dt == np.dtype("uint16")
+
+
+def test_series_scan_refuses_mid_write(spark):
+    """r14 probe (N5-parity gap, closed): the series sink's job window is
+    now marker-fenced. A mid-write scan here is worse than the N5 case —
+    z is assigned by sorted-file POSITION and sink tasks land slices in
+    arbitrary order, so a partial series silently COMPACTS the volume
+    rather than truncating it. The scan must refuse while the marker
+    exists and proceed once it is released (or deliberately deleted —
+    the accept-partial escape hatch)."""
+    from n5_dask_spark.sources.n5.metadata import INCOMPLETE_MARKER
+    from n5_dask_spark.sources.tiff import tif_series_scan, write_tiff
+
+    out_dir = tmpdir()
+    # a "mid-write" series: 2 of what will be more slices, marker held
+    write_tiff(os.path.join(out_dir, "slice00000.tif"), np.zeros((4, 5), np.uint8))
+    write_tiff(os.path.join(out_dir, "slice00002.tif"), np.zeros((4, 5), np.uint8))
+    marker = os.path.join(out_dir, INCOMPLETE_MARKER)
+    open(marker, "w").write("writer pid 7\n")
+    with pytest.raises(ValueError, match="write-session marker"):
+        tif_series_scan(spark, out_dir)
+    os.unlink(marker)  # the documented escape hatch: partial IS compacted
+    assert tif_series_scan(spark, out_dir).count() == 2
+
+
+def test_series_sink_claims_marker_and_refuses_second_writer(spark):
+    """The sink claims the marker BEFORE any slice lands (a held marker
+    refuses a second export up front with zero side effects) and releases
+    it only after the sparse-gap fill, so a completed export is
+    immediately scannable."""
+    from n5_dask_spark.sources.n5.metadata import INCOMPLETE_MARKER
+    from n5_dask_spark.sources.tiff import n5_to_tif_series, tif_series_scan
+
+    out_dir = tmpdir()
+    marker = os.path.join(out_dir, INCOMPLETE_MARKER)
+    open(marker, "w").write("writer pid 7\n")  # a live rival's window
+    with pytest.raises(RuntimeError, match="marker .* already exists"):
+        n5_to_tif_series(spark, FIXTURE, FIXTURE_DS, out_dir)
+    assert glob.glob(f"{out_dir}/*.tif") == []  # refused before any write
+    os.unlink(marker)
+    assert n5_to_tif_series(spark, FIXTURE, FIXTURE_DS, out_dir) == 27
+    assert not os.path.exists(marker)  # released: series visible
+    assert tif_series_scan(spark, out_dir).count() == 27
