@@ -245,20 +245,28 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # read-back elsewhere) and the DataSource mid-write marker refusal +
     # one-LIST planning; streaming_incremental_restart traverses
     # guard_crash_window_replay's scheme-dispatched checkpoint listing
-    # and the link()-based sink fence. (b) all 13 queries whose last
+    # and the link()-based sink fence; tiff_roundtrip_zprofile added
+    # late for the series-export fence. (b) all 13 queries whose last
     # driver green is round 10 (named in the r13 window's comment and
-    # re-derived from CORRECTNESS_r01-r13). (c) 34 of the 49 r11-stale
-    # greens; the 15 left for r15 are the multi-join TPC-H cohort
+    # re-derived from CORRECTNESS_r01-r13). (c) 33 of the 49 r11-stale
+    # greens; the 16 left for r15 are the multi-join TPC-H cohort
     # (q7, q8, q9, q11-q22), whose operator families — joins of every
     # type, grouped/subquery aggregates — have many in-window reps
     # (join_cross + the set ops from (b); q1/q6 enter from the same
-    # r11 cohort as the scan/agg representatives). After r14 the target
-    # histogram is r11=15, r12=49, r13=47, r14=50 with no green older
+    # r11 cohort as the scan/agg representatives), plus
+    # n5_roundtrip_zprofile (displaced by the changed-first TIFF entry;
+    # its family keeps four in-window reps). After r14 the target
+    # histogram is r11=16, r12=49, r13=46, r14=50 with no green older
     # than round 11.
-    # (a) changed-in-r14:
+    # (a) changed-in-r14 (tiff_roundtrip_zprofile re-enters late: the
+    # series export gained its write-session fence this round, and this
+    # query traverses the claim/release on every run — it displaces
+    # n5_roundtrip_zprofile, whose roundtrip family keeps four in-window
+    # reps: the two changed N5 writes, blosc_zstd, and the r10-stale set):
     "n5_roundtrip_uri",
     "n5_datasource_write_zprofile",
     "streaming_incremental_restart",
+    "tiff_roundtrip_zprofile",
     # (b) the 13 round-10-stale greens:
     "join_cross",
     "n5_block_inventory",
@@ -273,7 +281,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "set_intersect_all",
     "window_lag_lead",
     "window_ntile",
-    # (c) 34 round-11-stale greens (all but the 15 TPC-H named above):
+    # (c) 33 round-11-stale greens (all but the 15 TPC-H named above and
+    # n5_roundtrip_zprofile, displaced by tiff_roundtrip_zprofile in (a)):
     "agg_approx_distinct",
     "agg_argminmax_bool",
     "agg_cube",
@@ -289,7 +298,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "join_range_binned",
     "multimodal_audio_frame_energy",
     "n5_region_read",
-    "n5_roundtrip_zprofile",
     "pipeline_outlier_filter",
     "q1_pricing_summary",
     "q6_forecast_revenue",
