@@ -292,16 +292,16 @@ def minhash_per_band(documents: DataFrame) -> DataFrame:
     ).filter(F.col("band_sig").isNotNull())
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=DUCK_MINHASH_PAIRS + " ORDER BY doc_a, doc_b",
-    doc=(
-        "MinHash LSH near-dup candidates: 16 md5-seeded min-hashes, 4 bands "
-        "of 4 rows; pairs sharing any full band signature. Deterministic "
-        "(md5) so oracle-checkable."
-    ),
-)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_a, doc_b) MinHash-LSH candidate pairs, UNSORTED.
+
+    r14 optimization (guide §2.4): the registered query's trailing
+    orderBy adds a range-partitioning exchange — and range partitioning
+    runs its own row-sampling pass first — that the connected-components
+    consumers (graph.py, relational2.py) immediately destroy with their
+    own shuffles. They consume this helper; the registered query below is
+    exactly this plus the presentation sort, so its declared output is
+    byte-identical."""
     t = load_tables(spark, sf_dir, ("documents",))
     per_band = minhash_per_band(t["documents"])
     # Bucket groupBy + in-bucket pair expansion instead of a bands⋈bands
@@ -326,11 +326,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pair")
     )
-    return (
-        pairs.select("pair.doc_a", "pair.doc_b")
-        .distinct()
-        .orderBy("doc_a", "doc_b")
-    )
+    return pairs.select("pair.doc_a", "pair.doc_b").distinct()
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=DUCK_MINHASH_PAIRS + " ORDER BY doc_a, doc_b",
+    doc=(
+        "MinHash LSH near-dup candidates: 16 md5-seeded min-hashes, 4 bands "
+        "of 4 rows; pairs sharing any full band signature. Deterministic "
+        "(md5) so oracle-checkable."
+    ),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_candidate_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
 SIMHASH_BITS = 60  # < 63 so the bit-weighted sum can't overflow BIGINT

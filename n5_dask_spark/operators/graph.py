@@ -66,20 +66,24 @@ def connected_components_star(edges: DataFrame, max_rounds: int = 50) -> DataFra
         .localCheckpoint()
     )
     prev = None
+    prev_count = -1  # r14: carry the count forward — prev is already
+    # materialized (localCheckpoint), so recounting it each round was a
+    # whole redundant job per iteration
     for _ in range(max_rounds):
         bidir = cur.unionByName(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
         large = _star_round(bidir, _LARGE_STAR)
         small = _star_round(large, _SMALL_STAR).localCheckpoint()
+        small_count = small.count()
         # fixpoint probe on materialized partitions: equal cardinality plus
         # empty one-sided difference == set equality (both sides distinct)
         if (
             prev is not None
-            and small.count() == prev.count()
+            and small_count == prev_count
             and small.exceptAll(prev).limit(1).count() == 0
         ):
             cur = small
             break
-        prev, cur = small, small
+        prev, prev_count, cur = small, small_count, small
     else:
         raise RuntimeError(f"cc_star did not converge in {max_rounds} rounds")
     return (
@@ -108,12 +112,12 @@ def connected_components_star(edges: DataFrame, max_rounds: int = 50) -> DataFra
     ),
 )
 def dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # import the RAW function, not REGISTRY[...].fn: the registry wrapper
-    # stamps its own setJobDescription, which would relabel every job this
-    # query submits afterwards as n5ds:dedup_minhash_lsh in the Spark UI
-    from n5_dask_spark.operators.dedup import dedup_minhash_lsh
+    # the UNSORTED pair helper (r14): the registered query's presentation
+    # orderBy is a range exchange + sampling pass that the CC shuffles
+    # below would immediately destroy; the pair SET is identical
+    from n5_dask_spark.operators.dedup import minhash_candidate_pairs
 
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = minhash_candidate_pairs(spark, sf_dir)
     labels = connected_components_star(
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     )

@@ -342,16 +342,15 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def dedup_connected_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the RAW function, not REGISTRY[...].fn — the registry wrapper would
-    # relabel every propagation-loop job as n5ds:dedup_minhash_lsh
-    from n5_dask_spark.operators.dedup import dedup_minhash_lsh
+    # the UNSORTED pair helper (r14): the registered query's presentation
+    # orderBy is a range exchange + sampling pass wasted on a localCheckpoint
+    # input; the pair SET is identical
+    from n5_dask_spark.operators.dedup import minhash_candidate_pairs
 
     # materialize the pair list BEFORE the bidirectional union: both union
     # branches reference it, and without this the whole MinHash pipeline
     # evaluates once per branch
-    pairs = (
-        dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
-    )
+    pairs = minhash_candidate_pairs(spark, sf_dir).localCheckpoint()
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
