@@ -59,10 +59,10 @@ from n5_dask_spark.registry import register
     ),
 )
 def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the RAW function, not REGISTRY[...].fn — the registry wrapper would
-    # relabel every job of this query as n5ds:dedup_minhash_lsh (graph.py
-    # documents the same rule)
-    from n5_dask_spark.operators.dedup import dedup_minhash_lsh
+    # the UNSORTED pair helper (r14): the registered query's presentation
+    # orderBy is a range exchange + sampling pass that the distinct/anti-join
+    # below would immediately destroy; the pair SET is identical
+    from n5_dask_spark.operators.dedup import minhash_candidate_pairs
 
     t = load_tables(spark, sf_dir, ("documents",))
     n_tokens = F.expr(SPARK_N_TOKENS).cast("int")
@@ -71,7 +71,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source", n_tokens.alias("n_tokens"))
         .filter(F.col("n_tokens").between(20, 500))
     )
-    dup_pairs = dedup_minhash_lsh(spark, sf_dir)
+    dup_pairs = minhash_candidate_pairs(spark, sf_dir)
     losers = dup_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     kept = quality.join(losers, "doc_id", "left_anti")
     return (

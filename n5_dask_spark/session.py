@@ -18,11 +18,34 @@ import os
 
 from pyspark.sql import SparkSession
 
+def _default_shuffle_partitions() -> str:
+    """Scale-adaptive shuffle width (r14, guide §2.2/§2.5).
+
+    A constant tuned to local core count is a cluster bug: 32 reduce
+    partitions on a 512-core deployment serializes every shuffle 16x.
+    Resolution order:
+    - SPARK_GRAFT_SHUFFLE_PARTITIONS: explicit production override.
+    - max(32, $SPARK_GRAFT_CPUS): on the local harness (cpus <= 32) this
+      is exactly the historical 32, keeping the driver's bench and its
+      lower-core scaling runs comparable; a larger deployment gets at
+      least one reduce slot per core.
+    The DOWNWARD direction — fewer, larger partitions when the data is
+    small — is AQE partition coalescing (enabled below), which is the
+    mechanism that actually adapts to input size at runtime; this value
+    is only the pre-coalesce ceiling.
+    """
+    explicit = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    if explicit:
+        return explicit
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
+    return str(max(32, int(cpus))) if cpus.isdigit() else "32"
+
+
 DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.shuffle.partitions": _default_shuffle_partitions(),
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # wide-row memory bound, JVM->Python direction (r11 Arrow probe): Spark

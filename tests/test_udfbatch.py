@@ -132,6 +132,28 @@ def test_default_confs_pin_the_input_bound(spark):
     )
 
 
+def test_shuffle_partitions_scale_adaptive(monkeypatch):
+    """r14: the shuffle width derives from the deployment, not a constant.
+
+    Local harness core counts (<= 32) keep the historical 32 — the
+    driver's bench and its lower-core scaling runs stay comparable —
+    while a larger deployment gets at least one reduce slot per core and
+    SPARK_GRAFT_SHUFFLE_PARTITIONS overrides everything. AQE partition
+    coalescing (pinned on in DEFAULT_CONFS) owns the downward direction."""
+    from n5_dask_spark.session import _default_shuffle_partitions
+
+    monkeypatch.delenv("SPARK_GRAFT_SHUFFLE_PARTITIONS", raising=False)
+    for cpus, want in (("32", "32"), ("8", "32"), ("1", "32"), ("128", "128")):
+        monkeypatch.setenv("SPARK_GRAFT_CPUS", cpus)
+        assert _default_shuffle_partitions() == want
+    monkeypatch.delenv("SPARK_GRAFT_CPUS", raising=False)
+    assert _default_shuffle_partitions() == "32"
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "*")  # local[*]: no numeric signal
+    assert _default_shuffle_partitions() == "32"
+    monkeypatch.setenv("SPARK_GRAFT_SHUFFLE_PARTITIONS", "4096")
+    assert _default_shuffle_partitions() == "4096"
+
+
 _PIPELINE = r"""
 import sys, numpy as np
 sys.path.insert(0, %(repo)r)
