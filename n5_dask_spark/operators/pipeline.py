@@ -26,7 +26,13 @@ from n5_dask_spark.operators.dedup import (
     SPARK_N_TOKENS,
     SPARK_TOKENS,
 )
-from n5_dask_spark.operators.similarity import DUCK_COSINE, N_QUERIES, TOP_K, cosine_col
+from n5_dask_spark.operators.similarity import (
+    DUCK_COSINE,
+    N_QUERIES,
+    TOP_K,
+    cosine_prenorm_col,
+    norm_col,
+)
 from n5_dask_spark.registry import register
 
 
@@ -154,8 +160,12 @@ def knn_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             for d in range(_N_CENTROID_DIMS)
         ]
     )
+    # norms precomputed per vector (r14, similarity.norm_col): the probe
+    # join's inline cosine recomputed both norms per candidate pair
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        norm_col("embedding").alias("qn"),
     )
     dist = F.round(
         sum(
@@ -169,15 +179,20 @@ def knn_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.crossJoin(F.broadcast(cents))
         .withColumn("crk", F.row_number().over(wcell))
         .filter(F.col("crk") <= _NPROBE)
-        .select("qid", "qe", "label")
+        .select("qid", "qe", "qn", "label")
     )
     scored = (
         emb.withColumnRenamed("label", "elabel")
+        .withColumn("nrm", norm_col("embedding"))
         .join(
             F.broadcast(probed),
             (F.col("elabel") == F.col("label")) & (F.col("vec_id") != F.col("qid")),
         )
-        .select("qid", "vec_id", F.round(cosine_col("qe", "embedding"), 6).alias("cosine"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine_prenorm_col("qe", "embedding", "qn", "nrm"), 6).alias("cosine"),
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (

@@ -67,6 +67,41 @@ def cosine_col(a: str, b: str) -> Column:
     return F.expr(COSINE.format(a=a, b=b))
 
 
+# r14 optimization (guide §1.2 per-task work): the inline COSINE recomputes
+# BOTH vector norms for every pair — in an O(n²) pair expansion that is
+# 2/3 of the arithmetic, re-derived n times per vector. These helpers
+# split the norm out as a per-ROW column (computed once per vector before
+# the pair join) and divide the per-pair dot product by the precomputed
+# product. BIT-IDENTICAL to COSINE by construction: NORM_SQL is textually
+# the same sqrt(aggregate(...)) subtree the inline form evaluates, the
+# same doubles flow into the same try_divide, and the NULL-array /
+# zero-vector conventions are unchanged (outer if; try_divide + coalesce).
+# Pinned by tests/test_oracle_parity.py::test_cosine_prenorm_bit_identity.
+NORM_SQL = (
+    "sqrt(aggregate(transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+)
+
+COSINE_PRENORM = """
+    if({a} IS NULL OR {b} IS NULL, CAST(NULL AS DOUBLE),
+    coalesce(try_divide(
+      aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                CAST(0.0 AS DOUBLE), (acc, v) -> acc + v),
+      {na} * {nb}),
+    CAST(0.0 AS DOUBLE)))
+"""
+
+
+def norm_col(a: str) -> Column:
+    """Per-row L2 norm, same expression subtree as COSINE's denominators."""
+    return F.expr(NORM_SQL.format(a=a))
+
+
+def cosine_prenorm_col(a: str, b: str, na: str, nb: str) -> Column:
+    """Pairwise cosine with the norms read from precomputed columns."""
+    return F.expr(COSINE_PRENORM.format(a=a, b=b, na=na, nb=nb))
+
+
 # DuckDB: list_cosine_similarity computes in double over FLOAT[] the same
 # dot/norm formula; both sides round to 6dp so ulp ordering can't differ.
 # The CASE pins the same cosine = 0.0 zero-vector convention as the Spark
@@ -99,15 +134,25 @@ DUCK_COSINE = """CASE WHEN list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS D
 )
 def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("embeddings",))
-    # narrow local scans fan out so the per-row cosine parallelizes
-    emb = widen(t["embeddings"])
+    # narrow local scans fan out so the per-row cosine parallelizes;
+    # norms precomputed once per vector (r14) — the pair loop pays only
+    # the dot product
+    emb = widen(t["embeddings"]).select(
+        "vec_id", "embedding", norm_col("embedding").alias("nrm")
+    )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
     )
     scored = (
         emb.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", F.round(cosine_col("qe", "embedding"), 6).alias("cosine"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine_prenorm_col("qe", "embedding", "qn", "nrm"), 6).alias("cosine"),
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
@@ -161,14 +206,24 @@ DUCK_BUCKET = (
 def knn_signbucket_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("embeddings",))
     b = widen(t["embeddings"]).select(
-        "vec_id", "embedding", F.expr(SPARK_BUCKET).cast("int").alias("bucket")
+        "vec_id",
+        "embedding",
+        F.expr(SPARK_BUCKET).cast("int").alias("bucket"),
+        norm_col("embedding").alias("nrm"),  # once per vector (r14)
     )
     q = b.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), F.col("bucket").alias("qb")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("bucket").alias("qb"),
+        F.col("nrm").alias("qn"),
     )
     scored = (
         b.join(F.broadcast(q), (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("qid")))
-        .select("qid", "vec_id", F.round(cosine_col("qe", "embedding"), 6).alias("cosine"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine_prenorm_col("qe", "embedding", "qn", "nrm"), 6).alias("cosine"),
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
@@ -195,14 +250,25 @@ def embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan the probe side out across cores; the build side is broadcast
     # EXPLICITLY — without the hint this non-equi join silently degrades to
     # a both-sides-shuffled CartesianProduct once embeddings outgrows
-    # autoBroadcastJoinThreshold (the knn queries pin the same shape)
+    # autoBroadcastJoinThreshold (the knn queries pin the same shape).
+    # Norms precomputed per vector (r14): in this O(n²) expansion the two
+    # inline norms were 2/3 of the arithmetic, paid n times per vector —
+    # measured 9.6 s -> see OPTIMIZATION_r14.md.
     a = widen(t["embeddings"]).select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        norm_col("embedding").alias("na"),
     )
-    b = t["embeddings"].select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    b = t["embeddings"].select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        norm_col("embedding").alias("nb"),
+    )
     return (
         a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", F.round(cosine_col("ea", "eb"), 6).alias("cosine"))
+        .select(
+            "vec_a", "vec_b", F.round(cosine_prenorm_col("ea", "eb", "na", "nb"), 6).alias("cosine")
+        )
         .filter(F.col("cosine") >= 0.45)
         .orderBy("vec_a", "vec_b")
     )

@@ -2648,3 +2648,50 @@ def test_tpch_family_characterized_on_null_rows(spark, tmp_path):
         "window_row_number",
         "window_running_sum",
     }, divergent
+
+
+def test_cosine_prenorm_bit_identity(spark):
+    """r14 optimization pin: the norm-precomputed cosine (norm_col +
+    cosine_prenorm_col) is BIT-identical to the inline COSINE expression
+    on every lane — random vectors, zero vectors, NULL arrays, empty
+    arrays, mismatched lengths, negative and denormal-ish values. The
+    optimization moves the sqrt(sum(x^2)) subtree from per-pair to
+    per-row; same expression, same doubles, so equality must be exact
+    (==, not approx)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from n5_dask_spark.operators.similarity import (
+        cosine_col,
+        cosine_prenorm_col,
+        norm_col,
+    )
+
+    rng = random.Random(1414)
+    rows = []
+    for i in range(200):
+        dim_a = rng.choice([0, 3, 8, 8, 8, 17])
+        dim_b = rng.choice([0, 3, 8, 8, 8, 17])
+        a = [rng.uniform(-2, 2) * 10 ** rng.randint(-12, 3) for _ in range(dim_a)]
+        b = [rng.uniform(-2, 2) * 10 ** rng.randint(-12, 3) for _ in range(dim_b)]
+        if i % 13 == 0:
+            a = [0.0] * dim_a  # zero vector -> cosine 0.0 convention
+        if i % 17 == 0:
+            a = None  # NULL array -> NULL cosine
+        if i % 19 == 0:
+            b = None
+        rows.append((i, a, b))
+    df = spark.createDataFrame(rows, "id long, a array<float>, b array<float>")
+    # build prenorm against materialized norm columns, exactly as the
+    # queries do (norm computed in a prior projection)
+    withn = df.select("id", "a", "b", norm_col("a").alias("na"), norm_col("b").alias("nb"))
+    out = withn.select(
+        "id",
+        cosine_col("a", "b").alias("inline"),
+        cosine_prenorm_col("a", "b", "na", "nb").alias("prenorm"),
+    ).collect()
+    assert len(out) == 200
+    for r in out:
+        # exact equality including None; -0.0 vs 0.0 would differ via str
+        assert str(r["inline"]) == str(r["prenorm"]), (r["id"], r["inline"], r["prenorm"])
