@@ -364,6 +364,13 @@ def _simhash_signatures(toks):
     2*ones - n, signature = sum of weights where votes > 0. An empty or
     null token array votes 0 everywhere -> signature 0, matching the SQL
     aggregate over an empty list.
+
+    r14 optimization (guide §4.2): token digests are memoized per Arrow
+    batch — corpus vocabulary is Zipfian, so the same stopword tokens
+    recur across most documents in a batch, and the md5 calls (the
+    kernel's dominant cost) collapse from O(total tokens) to O(distinct
+    tokens per batch). Per-token bit rows are cached and stacked per doc;
+    the vote/weight arithmetic is unchanged, so signatures are identical.
     """
     import hashlib
 
@@ -372,20 +379,29 @@ def _simhash_signatures(toks):
 
     out = np.zeros(len(toks), dtype=np.int64)
     weights = np.int64(1) << np.arange(SIMHASH_BITS, dtype=np.int64)
+    bit_rows: dict[str, np.ndarray] = {}  # token -> (60,) uint8 bit row
+
+    def token_bits(tk: str) -> np.ndarray:
+        row = bit_rows.get(tk)
+        if row is None:
+            dig = np.frombuffer(
+                hashlib.md5(tk.encode("utf-8")).digest()[: SIMHASH_BITS // 4],
+                dtype=np.uint8,
+            )
+            nib = np.empty(SIMHASH_BITS // 2, dtype=np.uint8)
+            nib[0::2] = dig >> 4
+            nib[1::2] = dig & 0x0F
+            row = np.empty(SIMHASH_BITS, dtype=np.uint8)
+            row[0::2] = nib & 1
+            row[1::2] = (nib >> 1) & 1
+            bit_rows[tk] = row
+        return row
+
     for i, arr in enumerate(toks):
         n = 0 if arr is None else len(arr)
         if n == 0:
             continue
-        dig = np.frombuffer(
-            b"".join(hashlib.md5(tk.encode("utf-8")).digest() for tk in arr),
-            dtype=np.uint8,
-        ).reshape(n, 16)[:, : SIMHASH_BITS // 4]
-        nib = np.empty((n, SIMHASH_BITS // 2), dtype=np.uint8)
-        nib[:, 0::2] = dig >> 4
-        nib[:, 1::2] = dig & 0x0F
-        bits = np.empty((n, SIMHASH_BITS), dtype=np.uint8)
-        bits[:, 0::2] = nib & 1
-        bits[:, 1::2] = (nib >> 1) & 1
+        bits = np.stack([token_bits(tk) for tk in arr])
         votes = 2 * bits.sum(axis=0, dtype=np.int64) - n
         out[i] = weights[votes > 0].sum()
     return pd.Series(out)

@@ -142,8 +142,16 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("b").isNotNull())
         .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
     )
-    uni = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     bi = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # r14 optimization (guide §2.4): the context count c1 = COUNT of bigram
+    # instances with this w1 = SUM over w2 of c12 — derive it from the
+    # already-counted bi table instead of a THIRD tokenize+explode pass
+    # over the corpus (bigrams was evaluated once per reference: instances,
+    # uni, bi; exchange reuse cannot merge groupBys on different keys).
+    # Exactly one fewer full corpus pass + one fewer corpus-scale exchange;
+    # the re-aggregation input is the counted table (one row per distinct
+    # bigram). Values identical by the counting identity.
+    uni = bi.groupBy("w1").agg(F.sum("c12").alias("c1"))
     logp = F.round(F.log(F.col("c12").cast("double") / F.col("c1")), 6)
     return (
         bigrams.join(bi, ["w1", "w2"])
