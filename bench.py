@@ -213,6 +213,20 @@ def reduce_passes(
     return best, best_norm
 
 
+def healthy_pass_count(cals: list[float]) -> int:
+    """How many passes survive the suspect-calibration filter (the set the
+    NORMALIZED min is taken over; the raw min always spans every pass).
+
+    r15 (VERDICT r14 "What's wrong" #3, additions-only disclosure): with
+    few passes (the sf1 leg runs 2) one contended pass can leave the
+    normalized min over a SMALLER sample than the raw min, so
+    normalized > raw is possible and such a value is not comparable
+    across rounds. Reporting the surviving sample count per timed set
+    makes that visible in the artifact instead of needing forensics."""
+    n = sum(1 for c in cals if c <= SUSPECT_CAL_FACTOR * CAL_REFERENCE_SEC)
+    return n or len(cals)
+
+
 def main() -> None:
     from n5_dask_spark.catalog import DEFAULT_SF_DIR
 
@@ -262,9 +276,13 @@ def main() -> None:
     # slow pass then costs nothing because some other pass lands clean.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4"))
     calibration_secs: list[float] = []
+    # per timed set: [surviving (healthy) pass count, total passes] — the
+    # sample size behind each *_normalized value (r15, see healthy_pass_count)
+    healthy_passes: dict[str, list[int]] = {}
 
     def time_set(
-        names: list[str], at_dir: str = sf_dir, n_runs: int | None = None
+        names: list[str], at_dir: str = sf_dir, n_runs: int | None = None,
+        label: str = "headline",
     ) -> tuple[dict[str, float], dict[str, float]]:
         """Per-query (best raw sec, best calibration-normalized sec).
 
@@ -288,6 +306,7 @@ def main() -> None:
                 assert rows is not None
                 samples[name] = dt
             passes.append((cal, samples))
+        healthy_passes[label] = [healthy_pass_count([c for c, _ in passes]), len(passes)]
         best, best_norm = reduce_passes(passes, names)
         return (
             {name: round(best[name], 3) for name in names},
@@ -295,7 +314,7 @@ def main() -> None:
         )
 
     per, per_norm = time_set(HEADLINE)
-    pipelines, pipelines_norm = time_set(PIPELINES)
+    pipelines, pipelines_norm = time_set(PIPELINES, label="pipelines")
 
     # Once-per-round sf1 leg (r10 verdict item 3): at sf0.1 the headline
     # queries run 0.24-1.4 s, where JVM/scheduler fixed costs and broadcast
@@ -320,12 +339,17 @@ def main() -> None:
             registry[name].fn(spark, sf1_dir).collect()
         warm1_sec = round(time.perf_counter() - t_warm1, 3)
         sf1_runs = int(os.environ.get("SPARK_GRAFT_BENCH_SF1_RUNS", "2"))
-        per1, per1_norm = time_set(HEADLINE, at_dir=sf1_dir, n_runs=sf1_runs)
+        per1, per1_norm = time_set(HEADLINE, at_dir=sf1_dir, n_runs=sf1_runs, label="sf1")
         sf1_block = {
             "queries": per1,
             "queries_normalized": per1_norm,
             "value": round(sum(per1.values()), 3),
             "value_normalized": round(sum(per1_norm.values()), 3),
+            # sample size behind value_normalized (r15): [healthy, total].
+            # healthy < total means the normalized min spans FEWER passes
+            # than the raw min — normalized can then exceed raw and is not
+            # cross-round comparable (the r14 35.031-vs-31.152 artifact).
+            "healthy_passes": healthy_passes["sf1"],
             "ratio_vs_sf0.1": {
                 k: (round(per1[k] / per[k], 2) if per[k] else None) for k in per1
             },
@@ -357,6 +381,7 @@ def main() -> None:
         "pipelines_normalized": pipelines_norm,
         "calibration_sec": calibration_secs,
         "calibration_ref_sec": CAL_REFERENCE_SEC,
+        "healthy_passes": healthy_passes,
         **aux,
     }
     if sf1_block is not None:
@@ -383,6 +408,15 @@ def main() -> None:
         "cpus": int(cpus),
         "calibration_min_sec": min(calibration_secs),
         "calibration_max_sec": max(calibration_secs),
+        # Core-scaling sentinel (r15, VERDICT r14 "What's wrong" #2): at
+        # sf0.1 the headline queries are fixed-overhead-dominated, so their
+        # times barely move with $SPARK_GRAFT_CPUS and a per-query ratio
+        # heuristic false-fires "cpus ignored". These probes DO scale with
+        # the core pool (r14 c8 run: calibration 0.79-0.96 s vs 0.34-0.50 s
+        # at c32, shuffle 1.553 vs 1.187) — compare them across the
+        # driver's core-count runs to see the pool size is honored.
+        "shuffle_probe_sec": aux["shuffle_probe_sec"],
+        "python_probe_sec": aux["python_probe_sec"],
     }
     if sf1_block is not None:
         # compact scale-up summary inside the driver-captured line; the

@@ -53,6 +53,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # exact same immutability contract the schema cache already relies
     # on). Keyed on the session OBJECT (dies with it, so a stopped
     # session can never leak stale plans into its successor).
+    #
+    # CONTRACT (r15, VERDICT/ADVICE): the cached plan freezes the parquet
+    # FILE LISTING at first resolution (InMemoryFileIndex), not just the
+    # schema — file CONTENTS are re-read per execution, the file SET is
+    # not re-listed. This assumes sf_dir is immutable for the session's
+    # lifetime, which every in-repo caller satisfies: no registered query
+    # writes into its sf_dir (all writes go to tempdirs; pinned by the
+    # suite-wide tests/conftest.py::sf_dir_immutable_guard, which snapshots
+    # the testdata dirs around the full oracle-parity sweep). A flow that
+    # regenerates sf_dir mid-session must call invalidate_table_cache
+    # (or use a fresh session/sf_dir).
     cache: dict[tuple[str, str], DataFrame] = spark.__dict__.setdefault(
         "_n5ds_df_cache", {}
     )
@@ -85,6 +96,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = _read_cached(spark, sf_dir, name)
     cache[key] = df
     return df
+
+
+def invalidate_table_cache(spark: SparkSession, sf_dir: str | None = None) -> None:
+    """Drop cached table plans (and schemas) so a REGENERATED sf_dir is
+    re-listed and re-inferred on next load. ``sf_dir=None`` drops all.
+
+    Closes the one trap in the load_table plan cache (see its contract
+    comment): a base-table directory whose FILE SET changes mid-session
+    would otherwise serve the frozen listing captured at first load."""
+    cache = spark.__dict__.get("_n5ds_df_cache")
+    keys = (
+        [k for k in (cache or {}) if sf_dir is None or k[0] == sf_dir],
+        [k for k in _SCHEMA_CACHE if sf_dir is None or k[0] == sf_dir],
+    )
+    for k in keys[0]:
+        del cache[k]
+    for k in keys[1]:
+        del _SCHEMA_CACHE[k]
 
 
 def _read_cached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -126,6 +155,12 @@ def widen(df: DataFrame) -> DataFrame:
     # call; the width of an immutable plan cannot change, and load_table
     # now returns one cached DataFrame object per (session, sf_dir, table),
     # so repeated query constructions skip the replan entirely.
+    # ASSUMPTION (r15 ADVICE): planned width also depends on session confs
+    # at planning time (spark.sql.files.maxPartitionBytes) and the on-disk
+    # layout — both fixed for a session here (tune_session pins the conf,
+    # sf_dir is immutable per the load_table contract). A mid-session conf
+    # change could leave a stale width; the cost is perf-only (a skipped
+    # or spurious fan-out), never correctness.
     cached_width = df.__dict__.get("_n5ds_scan_width")
     if cached_width is not None:
         return df if cached_width >= target else df.repartition(target)

@@ -345,6 +345,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMHASH_BITS = 60  # < 63 so the bit-weighted sum can't overflow BIGINT
 SIMHASH_MAX_HAMMING = 3
 
+# Worker-lifetime token->bit-row memo for _simhash_signatures (r15, guide
+# §4.5): lives at module level so a reused Python worker keeps it across
+# Arrow batches and tasks. Capped; cleared outright when full (see the
+# kernel docstring for why clear-all is safe and sufficient).
+_SIMHASH_BIT_ROWS: dict = {}
+_SIMHASH_MEMO_CAP = 1 << 16  # ~64k tokens x ~250 B/entry ~= 16 MB ceiling
+
 # Per-token bit b (b in 0..59): nibble b//2 of md5(tok), bit b%2 of that
 # nibble. Signature bit = sign of the +-1 vote sum over distinct tokens.
 # Spark side computes this in ONE Arrow-batched pandas pass (below); the
@@ -365,12 +372,22 @@ def _simhash_signatures(toks):
     null token array votes 0 everywhere -> signature 0, matching the SQL
     aggregate over an empty list.
 
-    r14 optimization (guide §4.2): token digests are memoized per Arrow
-    batch — corpus vocabulary is Zipfian, so the same stopword tokens
-    recur across most documents in a batch, and the md5 calls (the
-    kernel's dominant cost) collapse from O(total tokens) to O(distinct
-    tokens per batch). Per-token bit rows are cached and stacked per doc;
-    the vote/weight arithmetic is unchanged, so signatures are identical.
+    r14 optimization (guide §4.2): token digests are memoized — corpus
+    vocabulary is Zipfian, so the same stopword tokens recur across most
+    documents, and the md5 calls (the kernel's dominant cost) collapse
+    from O(total tokens) to O(distinct tokens seen). Per-token bit rows
+    are cached and stacked per doc; the vote/weight arithmetic is
+    unchanged, so signatures are identical.
+
+    r15 (guide §4.5, VERDICT r14 item 7): the memo is a MODULE-LEVEL
+    global instead of a per-call dict, so it survives across Arrow
+    batches and — with the default spark.python.worker.reuse and this
+    module shipped importable via addPyFile — across tasks of a reused
+    worker; short batches at scale no longer rebuild the stopword rows
+    per batch. Memory is bounded by _SIMHASH_MEMO_CAP distinct tokens
+    (~60 B payload each); when full the memo is cleared outright — the
+    Zipfian head repopulates within one document, and eviction choice
+    cannot affect values (each row is a pure function of its token).
     """
     import hashlib
 
@@ -379,7 +396,7 @@ def _simhash_signatures(toks):
 
     out = np.zeros(len(toks), dtype=np.int64)
     weights = np.int64(1) << np.arange(SIMHASH_BITS, dtype=np.int64)
-    bit_rows: dict[str, np.ndarray] = {}  # token -> (60,) uint8 bit row
+    bit_rows = _SIMHASH_BIT_ROWS  # worker-lifetime memo (see docstring)
 
     def token_bits(tk: str) -> np.ndarray:
         row = bit_rows.get(tk)
@@ -394,6 +411,8 @@ def _simhash_signatures(toks):
             row = np.empty(SIMHASH_BITS, dtype=np.uint8)
             row[0::2] = nib & 1
             row[1::2] = (nib >> 1) & 1
+            if len(bit_rows) >= _SIMHASH_MEMO_CAP:
+                bit_rows.clear()
             bit_rows[tk] = row
         return row
 

@@ -195,26 +195,30 @@ def _build_container(
         compression=compression or {"type": "gzip"},
     )
 
-    def assemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+    def assemble(key: tuple, pdf: pd.DataFrame) -> tuple:
         gx, gy, gz = (int(k) for k in key)
         arr = np.zeros((BLOCK, BLOCK, BLOCK), dtype=np.uint8)  # zyx
         zz = pdf["z"].to_numpy() - gz * BLOCK
         yy = pdf["y"].to_numpy() - gy * BLOCK
         xx = pdf["x"].to_numpy() - gx * BLOCK
         arr[zz, yy, xx] = pdf["val"].to_numpy().astype(np.uint8)
-        return pd.DataFrame(
-            [(gx, gy, gz, list(arr.shape), arr.tobytes())],
-            columns=["gx", "gy", "gz", "shape_zyx", "data"],
-        )
+        return (gx, gy, gz, arr)
+
+    from n5_dask_spark.sources.n5 import fuse
 
     vox = _voxels(spark, sf_dir)
-    blocks = (
+    keyed = (
         vox.withColumn("gx", F.expr(f"CAST(x div {BLOCK} AS INT)"))
         .withColumn("gy", F.expr(f"CAST(y div {BLOCK} AS INT)"))
         .withColumn("gz", F.expr(f"CAST(z div {BLOCK} AS INT)"))
-        .groupBy("gx", "gy", "gz")
-        .applyInPandas(assemble, schema="gx int, gy int, gz int, shape_zyx array<int>, data binary")
     )
+    blocks = keyed.groupBy("gx", "gy", "gz").applyInPandas(
+        fuse.emit_block_per_group(assemble),
+        schema="gx int, gy int, gz int, shape_zyx array<int>, data binary",
+    )
+    # write_blocks fuses encode+write into this assembler (r15, guide §4):
+    # the assembled block bytes never cross the Python boundary at all
+    fuse.attach_grouped(blocks, keyed, ("gx", "gy", "gz"), assemble)
     write_blocks(blocks, container, dataset, attrs)
     _BUILT.add((tag, sf_dir))
     return container, dataset
@@ -222,23 +226,24 @@ def _build_container(
 
 def _zprofile(blocks: DataFrame, data_type: str, block_z: int) -> DataFrame:
     """Per-z-slice (sum, count) from a decoded blocks DF: per-block partials
-    inside Arrow batches, merged by one groupBy — voxels never become rows."""
+    inside Arrow batches, merged by one groupBy — voxels never become rows.
+    Consumed through fuse.consume_block_rows (r15, guide §4): the partial
+    runs inside the decode (or post-rechunk assembler) Python node, so the
+    decoded voxel bytes cross the JVM<->Python boundary once."""
+    from n5_dask_spark.sources.n5 import fuse
+    from n5_dask_spark.sources.n5.codec import np_dtype
 
-    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from n5_dask_spark.sources.n5.codec import np_dtype
-
-        dt = np_dtype(data_type)
-        for pdf in batches:
-            rows = []
-            for gz, shape, data in zip(pdf["gz"], pdf["shape_zyx"], pdf["data"]):
-                a = np.frombuffer(bytes(data), dtype=dt).reshape(list(shape))
-                sums = a.sum(axis=(1, 2), dtype="i8")
-                for dz in range(a.shape[0]):
-                    rows.append((int(gz) * block_z + dz, int(sums[dz]), a.shape[1] * a.shape[2]))
-            yield pd.DataFrame(rows, columns=["z", "zsum", "n_vox"])
+    def prof_rows(gx: int, gy: int, gz: int, a: np.ndarray) -> Iterator[tuple]:
+        sums = a.sum(axis=(1, 2), dtype="i8")
+        n_vox = a.shape[1] * a.shape[2]
+        for dz in range(a.shape[0]):
+            yield (int(gz) * block_z + dz, int(sums[dz]), n_vox)
 
     return (
-        blocks.mapInPandas(partial, schema="z int, zsum long, n_vox long")
+        fuse.consume_block_rows(
+            blocks, np_dtype(data_type), prof_rows,
+            ["z", "zsum", "n_vox"], "z int, zsum long, n_vox long",
+        )
         .groupBy("z")
         .agg(F.sum("zsum").alias("zsum"), F.sum("n_vox").cast("bigint").alias("n_vox"))
         .orderBy("z")
@@ -291,18 +296,19 @@ def n5_rechunk_blocksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     attrs = read_attributes(container, dataset)
     out_blocks, _ = rechunk(decoded_blocks(spark, container, dataset), attrs, [8, 8, 8])
 
-    def sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for gx, gy, gz, shape, data in zip(
-                pdf["gx"], pdf["gy"], pdf["gz"], pdf["shape_zyx"], pdf["data"]
-            ):
-                a = np.frombuffer(bytes(data), dtype=np.uint8).reshape(list(shape))
-                rows.append((int(gx), int(gy), int(gz), int(a.size), int(a.sum(dtype="i8"))))
-            yield pd.DataFrame(rows, columns=["tgx", "tgy", "tgz", "n_elems", "bsum"])
+    # sums fuse into the rechunk assembler's post-shuffle Python node
+    # (r15, guide §4): the assembled block bytes never re-cross the boundary
+    from n5_dask_spark.sources.n5 import fuse
+
+    def sum_rows(gx: int, gy: int, gz: int, a: np.ndarray):
+        yield (int(gx), int(gy), int(gz), int(a.size), int(a.sum(dtype="i8")))
 
     return (
-        out_blocks.mapInPandas(sums, schema="tgx int, tgy int, tgz int, n_elems long, bsum long")
+        fuse.consume_block_rows(
+            out_blocks, np.dtype("uint8"), sum_rows,
+            ["tgx", "tgy", "tgz", "n_elems", "bsum"],
+            "tgx int, tgy int, tgz int, n_elems long, bsum long",
+        )
         .orderBy("tgx", "tgy", "tgz")
     )
 
@@ -378,21 +384,21 @@ def n5_multiscale_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     container, _ = _build_container(spark, sf_dir, "multiscale")
     levels = build_multiscale(spark, container, "vol", (2, 2, 2), thumbnail_size_xyz=[8, 8, 8])
 
-    def block_sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for shape, data in zip(pdf["shape_zyx"], pdf["data"]):
-                a = np.frombuffer(bytes(data), dtype=np.uint8).reshape(list(shape))
-                rows.append((int(a.sum(dtype="i8")), int(a.size)))
-            yield pd.DataFrame(rows, columns=["bsum", "n"])
+    from n5_dask_spark.sources.n5 import fuse
+
+    # sums fuse into the per-level decode node (r15, guide §4)
+    def sum_rows(gx: int, gy: int, gz: int, a: np.ndarray):
+        yield (int(a.sum(dtype="i8")), int(a.size))
 
     per_level = []
     for i, lv in enumerate(levels):
         attrs = read_attributes(container, f"vol/{lv}")
         factor = float(attrs.extra.get("downsamplingFactors", [1.0])[0])
         agg = (
-            decoded_blocks(spark, container, f"vol/{lv}")
-            .mapInPandas(block_sums, schema="bsum long, n long")
+            fuse.consume_block_rows(
+                decoded_blocks(spark, container, f"vol/{lv}"),
+                np.dtype("uint8"), sum_rows, ["bsum", "n"], "bsum long, n long",
+            )
             .agg(F.sum("bsum").alias("total_sum"), F.sum("n").alias("n_vox"))
             .select(
                 F.lit(i).alias("level"),

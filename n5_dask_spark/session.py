@@ -33,9 +33,15 @@ def _default_shuffle_partitions() -> str:
     small — is AQE partition coalescing (enabled below), which is the
     mechanism that actually adapts to input size at runtime; this value
     is only the pre-coalesce ceiling.
+
+    r15 (ADVICE): evaluated LAZILY by get_spark/tune_session — not frozen
+    at module import — so env vars set after importing this module still
+    take effect; the explicit override is validated like the CPUS path
+    (a non-numeric/zero value falls through to the derived default
+    instead of propagating garbage into spark.sql.shuffle.partitions).
     """
-    explicit = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
-    if explicit:
+    explicit = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "")
+    if explicit.isdigit() and int(explicit) > 0:
         return explicit
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
     return str(max(32, int(cpus))) if cpus.isdigit() else "32"
@@ -104,7 +110,13 @@ def get_spark(
     else:
         master = f"local[{cpus}]"
     builder = SparkSession.builder.appName(app_name).master(master)
-    merged = {**DEFAULT_CONFS, **(extra_conf or {})}
+    # shuffle width re-derived here (not at module import) so env vars set
+    # after importing this module are honored (r15 ADVICE)
+    merged = {
+        **DEFAULT_CONFS,
+        "spark.sql.shuffle.partitions": _default_shuffle_partitions(),
+        **(extra_conf or {}),
+    }
     # spark-submit's launcher warns-and-IGNORES builder configs without a
     # spark. prefix (e.g. the parquet verify-checksum key, which is a
     # Hadoop/Parquet property merged from the SESSION conf at plan time) —
@@ -162,19 +174,24 @@ def tune_session(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, DEFAULT_CONFS[k])
         except Exception:
             pass  # conf not runtime-settable in this deployment: keep going
-    for k in (
-        "spark.sql.adaptive.enabled",
-        "spark.sql.adaptive.coalescePartitions.enabled",
-        "spark.sql.adaptive.skewJoin.enabled",
-        "spark.sql.shuffle.partitions",
-        "spark.sql.autoBroadcastJoinThreshold",
-        "spark.sql.execution.arrow.maxBytesPerBatch",
-        "parquet.page.verify-checksum.enabled",
-    ):
+    tuning = {
+        k: DEFAULT_CONFS[k]
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.execution.arrow.maxBytesPerBatch",
+            "parquet.page.verify-checksum.enabled",
+        )
+    }
+    # re-derived lazily, same reason as in get_spark (r15 ADVICE)
+    tuning["spark.sql.shuffle.partitions"] = _default_shuffle_partitions()
+    for k, v in tuning.items():
         if k in user:
             continue
         try:
-            spark.conf.set(k, DEFAULT_CONFS[k])
+            spark.conf.set(k, v)
         except Exception:
             pass  # conf not runtime-settable in this deployment: keep going
     try:

@@ -455,7 +455,19 @@ def decoded_blocks(
     dataset: str,
     paths: list[str] | None = None,
 ) -> DataFrame:
-    """Blocks DataFrame with decoded payloads (shape_zyx + native bytes)."""
+    """Blocks DataFrame with decoded payloads (shape_zyx + native bytes).
+
+    The returned DF carries fuse.attach_map metadata (r15, guide §4): an
+    in-package consumer (rechunk/downsample/cast fragment kernels, zprofile
+    partials, the write sink) runs the decode INSIDE its own Python node,
+    so the decoded voxel bytes cross the JVM<->Python boundary once instead
+    of twice. Direct users of this DF (collect, foreign kernels) see the
+    exact same materialized rows as before; output frames stay
+    byte-bounded (udfbatch) — the input batch is bounded in ENCODED bytes
+    (arrow.maxBytesPerBatch), so one frame per input batch would scale
+    with the codec ratio. check_block_shape runs per block on every path."""
+    from n5_dask_spark.sources.n5 import fuse
+
     attrs = read_attributes(container, dataset)
     raw_df = scan_block_files(
         spark, container, dataset, attrs.ndim, paths=paths,
@@ -463,29 +475,21 @@ def decoded_blocks(
     )
     data_type, compression = attrs.data_type, dict(attrs.compression)
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # Output frames are byte-bounded (udfbatch): the input batch is
-        # bounded in ENCODED bytes (arrow.maxBytesPerBatch), so one frame
-        # per input batch would scale with the codec ratio — unbounded for
-        # highly compressible volumes. Decode lazily, repack by decoded bytes.
-        def rows() -> Iterator[tuple]:
-            for pdf in batches:
-                for r, p, gx, gy, gz in zip(
-                    pdf["raw"], pdf["path"], pdf["gx"], pdf["gy"], pdf["gz"]
-                ):
-                    a = check_block_shape(
-                        decode_block_at(bytes(r), data_type, compression, p),
-                        (int(gx), int(gy), int(gz)),
-                        attrs,
-                        p,
-                    )
-                    yield (int(gx), int(gy), int(gz), list(a.shape), a.tobytes())
+    def blocks_fn(batches: Iterator[pd.DataFrame]) -> Iterator[tuple]:
+        for pdf in batches:
+            for r, p, gx, gy, gz in zip(
+                pdf["raw"], pdf["path"], pdf["gx"], pdf["gy"], pdf["gz"]
+            ):
+                a = check_block_shape(
+                    decode_block_at(bytes(r), data_type, compression, p),
+                    (int(gx), int(gy), int(gz)),
+                    attrs,
+                    p,
+                )
+                yield (int(gx), int(gy), int(gz), a)
 
-        yield from bounded_frames(
-            rows(), ["gx", "gy", "gz", "shape_zyx", "data"], lambda r: len(r[4])
-        )
-
-    return raw_df.mapInPandas(decode, schema=BLOCK_SCHEMA)
+    out = raw_df.mapInPandas(fuse.emit_blocks_kernel(blocks_fn), schema=BLOCK_SCHEMA)
+    return fuse.attach_map(out, raw_df, blocks_fn)
 
 
 def block_stats(spark: SparkSession, container: str, dataset: str) -> DataFrame:

@@ -37,8 +37,8 @@ from n5_dask_spark.sources.n5.metadata import (
     scaled_pixel_resolution,
     update_raw_attributes,
 )
+from n5_dask_spark.sources.n5 import fuse
 from n5_dask_spark.sources.n5.reader import decoded_blocks
-from n5_dask_spark.udfbatch import bounded_frames
 from n5_dask_spark.sources.n5.writer import write_blocks
 
 FRAGMENT_SCHEMA = (
@@ -47,25 +47,28 @@ FRAGMENT_SCHEMA = (
 BLOCK_SCHEMA_DDL = "gx int, gy int, gz int, shape_zyx array<int>, data binary"
 
 
-def _fragment_fn(
-    dt: np.dtype,
+FRAGMENT_COLUMNS = ["tgx", "tgy", "tgz", "off_zyx", "shape_zyx", "data"]
+
+
+def _fragment_rows_fn(
     ndim: int,
     old_bs: list[int],
     start: list[int],
     end: list[int],
     out_bs: list[int],
 ):
-    """mapInPandas kernel shared by rechunk and export_region: slice each
-    decoded source block into fragments keyed by the target grid cell of
-    the output dataset, whose origin is ``start`` and whose extent is
-    ``[start, end)`` in source coordinates. Rechunk is the origin-0
-    full-extent special case; blocks only grazing the region emit nothing."""
+    """Per-block fragment generator shared by rechunk and export_region:
+    slice one decoded source block into fragments keyed by the target grid
+    cell of the output dataset, whose origin is ``start`` and whose extent
+    is ``[start, end)`` in source coordinates. Rechunk is the origin-0
+    full-extent special case; blocks only grazing the region emit nothing.
+    Consumed through fuse.consume_block_rows, so decode+fragment is ONE
+    Python node (r15, guide §4) and output frames stay byte-bounded."""
 
-    def block_frags(gx, gy, gz, shape, data) -> Iterator[tuple]:
+    def block_frags(gx, gy, gz, arr: np.ndarray) -> Iterator[tuple]:
         import itertools
 
         grid = (int(gx), int(gy), int(gz))[:ndim]
-        arr = np.frombuffer(bytes(data), dtype=dt).reshape(list(shape))
         # global span of this block, xyz
         b0 = [g * b for g, b in zip(grid, old_bs)]
         b1 = [s + d for s, d in zip(b0, reversed(arr.shape))]
@@ -97,24 +100,7 @@ def _fragment_fn(
                 *(list(tcell) + [0] * (3 - ndim)), off_zyx, list(frag.shape), frag.tobytes()
             )
 
-    def fragment(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # byte-bounded output frames (udfbatch): fragment bytes ~= decoded
-        # input bytes, but accumulating a whole input batch's fragments
-        # before yielding doubles peak memory for no reason
-        rows = (
-            row
-            for pdf in batches
-            for block in zip(
-                pdf["gx"], pdf["gy"], pdf["gz"], pdf["shape_zyx"], pdf["data"]
-            )
-            for row in block_frags(*block)
-        )
-        yield from bounded_frames(
-            rows, ["tgx", "tgy", "tgz", "off_zyx", "shape_zyx", "data"],
-            lambda r: len(r[5]),
-        )
-
-    return fragment
+    return block_frags
 
 
 def rechunk(
@@ -128,7 +114,7 @@ def rechunk(
     old_bs, new_bs = list(attrs.block_size), list(new_block_size)
     dt = np_dtype(attrs.data_type)
     ndim = attrs.ndim
-    fragment = _fragment_fn(dt, ndim, old_bs, [0] * ndim, dims_xyz, new_bs)
+    block_frags = _fragment_rows_fn(ndim, old_bs, [0] * ndim, dims_xyz, new_bs)
 
     new_attrs = DatasetAttributes(
         data_type=attrs.data_type,
@@ -138,18 +124,27 @@ def rechunk(
         extra=dict(attrs.extra),
     )
 
-    frags = blocks.mapInPandas(fragment, schema=FRAGMENT_SCHEMA)
-    out = frags.groupBy("tgx", "tgy", "tgz").applyInPandas(
-        _block_assembler(new_attrs, dt), schema=BLOCK_SCHEMA_DDL
+    # decode(+any upstream block-local transforms)+fragment fuse into ONE
+    # Python node before the one exchange (r15, guide §4)
+    frags = fuse.consume_block_rows(
+        blocks, dt, block_frags, FRAGMENT_COLUMNS, FRAGMENT_SCHEMA,
+        row_bytes=lambda r: len(r[5]),
     )
-    return out, new_attrs
+    assemble = _assemble_block_fn(new_attrs, dt)
+    out = frags.groupBy("tgx", "tgy", "tgz").applyInPandas(
+        fuse.emit_block_per_group(assemble), schema=BLOCK_SCHEMA_DDL
+    )
+    # downstream per-block consumers (stats kernels, the write sink) fuse
+    # into the assembler's applyInPandas instead of adding a second
+    # post-shuffle Python node
+    return fuse.attach_grouped(out, frags, ("tgx", "tgy", "tgz"), assemble), new_attrs
 
 
-def _block_assembler(new_attrs: DatasetAttributes, dt: np.dtype):
-    """applyInPandas kernel: one target grid cell's fragments -> one block."""
+def _assemble_block_fn(new_attrs: DatasetAttributes, dt: np.dtype):
+    """One target grid cell's fragments -> (gx, gy, gz, block array)."""
     ndim = new_attrs.ndim
 
-    def assemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+    def assemble(key: tuple, pdf: pd.DataFrame) -> tuple:
         grid = tuple(int(k) for k in key)[:ndim]
         tdims_xyz = new_attrs.block_dims(grid)
         out = np.zeros(tuple(reversed(tdims_xyz)), dtype=dt)
@@ -157,10 +152,8 @@ def _block_assembler(new_attrs: DatasetAttributes, dt: np.dtype):
             frag = np.frombuffer(bytes(data), dtype=dt).reshape(list(shape))
             sel = tuple(slice(o, o + s) for o, s in zip(off, shape))
             out[sel] = frag
-        return pd.DataFrame(
-            [(*(list(grid) + [0] * (3 - ndim)), list(out.shape), out.tobytes())],
-            columns=["gx", "gy", "gz", "shape_zyx", "data"],
-        )
+        g3 = list(grid) + [0] * (3 - ndim)
+        return (g3[0], g3[1], g3[2], out)
 
     return assemble
 
@@ -208,7 +201,7 @@ def export_region(
     )
     dt = np_dtype(attrs.data_type)
     old_bs, out_bs = list(attrs.block_size), list(out_attrs.block_size)
-    fragment = _fragment_fn(dt, ndim, old_bs, start, end, out_bs)
+    block_frags = _fragment_rows_fn(ndim, old_bs, start, end, out_bs)
 
     hits = overlapping_blocks(attrs, start, end)
     import os as _os
@@ -226,12 +219,17 @@ def export_region(
     else:
         paths = [p for p in candidates if _os.path.exists(p)]
     if paths:
-        frags = decoded_blocks(spark, container, dataset, paths=paths).mapInPandas(
-            fragment, schema=FRAGMENT_SCHEMA
+        # decode+fragment fused into one Python node (r15, guide §4)
+        frags = fuse.consume_block_rows(
+            decoded_blocks(spark, container, dataset, paths=paths),
+            dt, block_frags, FRAGMENT_COLUMNS, FRAGMENT_SCHEMA,
+            row_bytes=lambda r: len(r[5]),
         )
+        assemble = _assemble_block_fn(out_attrs, dt)
         out = frags.groupBy("tgx", "tgy", "tgz").applyInPandas(
-            _block_assembler(out_attrs, dt), schema=BLOCK_SCHEMA_DDL
+            fuse.emit_block_per_group(assemble), schema=BLOCK_SCHEMA_DDL
         )
+        fuse.attach_grouped(out, frags, ("tgx", "tgy", "tgz"), assemble)
     else:  # fully sparse/out-of-bounds region: metadata-only dataset
         out = spark.createDataFrame([], BLOCK_SCHEMA_DDL)
     write_blocks(out, out_container, out_dataset, out_attrs)
@@ -278,21 +276,13 @@ def downsample(
     out_dims = [math.ceil(d / f) for d, f in zip(attrs.dimensions, factors_xyz)]
     reduced_bs = [b // f for b, f in zip(attrs.block_size, factors_xyz)]
 
-    def reduce_block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def rows() -> Iterator[tuple]:
-            for pdf in batches:
-                for gx, gy, gz, shape, data in zip(
-                    pdf["gx"], pdf["gy"], pdf["gz"], pdf["shape_zyx"], pdf["data"]
-                ):
-                    arr = np.frombuffer(bytes(data), dtype=dt).reshape(list(shape))
-                    red = windowed_mean_zyx(arr, f_zyx).astype(dt)
-                    yield (int(gx), int(gy), int(gz), list(red.shape), red.tobytes())
+    def reduce_block(gx: int, gy: int, gz: int, arr: np.ndarray) -> tuple:
+        return (gx, gy, gz, windowed_mean_zyx(arr, f_zyx).astype(dt))
 
-        yield from bounded_frames(
-            rows(), ["gx", "gy", "gz", "shape_zyx", "data"], lambda r: len(r[4])
-        )
-
-    reduced = blocks.mapInPandas(reduce_block, schema=BLOCK_SCHEMA_DDL)
+    # block-local: composes into the decode node (r15, guide §4) — the
+    # canonical factor-divides-block case runs decode+reduce+re-fragment
+    # as ONE Python node before the rechunk exchange
+    reduced = fuse.transform_blocks(blocks, dt, reduce_block)
     mid_attrs = DatasetAttributes(
         data_type=attrs.data_type,
         dimensions=out_dims,
@@ -315,21 +305,11 @@ def cast_blocks(
     if safe and not np.can_cast(src, dst, casting="safe"):
         raise TypeError(f"unsafe cast {attrs.data_type} -> {target_type}; pass safe=False")
 
-    def cast(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # byte-bounded output frames (udfbatch): a safe cast widens up to 8x
-        # (uint8 -> float64), so one frame per input batch would be 8x the
-        # 64 MB input bound
-        def rows() -> Iterator[tuple]:
-            for pdf in batches:
-                for gx, gy, gz, shape, data in zip(
-                    pdf["gx"], pdf["gy"], pdf["gz"], pdf["shape_zyx"], pdf["data"]
-                ):
-                    arr = np.frombuffer(bytes(data), dtype=src).reshape(list(shape)).astype(dst)
-                    yield (int(gx), int(gy), int(gz), list(arr.shape), arr.tobytes())
-
-        yield from bounded_frames(
-            rows(), ["gx", "gy", "gz", "shape_zyx", "data"], lambda r: len(r[4])
-        )
+    def cast(gx: int, gy: int, gz: int, arr: np.ndarray) -> tuple:
+        # byte-bounded output framing is fuse/udfbatch's: a safe cast widens
+        # up to 8x (uint8 -> float64), so one frame per input batch would be
+        # 8x the 64 MB input bound
+        return (gx, gy, gz, arr.astype(dst))
 
     new_attrs = DatasetAttributes(
         data_type=target_type,
@@ -338,7 +318,7 @@ def cast_blocks(
         compression=dict(attrs.compression),
         extra=dict(attrs.extra),
     )
-    return blocks.mapInPandas(cast, schema=BLOCK_SCHEMA_DDL), new_attrs
+    return fuse.transform_blocks(blocks, src, cast), new_attrs
 
 
 def build_multiscale(

@@ -41,7 +41,6 @@ from n5_dask_spark.sources.n5.metadata import (
     read_raw_attributes,
     write_attributes,
 )
-from n5_dask_spark.udfbatch import bounded_frames
 
 
 def claim_dataset_write(container: str, dataset: str) -> str:
@@ -201,7 +200,21 @@ def write_blocks(
     and a failed job leaves the marker so the incomplete dataset stays
     loud. The marker is released only after the duplicate-producer guard
     passes — a guard failure means nondeterministic contents, which is
-    exactly an incomplete dataset."""
+    exactly an incomplete dataset.
+
+    r15 (guide §4): the encode+write sink fuses INTO the producer's own
+    Python node when the blocks DF carries fuse metadata — into the
+    rechunk/export assembler's applyInPandas (block bytes never re-cross
+    the JVM<->Python boundary after the fragment shuffle) or into a
+    map-source's decode/slice kernel (decode+encode+write is one node).
+    The duplicate-producer guard is UNCHANGED in strength either way: the
+    sink still emits exactly one (gx,gy,gz) row per written block and the
+    same job-level aggregate compares writes against distinct path keys —
+    for grouped producers that guard was already trivially green (groupBy
+    keys are unique by construction), so fusing the write into the
+    assembler loses nothing; for every other producer the unfused sink
+    path below runs exactly as before."""
+    from n5_dask_spark.sources.n5 import fuse
     from n5_dask_spark.sources.n5.metadata import _is_uri
 
     marker = claim_dataset_write(container, dataset)
@@ -211,7 +224,9 @@ def write_blocks(
     ndim = attrs.ndim  # block paths are exactly ndim levels deep
     container_is_uri = _is_uri(container)
 
-    def sink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def write_one(gx: int, gy: int, gz: int, arr: np.ndarray) -> tuple:
+        coords = (int(gx), int(gy), int(gz))[:ndim]
+        payload = encode_block(arr, data_type, compression)
         if container_is_uri:
             # executor-side scheme dispatch (r13): Python workers have no
             # py4j bridge, so URI writes go through pyarrow.fs with the
@@ -219,26 +234,47 @@ def write_blocks(
             # atomic, direct PUT where the object is) — see fsio module
             # doc for why each is the never-torn choice on its store
             from n5_dask_spark.sources.n5 import fsio
-        for pdf in batches:
-            for gx, gy, gz, shape, data in zip(
-                pdf["gx"], pdf["gy"], pdf["gz"], pdf["shape_zyx"], pdf["data"]
-            ):
-                arr = np.frombuffer(bytes(data), dtype=dt).reshape(list(shape))
-                coords = (int(gx), int(gy), int(gz))[:ndim]
-                payload = encode_block(arr, data_type, compression)
-                if container_is_uri:
-                    fsio.publish_file(
-                        "/".join([container, dataset, *map(str, coords)]), payload
-                    )
-                else:
-                    _atomic_write(
-                        os.path.join(container, dataset, *map(str, coords)), payload
-                    )
-            _maybe_inject_fault()  # chaos hook: batch's files are on disk
-            yield pdf[["gx", "gy", "gz"]]
+
+            fsio.publish_file(
+                "/".join([container, dataset, *map(str, coords)]), payload
+            )
+        else:
+            _atomic_write(
+                os.path.join(container, dataset, *map(str, coords)), payload
+            )
+        return (int(gx), int(gy), int(gz))
+
+    src = fuse.source_of(blocks, dt)
+    if src[0] == "grouped":
+        _, frags, key_cols, assemble_fn = src
+
+        def sink_one(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            coords3 = write_one(*assemble_fn(key, pdf))
+            _maybe_inject_fault()  # chaos hook: this block's file is on disk
+            return pd.DataFrame([coords3], columns=["gx", "gy", "gz"])
+
+        written_coords = frags.groupBy(*key_cols).applyInPandas(
+            sink_one, schema="gx int, gy int, gz int"
+        )
+    else:
+        _, upstream, blocks_fn = src
+
+        def sink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            buf: list[tuple] = []
+            for blk in blocks_fn(batches):
+                buf.append(write_one(*blk))
+                if len(buf) >= 1024:  # coords rows are 12 bytes — cadence only
+                    _maybe_inject_fault()  # chaos hook: files are on disk
+                    yield pd.DataFrame(buf, columns=["gx", "gy", "gz"])
+                    buf = []
+            if buf:
+                _maybe_inject_fault()
+                yield pd.DataFrame(buf, columns=["gx", "gy", "gz"])
+
+        written_coords = upstream.mapInPandas(sink, schema="gx int, gy int, gz int")
 
     counts = (
-        blocks.mapInPandas(sink, schema="gx int, gy int, gz int")
+        written_coords
         .agg(
             F.count(F.lit(1)).alias("written"),
             # distinct over only the first ndim coords — the file path is
@@ -294,33 +330,38 @@ def write_array(
     dt = np_dtype(data_type)
     ndim = attrs.ndim
 
-    def make_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # byte-bounded output frames (udfbatch) — THE worst-case lane of the
-        # r11 Arrow probe: input rows are ~12-byte grid coords, so Spark's
-        # input-side byte bound admits ~10k of them per batch, and one
-        # output frame per input batch would hold 10k x block_size bytes
-        # (unbounded by ANY input-side knob; 1.3 TB at 512-cube uint8)
+    def blocks_fn(batches: Iterator[pd.DataFrame]) -> Iterator[tuple]:
+        # byte-bounded output framing is fuse/udfbatch's — THE worst-case
+        # lane of the r11 Arrow probe: input rows are ~12-byte grid coords,
+        # so Spark's input-side byte bound admits ~10k of them per batch,
+        # and one output frame per input batch would hold 10k x block_size
+        # bytes (unbounded by ANY input-side knob; 1.3 TB at 512-cube uint8)
         vol = bcast.value
+        for pdf in batches:
+            for gx, gy, gz in zip(pdf["gx"], pdf["gy"], pdf["gz"]):
+                grid = (int(gx), int(gy), int(gz))[:ndim]
+                sel = tuple(
+                    slice(g * b, min((g + 1) * b, d))
+                    for g, b, d in zip(grid[::-1], bs_xyz[::-1], vol.shape)
+                )
+                block = np.ascontiguousarray(vol[sel]).astype(dt)
+                # pad grid coords to the fixed 3-column schema for ndim < 3
+                g3 = list(grid) + [0] * (3 - ndim)
+                yield (g3[0], g3[1], g3[2], block)
 
-        def rows() -> Iterator[tuple]:
-            for pdf in batches:
-                for gx, gy, gz in zip(pdf["gx"], pdf["gy"], pdf["gz"]):
-                    grid = (int(gx), int(gy), int(gz))[:ndim]
-                    sel = tuple(
-                        slice(g * b, min((g + 1) * b, d))
-                        for g, b, d in zip(grid[::-1], bs_xyz[::-1], vol.shape)
-                    )
-                    block = np.ascontiguousarray(vol[sel]).astype(dt)
-                    # pad grid coords to the fixed 3-column schema for ndim < 3
-                    yield (*(list(grid) + [0] * (3 - ndim)), list(block.shape), block.tobytes())
+    from n5_dask_spark.sources.n5 import fuse
 
-        yield from bounded_frames(
-            rows(), ["gx", "gy", "gz", "shape_zyx", "data"], lambda r: len(r[4])
-        )
-
-    blocks = grid_df(spark, attrs).mapInPandas(make_blocks, schema=(
-        "gx int, gy int, gz int, shape_zyx array<int>, data binary"
-    ))
+    grid = grid_df(spark, attrs)
+    # fusable source (r15, guide §4): write_blocks runs slice+encode+write
+    # as ONE Python node — the block bytes never cross the boundary at all
+    # (they are born executor-side from the broadcast volume)
+    blocks = fuse.attach_map(
+        grid.mapInPandas(fuse.emit_blocks_kernel(blocks_fn), schema=(
+            "gx int, gy int, gz int, shape_zyx array<int>, data binary"
+        )),
+        grid,
+        blocks_fn,
+    )
     write_blocks(blocks, container, dataset, attrs)
     return attrs
 

@@ -38,12 +38,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from n5_dask_spark.session import tune_session
+from n5_dask_spark.sources.n5 import fuse
 from n5_dask_spark.sources.n5.codec import data_type_of, np_dtype
 from n5_dask_spark.sources.n5.metadata import DatasetAttributes, read_attributes, write_attributes
 from n5_dask_spark.sources.n5.transforms import BLOCK_SCHEMA_DDL, cast_blocks, rechunk
 from n5_dask_spark.sources.n5.reader import decoded_blocks
 from n5_dask_spark.sources.n5.writer import _atomic_write, write_blocks
-from n5_dask_spark.udfbatch import bounded_frames
 
 # TIFF tag ids
 _W, _H, _BITS, _COMP, _PHOTO, _STRIP_OFF, _SPP, _ROWS_PER_STRIP, _STRIP_CNT, _SFMT = (
@@ -468,39 +468,40 @@ def tif_series_to_n5(
     src_type = data_type_of(probe_dt)
     dims_xyz = [probe_w, probe_h, n_z]
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # byte-bounded output frames (udfbatch): LZW/deflate series expand
-        # on decode, so one frame per input batch scales with the ratio
-        def rows() -> Iterator[tuple]:
-            for pdf in batches:
-                for z, raw, fname in zip(pdf["z"], pdf["raw"], pdf["fname"]):
-                    try:
-                        arr = decode_tiff(bytes(raw))
-                    except Exception as e:
-                        # name the FILE: a long series dying on one corrupt
-                        # slice must point at it (decode_block_at discipline)
-                        raise ValueError(
-                            f"corrupt TIFF slice {fname} (z={int(z)}, "
-                            f"{len(raw)} bytes): {type(e).__name__}: {e}"
-                        ) from e
-                    # every slice must match the probe: a mismatched shape
-                    # would otherwise be silently clipped/zero-padded by the
-                    # rechunk kernel, and a same-width dtype reinterpreted
-                    # bit-for-bit
-                    if arr.shape != (probe_h, probe_w) or arr.dtype != probe_dt:
-                        raise ValueError(
-                            f"slice {fname} (z={int(z)}) is {arr.shape} {arr.dtype}; "
-                            f"the series probe says ({probe_h}, {probe_w}) {probe_dt} "
-                            "— all slices of a series must share one shape and dtype"
-                        )
-                    arr = arr[None, :, :]  # (1, Y, X)
-                    yield (0, 0, int(z), list(arr.shape), arr.tobytes())
+    def blocks_fn(batches: Iterator[pd.DataFrame]) -> Iterator[tuple]:
+        # byte-bounded output framing is fuse/udfbatch's: LZW/deflate series
+        # expand on decode, so one frame per input batch scales with the ratio
+        for pdf in batches:
+            for z, raw, fname in zip(pdf["z"], pdf["raw"], pdf["fname"]):
+                try:
+                    arr = decode_tiff(bytes(raw))
+                except Exception as e:
+                    # name the FILE: a long series dying on one corrupt
+                    # slice must point at it (decode_block_at discipline)
+                    raise ValueError(
+                        f"corrupt TIFF slice {fname} (z={int(z)}, "
+                        f"{len(raw)} bytes): {type(e).__name__}: {e}"
+                    ) from e
+                # every slice must match the probe: a mismatched shape
+                # would otherwise be silently clipped/zero-padded by the
+                # rechunk kernel, and a same-width dtype reinterpreted
+                # bit-for-bit
+                if arr.shape != (probe_h, probe_w) or arr.dtype != probe_dt:
+                    raise ValueError(
+                        f"slice {fname} (z={int(z)}) is {arr.shape} {arr.dtype}; "
+                        f"the series probe says ({probe_h}, {probe_w}) {probe_dt} "
+                        "— all slices of a series must share one shape and dtype"
+                    )
+                yield (0, 0, int(z), arr[None, :, :])  # (1, Y, X)
 
-        yield from bounded_frames(
-            rows(), ["gx", "gy", "gz", "shape_zyx", "data"], lambda r: len(r[4])
-        )
-
-    slice_blocks = slices.mapInPandas(decode, schema=BLOCK_SCHEMA_DDL)
+    # fusable slice-blocks source (r15, guide §4): the downstream
+    # cast/rechunk-fragment kernels run the TIFF decode inside their own
+    # Python node, so decoded slice bytes cross the boundary once
+    slice_blocks = fuse.attach_map(
+        slices.mapInPandas(fuse.emit_blocks_kernel(blocks_fn), schema=BLOCK_SCHEMA_DDL),
+        slices,
+        blocks_fn,
+    )
     slice_attrs = DatasetAttributes(
         data_type=src_type,
         dimensions=dims_xyz,
@@ -552,25 +553,23 @@ def n5_to_tif_series(
     marker = claim_dataset_write(output_dir, "")
     dt = np_dtype(slice_attrs.data_type)
 
-    def sink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def sink_rows(gx: int, gy: int, gz: int, arr: np.ndarray) -> Iterator[tuple]:
         from n5_dask_spark.sources.n5.writer import _maybe_inject_fault
 
-        written = []
-        for pdf in batches:
-            for gz, shape, data in zip(pdf["gz"], pdf["shape_zyx"], pdf["data"]):
-                arr = np.frombuffer(bytes(data), dtype=dt).reshape(list(shape))[0]
-                write_tiff(os.path.join(output_dir, f"{prefix}{int(gz):05d}.tif"), arr)
-                written.append(int(gz))
-            _maybe_inject_fault()  # chaos hook: batch's slices are on disk
-        yield pd.DataFrame({"gz": written})
+        write_tiff(os.path.join(output_dir, f"{prefix}{int(gz):05d}.tif"), arr[0])
+        _maybe_inject_fault()  # chaos hook: this slice is on disk
+        yield (int(gz),)
 
-    # the sink fuses into the rechunk shuffle's stage (writer.write_blocks
-    # discipline): slice_blocks is groupBy output — wide, one row per z
-    # slice — so a second repartition would move every slice byte through
-    # an extra exchange purely to rebalance
+    # the sink fuses INTO the rechunk assembler's post-shuffle Python node
+    # (r15, guide §4): the assembled slice bytes never re-cross the
+    # JVM<->Python boundary, and (writer.write_blocks discipline) no second
+    # repartition moves slice bytes through an extra exchange purely to
+    # rebalance — write parallelism is the fragment shuffle's
     written = {
         int(r["gz"])
-        for r in slice_blocks.mapInPandas(sink, schema="gz int").collect()
+        for r in fuse.consume_block_rows(
+            slice_blocks, dt, sink_rows, ["gz"], "gz int"
+        ).collect()
     }
     # Sparse N5 is legal (absent blocks = fill value) and the rechunk
     # shuffle emits no row for an all-absent z slab, so those slices get no

@@ -58,3 +58,12 @@ def test_normalized_never_below_any_healthy_raw_scaled():
     # 0.50 > 1.4 * 0.35 = 0.49 -> first pass excluded from norm
     assert raw["q"] == 1.0
     assert abs(norm["q"] - 1.3 * (0.35 / 0.36)) < 1e-9
+
+
+def test_healthy_pass_count():
+    """r15: the [healthy, total] disclosure behind each *_normalized value.
+    All-suspect degrades to 'all kept' exactly like reduce_passes does."""
+    ref = bench.CAL_REFERENCE_SEC
+    assert bench.healthy_pass_count([ref, ref * 2.2]) == 1
+    assert bench.healthy_pass_count([ref, ref]) == 2
+    assert bench.healthy_pass_count([ref * 2.2, ref * 3.0]) == 2  # all suspect: all kept

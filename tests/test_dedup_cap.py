@@ -447,3 +447,31 @@ def test_round_double_repr_boundary_is_characterized(spark):
     )
     for v, r in zip(vals, rows):
         assert r["r"] == con.execute("SELECT round(CAST(? AS DOUBLE), 6)", [v]).fetchone()[0]
+
+
+def test_simhash_memo_is_cross_call_and_capped():
+    """r15 (guide §4.5): the token bit-row memo survives across kernel
+    calls (worker-lifetime), stays bounded by _SIMHASH_MEMO_CAP, and its
+    state can never change signature values (pure function of the token)."""
+    import pandas as pd
+
+    from n5_dask_spark.operators import dedup
+
+    dedup._SIMHASH_BIT_ROWS.clear()
+    arrays = [["alpha", "beta"], ["beta", "gamma"]]
+    cold = dedup._simhash_signatures(pd.Series(arrays)).tolist()
+    assert set(dedup._SIMHASH_BIT_ROWS) == {"alpha", "beta", "gamma"}
+    warm = dedup._simhash_signatures(pd.Series(arrays)).tolist()  # memo hits
+    assert warm == cold
+
+    # cap: force an overflow clear, values still identical
+    old_cap = dedup._SIMHASH_MEMO_CAP
+    try:
+        dedup._SIMHASH_MEMO_CAP = 2
+        dedup._SIMHASH_BIT_ROWS.clear()
+        capped = dedup._simhash_signatures(pd.Series(arrays)).tolist()
+        assert capped == cold
+        assert len(dedup._SIMHASH_BIT_ROWS) <= 2
+    finally:
+        dedup._SIMHASH_MEMO_CAP = old_cap
+        dedup._SIMHASH_BIT_ROWS.clear()

@@ -34,3 +34,31 @@ def test_queries_label_their_jobs(spark):
     q.fn(spark, "/root/testdata/sf0.001").collect()
     desc = spark.sparkContext.getLocalProperty("spark.job.description")
     assert desc == "n5ds:q6_forecast_revenue"
+
+
+def test_table_cache_invalidation(spark, tmp_path):
+    """r15 (VERDICT #8): the load_table plan cache serves one frozen plan
+    per (session, sf_dir, table); invalidate_table_cache drops it (and the
+    schema cache entry) so a regenerated sf_dir re-lists on next load."""
+    import shutil
+
+    from n5_dask_spark import catalog
+
+    sf = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    shutil.copy("/root/testdata/sf0.001/region.parquet", sf + "/region.parquet")
+
+    a = catalog.load_table(spark, sf, "region")
+    assert catalog.load_table(spark, sf, "region") is a  # cache hit
+    assert (sf, "region") in catalog._SCHEMA_CACHE
+
+    catalog.invalidate_table_cache(spark, sf)
+    assert (sf, "region") not in catalog._SCHEMA_CACHE
+    b = catalog.load_table(spark, sf, "region")
+    assert b is not a  # fresh plan (fresh file listing)
+    assert b.collect() == a.collect()
+
+    # other sf_dirs untouched by a scoped invalidation
+    c = catalog.load_table(spark, "/root/testdata/sf0.001", "region")
+    catalog.invalidate_table_cache(spark, sf)
+    assert catalog.load_table(spark, "/root/testdata/sf0.001", "region") is c

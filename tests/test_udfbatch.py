@@ -74,16 +74,26 @@ def test_out_batch_bytes_env(monkeypatch):
 
 
 def test_fragment_kernel_framing_is_value_invariant(monkeypatch):
-    """The rechunk fragment kernel under a tiny budget: more frames, same
-    rows. Driver-side direct call, so the env monkeypatch reaches it."""
-    from n5_dask_spark.sources.n5.transforms import _fragment_fn
+    """The (fused, r15) decode+fragment kernel under a tiny budget: more
+    frames, same rows. Driver-side direct call, so the env monkeypatch
+    reaches it. Composed exactly as fuse.consume_block_rows composes the
+    fallback path: standard-row decode -> per-block fragment rows ->
+    bounded output framing."""
+    from n5_dask_spark.sources.n5 import fuse
+    from n5_dask_spark.sources.n5.transforms import FRAGMENT_COLUMNS, _fragment_rows_fn
+    from n5_dask_spark.udfbatch import bounded_frames
 
     arr = np.arange(64, dtype=np.uint8).reshape(4, 4, 4)
     pdf = pd.DataFrame(
         [(0, 0, 0, [4, 4, 4], arr.tobytes())],
         columns=["gx", "gy", "gz", "shape_zyx", "data"],
     )
-    kernel = _fragment_fn(np.dtype("uint8"), 3, [4, 4, 4], [0, 0, 0], [4, 4, 4], [2, 2, 2])
+    block_frags = _fragment_rows_fn(3, [4, 4, 4], [0, 0, 0], [4, 4, 4], [2, 2, 2])
+    blocks_fn = fuse._fallback_blocks_fn(np.dtype("uint8"))
+
+    def kernel(batches):
+        rows = (row for blk in blocks_fn(batches) for row in block_frags(*blk))
+        yield from bounded_frames(rows, FRAGMENT_COLUMNS, lambda r: len(r[5]))
 
     monkeypatch.setenv("SPARK_GRAFT_UDF_OUT_BATCH_BYTES", str(1 << 30))
     one = list(kernel(iter([pdf.copy()])))
@@ -152,6 +162,12 @@ def test_shuffle_partitions_scale_adaptive(monkeypatch):
     assert _default_shuffle_partitions() == "32"
     monkeypatch.setenv("SPARK_GRAFT_SHUFFLE_PARTITIONS", "4096")
     assert _default_shuffle_partitions() == "4096"
+    # r15 (ADVICE): a garbage/zero override must fall through to the
+    # derived default instead of propagating into the session conf
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "128")
+    for bad in ("0", "-4", "lots", "1.5", ""):
+        monkeypatch.setenv("SPARK_GRAFT_SHUFFLE_PARTITIONS", bad)
+        assert _default_shuffle_partitions() == "128"
 
 
 _PIPELINE = r"""

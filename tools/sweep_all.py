@@ -25,7 +25,9 @@ from n5_dask_spark.session import get_spark
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    # runs <= 0 would leave best = inf, and json.dumps emits bare Infinity
+    # (not valid JSON for downstream parsers) — clamp (r15 ADVICE)
+    runs = max(1, int(sys.argv[2])) if len(sys.argv) > 2 else 2
     spark = get_spark(
         "n5ds-sweep-all",
         extra_conf={"spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=1g"},
