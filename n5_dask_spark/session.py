@@ -47,6 +47,40 @@ def _default_shuffle_partitions() -> str:
     return str(max(32, int(cpus))) if cpus.isdigit() else "32"
 
 
+def _bloom_threshold_overrides() -> dict[str, str]:
+    """Runtime Bloom-filter join thresholds, env-parameterized (r15,
+    guide §3.2; VERDICT r14 item 5).
+
+    Measured this round (plans/r15/bloom_synthetic_sf1_fired.txt): Spark
+    4.1's automatic runtime Bloom filter is estimate-driven, and without
+    CBO stats a FILTERED dimension's size estimate is its full scan size —
+    so the default 10 MB creationSideThreshold suppresses injection for
+    every TPC-H-shaped dim join at any real scale (verified: q3/q5/q10
+    plans carry no might_contain at sf1 even with the application-side
+    threshold lowered; raising creationSideThreshold makes it fire, and
+    the injected filter ran 1.5x faster than the bare sort-merge join on
+    the sf1 forced-SMJ probe). Locally there is nothing to win — the
+    bench fact scans sit far below the 10 GiB application-side threshold
+    and the dims broadcast — so LOCAL DEFAULTS STAY SPARK'S (bench
+    comparable); a production deployment opts in per its own sizes:
+      SPARK_GRAFT_BLOOM_CREATION_THRESHOLD   (e.g. "512m": admit
+        unfiltered-estimate dims as creation side)
+      SPARK_GRAFT_BLOOM_APPLICATION_THRESHOLD (e.g. "1g": inject for
+        smaller fact scans than the 10 GiB default)
+    """
+    out: dict[str, str] = {}
+    for env, conf in (
+        ("SPARK_GRAFT_BLOOM_CREATION_THRESHOLD",
+         "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"),
+        ("SPARK_GRAFT_BLOOM_APPLICATION_THRESHOLD",
+         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"),
+    ):
+        v = os.environ.get(env)
+        if v:
+            out[conf] = v
+    return out
+
+
 DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
@@ -115,6 +149,7 @@ def get_spark(
     merged = {
         **DEFAULT_CONFS,
         "spark.sql.shuffle.partitions": _default_shuffle_partitions(),
+        **_bloom_threshold_overrides(),
         **(extra_conf or {}),
     }
     # spark-submit's launcher warns-and-IGNORES builder configs without a
@@ -187,6 +222,7 @@ def tune_session(spark: SparkSession) -> SparkSession:
     }
     # re-derived lazily, same reason as in get_spark (r15 ADVICE)
     tuning["spark.sql.shuffle.partitions"] = _default_shuffle_partitions()
+    tuning.update(_bloom_threshold_overrides())
     for k, v in tuning.items():
         if k in user:
             continue

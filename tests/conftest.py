@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import os
 import pathlib
 import sys
 
@@ -10,6 +11,33 @@ sys.path.insert(0, str(REPO))
 
 SF_SMALL = "/root/testdata/sf0.001"
 SF_MEDIUM = "/root/testdata/sf0.01"
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavy stress/characterization lane, skipped in the default "
+        "profile; set N5DS_FULL_TESTS=1 to run (round-end ritual)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    """Fast default profile (r15, VERDICT r14 item 2): the driver's verify
+    step runs `pytest tests/ -x -q` under a wall-clock budget the full
+    suite outgrew (r14: truncated at 94% with zero failures). The handful
+    of multi-minute stress/characterization lanes below — each a
+    whole-registry sweep or a multi-JVM fault drill whose per-change
+    signal is covered by faster siblings in the default profile — are
+    marked `slow` and SKIPPED (visibly, never deleted) unless
+    N5DS_FULL_TESTS=1. The round-end ritual runs the full profile."""
+    if os.environ.get("N5DS_FULL_TESTS"):
+        return
+    skip = pytest.mark.skip(
+        reason="slow lane; set N5DS_FULL_TESTS=1 for the full profile"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
 
 
 @pytest.fixture(scope="session")

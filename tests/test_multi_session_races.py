@@ -28,6 +28,8 @@ import pathlib
 import subprocess
 import sys
 
+import pytest
+
 REPO = str(pathlib.Path(__file__).resolve().parent.parent)
 
 _QUERIES = [
@@ -62,6 +64,7 @@ print("RACE_PROBE " + json.dumps(out))
 """.strip()
 
 
+@pytest.mark.slow  # ~33 s: two concurrent fresh JVMs over the staging-heavy slice
 def test_two_sessions_run_staging_queries_concurrently():
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")

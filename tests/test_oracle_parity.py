@@ -293,6 +293,7 @@ def run_longdoc_net(spark, tmp_path, seed):
     assert not bad, bad
 
 
+@pytest.mark.slow  # ~7.4 min: superlinear-length stress corpus over every doc query
 def test_doc_queries_match_oracles_on_long_documents(spark, tmp_path):
     run_longdoc_net(spark, tmp_path, 17)
 
@@ -2004,6 +2005,7 @@ NARROW_DIVERGENT = {
 }
 
 
+@pytest.mark.slow  # ~2.5 min: whole-registry sweep on a narrowed physical schema
 def test_queries_characterized_on_narrow_physical_schema(spark, tmp_path):
     """Physical-schema robustness net (r9 pass 5). The driver has
     regenerated testdata with a different parquet PHYSICAL encoding

@@ -295,6 +295,7 @@ def test_parquet_sink_orphan_file_invisible_to_committed_reads(
         os.remove(orphan)
 
 
+@pytest.mark.slow  # ~1.4 min: kill-and-twin drill across two fresh JVMs
 def test_kill_mid_trigger_windowed_state_recovers_equal_to_clean_twin(tmp_path):
     """Kill the WINDOWED (state-store + parquet-sink) runner mid-batch and
     prove restarts converge to EXACTLY the clean run's output.

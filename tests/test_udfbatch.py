@@ -227,3 +227,20 @@ def test_pipeline_value_invariant_under_tiny_output_budget(tmp_path):
     )
     assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
     assert "OK" in proc.stdout
+
+
+def test_bloom_threshold_overrides_env_gated(monkeypatch):
+    """r15 (guide §3.2): runtime Bloom-filter thresholds are production
+    knobs — EMPTY by default (local bench plans unchanged), populated
+    only from the env."""
+    from n5_dask_spark.session import _bloom_threshold_overrides
+
+    monkeypatch.delenv("SPARK_GRAFT_BLOOM_CREATION_THRESHOLD", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_BLOOM_APPLICATION_THRESHOLD", raising=False)
+    assert _bloom_threshold_overrides() == {}
+    monkeypatch.setenv("SPARK_GRAFT_BLOOM_CREATION_THRESHOLD", "512m")
+    monkeypatch.setenv("SPARK_GRAFT_BLOOM_APPLICATION_THRESHOLD", "1g")
+    assert _bloom_threshold_overrides() == {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "512m",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1g",
+    }
