@@ -86,7 +86,9 @@ def main() -> None:
     ap.add_argument("--tag", default="before")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--plans-only", action="store_true")
-    ap.add_argument("--round", default="r14")
+    # no default round on purpose (r15): a stale default silently
+    # overwrites a PREVIOUS round's committed plan evidence
+    ap.add_argument("--round", required=True)
     ap.add_argument(
         "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
